@@ -1,0 +1,64 @@
+"""Numeric helpers that make float aggregates hash-stable across
+engines (SURVEY.md §1.3 note 2).
+
+A plain ``SUM(double)`` is summation-order dependent: Spark's partial
+aggregates sum per shuffle partition, DuckDB sums in its own morsel
+order, and at 60k rows x 1e5 magnitude the drift reaches ~1e-4 —
+right at a ROUND(...,4) boundary. The fix used engine-wide:
+
+    SUM(CAST(x AS DECIMAL(18,4)))  -- exact, order-independent
+    -> CAST(... AS DOUBLE)         -- identical f64 bits both engines
+
+Per-row double->decimal(…,4) conversion is itself deterministic:
+a binary double is never exactly halfway between two 4-dp decimals,
+so both engines' round-to-nearest agrees bit-for-bit.
+
+AVG follows as exact-sum / count, then ROUND — identical float ops on
+identical inputs. At cluster scale the decimal cast costs one widening
+per row inside whole-stage codegen; no extra shuffle or pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,4)"  # 24 integer digits: safe for 100 TB-scale sums
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent float sum: SUM(decimal) cast back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dcumsum(col: Column | str, window, alias: str) -> Column:
+    """Windowed (e.g. cumulative) order-independent float sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).over(window).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, ndigits: int = 4) -> Column:
+    """Hash-stable mean: exact decimal sum / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    exact_sum = F.sum(c.cast(DEC)).cast("double")
+    return F.round(exact_sum / F.count(c), ndigits).alias(alias)
+
+
+def round4(col: Column | str, alias: str | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    r = F.round(c, 4)
+    return r.alias(alias) if alias else r
+
+
+# --- DuckDB-side SQL fragments (oracle text builders) ---------------
+
+def fsum_sql(expr: str, alias: str) -> str:
+    """Oracle twin of dsum()."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) AS {alias}"
+
+
+def favg_sql(expr: str, alias: str, ndigits: int = 4) -> str:
+    """Oracle twin of davg()."""
+    return (f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
+            f" / COUNT({expr}), {ndigits}) AS {alias}")

@@ -1,0 +1,90 @@
+"""ASOF join as a library operator (SURVEY.md §4.3.1, q13).
+
+Spark's DataFrame API has no native ASOF join (pandas-on-Spark
+``merge_asof`` exists but routes through the pandas API layer).
+This implements the classic union+window formulation:
+
+1. union both sides with a side tag (probe=1, reference=0),
+2. one window per key: ``last(ref_payload, ignorenulls=True)`` over
+   rows ``unboundedPreceding..currentRow`` ordered by (ts, side) —
+   at equal timestamps the reference row sorts first, giving
+   ``>=`` (inclusive) ASOF semantics like DuckDB's ``ON p.ts >= r.ts``,
+3. filter back to probe rows and unpack the matched payload struct.
+
+Scale notes (100 TB): this costs exactly one shuffle on the join
+keys plus one sort within partitions — the same cost profile as a
+sort-merge ASOF join in engines that have one natively. There is no
+cross product and no per-group collect; skewed keys are handled by
+AQE like any other shuffle. Compare: a naive
+``join(l.ts >= r.ts) + max()`` approach is O(n·m) per key and
+explodes at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (or ``<`` when ``inclusive=False``) within
+    the same ``on`` key group. Left rows with no prior right row get
+    NULL payload columns (LEFT ASOF semantics).
+
+    ``right_cols`` defaults to all non-key right columns (including
+    its timestamp). Payload columns colliding with left column names
+    get ``suffix`` appended.
+    """
+    on = list(on)
+    if right_ts is None:
+        right_ts = left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+    right_cols = list(right_cols)
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in right_cols]).alias(_PAYLOAD),
+    )
+    l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # at equal ts: side 0 (reference) sorts before side 1 (probe) for
+    # inclusive (>=); after it for strict (>)
+    order = [F.col(_TS).asc(),
+             F.col(_SIDE).asc() if inclusive else F.col(_SIDE).desc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+
+    out_payload = [
+        F.col(f"{_PAYLOAD}.{c}").alias(c + suffix if c in left.columns else c)
+        for c in right_cols
+    ]
+    return (
+        matched.filter(F.col(_SIDE) == 1)
+        .select(*[F.col(c) for c in left.columns], *out_payload)
+    )

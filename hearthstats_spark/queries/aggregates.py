@@ -1,0 +1,265 @@
+"""Group D — aggregations (SURVEY.md §2 q15-q23).
+
+Reference surface: win-rate rollups / stats-by-group over the SQLite
+tables (SURVEY.md §1.1 [R]). Spark-first notes:
+
+- Every groupBy here compiles to a partial+final HashAggregate pair —
+  map-side combine means the shuffle carries one row per (partition,
+  group), not per input row. That is the property that survives a
+  100x scale-up.
+- Float sums use the decimal-cast trick from
+  ``hearthstats_spark.functions.numeric`` (order-independent, hash-
+  stable); see that module's docstring.
+- Multi-distinct (q17) uses Spark's expand-based plan: the input is
+  replicated once per distinct column. At 100 TB prefer one distinct
+  per pass or approx_count_distinct (q22) when +-2% is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hearthstats_spark.functions import dsum, davg, fsum_sql, favg_sql
+from hearthstats_spark.io import load_table, load_tables
+from hearthstats_spark.queries.registry import register
+
+
+@register(
+    "q15_agg_pricing",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {fsum_sql('l_quantity', 'sum_qty')},
+           {fsum_sql('l_extendedprice', 'sum_base_price')},
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_charge,
+           {favg_sql('l_quantity', 'avg_qty')},
+           {favg_sql('l_extendedprice', 'avg_price')},
+           {favg_sql('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q15_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the engine's flagship query).
+
+    The computed measures (disc price, charge) multiply in DECIMAL,
+    not double: raw prices are exact 2-dp values, so decimal casts and
+    products are exact on both engines, while a double product cast to
+    decimal diverges at half-way points (Spark rounds the shortest
+    repr via BigDecimal.valueOf, DuckDB the exact binary expansion).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q16_agg_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q16_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (two-stage: partial distinct by
+    (group, value), then count — Spark plans this automatically)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "q17_agg_multidistinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q17_agg_multidistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several distincts in one aggregate -> Expand-based plan (input
+    replicated once per distinct set; see module note on scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           COUNT(*) AS n_orders,
+           {fsum_sql('o_totalprice', 'revenue')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("q18_agg_rollup", oracle=_ROLLUP_ORACLE)
+def q18_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() disambiguation; rollup NULLs are
+    COALESCE'd to 'ALL' so they hash cleanly against real values."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]),
+              t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]),
+              t["nation"].n_regionkey == t["region"].r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "g_region", "g_nation", "n_orders", "revenue",
+        )
+    )
+
+
+@register(
+    "q19_agg_cube",
+    oracle=f"""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS n_orders,
+           {fsum_sql('o_totalprice', 'revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def q19_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over segment x status (all 2^2 grouping combinations)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = t["orders"].join(
+        t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "g_seg", "g_status", "n_orders", "revenue",
+        )
+    )
+
+
+_GSETS_SQL = """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+"""
+
+
+@register("q20_agg_groupingsets", oracle=_GSETS_SQL)
+def q20_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL route (the DataFrame API has no direct
+    grouping-sets builder); the same SQL text runs on both engines."""
+    load_tables(spark, sf_dir, ("documents",), register=True)
+    return spark.sql(_GSETS_SQL)
+
+
+@register(
+    "q21_agg_having",
+    oracle=f"""
+    SELECT event_type, {fsum_sql('value', 'total_value')}
+    FROM events GROUP BY event_type
+    HAVING CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) > 100000
+    """,
+)
+def q21_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(dsum("value", "total_value"))
+        .filter(F.col("total_value") > 100000)
+    )
+
+
+@register("q22_agg_approx", oracle=None)  # rows-only: HLL sketches differ per engine
+def q22_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++). The scale-path twin
+    of q16: mergeable sketch, no expand, bounded memory. Accuracy vs
+    exact is asserted in tests/test_operators.py (±5%)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+@register(
+    "q23_agg_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 4) AS sd_value,
+           ROUND(var_samp(value), 4) AS var_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+               AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q23_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated median
+    (Spark ``percentile`` == DuckDB ``percentile_cont``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
+    )

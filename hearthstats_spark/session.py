@@ -1,0 +1,81 @@
+"""SparkSession bootstrap (SURVEY.md §4.2 / §7 step 0).
+
+Pins the configs every query in this engine relies on:
+
+- ``spark.sql.session.timeZone=UTC`` — timestamp values must hash
+  identically against the DuckDB oracle.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the driver's
+  ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS); Spark 4.x
+  refuses the file outright without this flag (verified:
+  ``[PARQUET_TYPE_ILLEGAL]``). The loader converts the resulting
+  bigint-ns column to a microsecond timestamp once, at load.
+- Arrow execution for every pandas UDF / toPandas path.
+- AQE on (coalesce shuffle partitions + skew-join splitting): at
+  100 TB AQE's runtime re-planning is the main defence against skew;
+  at test scale it collapses the shuffle tail.
+- Modest shuffle parallelism by default (local mode): the driver's
+  bench runs at sf0.1 where 200 default partitions would be pure
+  scheduling overhead. On a real cluster set SPARK_GRAFT_SHUFFLE to
+  ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dims here are tiny; on a cluster this is the default 10MB anyway
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # exact-distinct inside 32 threads; bump on a real cluster
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "hearthstats-spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if
+    unset). On a cluster, leave ``master`` to spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable configs to an externally
+    created session (the driver hands us one we didn't build)."""
+    for k, v in _DEFAULTS.items():
+        if k.startswith("spark.sql.") and "legacy.parquet" not in k:
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a live session; loader handles the rest
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

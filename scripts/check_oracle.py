@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Dev loop: run declared queries against the DuckDB oracle.
+
+Usage:
+    python scripts/check_oracle.py [--sf /root/testdata/sf0.01]
+        [--modules joins,aggregates] [--only q05,q06]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from hearthstats_spark.oracle import check_query, duck_connect  # noqa: E402
+from hearthstats_spark.queries.registry import REGISTRY  # noqa: E402
+from hearthstats_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--modules", default=None,
+                    help="comma list of hearthstats_spark.queries submodules; "
+                         "default: registry.load_all()")
+    ap.add_argument("--only", default=None, help="comma list of query ids")
+    args = ap.parse_args()
+
+    if args.modules:
+        for m in args.modules.split(","):
+            importlib.import_module(f"hearthstats_spark.queries.{m.strip()}")
+    else:
+        from hearthstats_spark.queries.registry import load_all
+        load_all()
+
+    only = set(args.only.split(",")) if args.only else None
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(args.sf)
+
+    n_fail = 0
+    for name, q in sorted(REGISTRY.items()):
+        if only and not any(name.startswith(o) for o in only):
+            continue
+        t0 = time.time()
+        if q.oracle is None:
+            try:
+                n = q.fn(spark, args.sf).count()
+                print(f"[rows] {name}: {n} rows ({time.time()-t0:.1f}s)")
+            except Exception as e:
+                n_fail += 1
+                print(f"[FAIL] {name}: {type(e).__name__}: {e}")
+            continue
+        try:
+            res = check_query(spark, con, args.sf, name, q.fn, q.oracle)
+        except Exception as e:
+            n_fail += 1
+            print(f"[FAIL] {name}: {type(e).__name__}: {str(e)[:500]}")
+            continue
+        print(f"{res} ({time.time()-t0:.1f}s)")
+        if not res.ok:
+            n_fail += 1
+    print(f"\n{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
