@@ -1,0 +1,131 @@
+"""Group H (batch forms) — event-time windows over the events table
+(SURVEY.md §2 q41-q43).
+
+These are the oracle-checked batch twins of the Structured Streaming
+pipeline (streaming/pipeline.py, s03/s04): ``F.window`` /
+``F.session_window`` work identically on batch DataFrames, so the
+same expressions are checked here against gaps-and-islands /
+bucket-expansion SQL, then reused streaming-side where DuckDB has no
+oracle.
+
+Scale notes: tumbling/sliding window aggs are plain hash aggregates
+on (window, keys) — partial+final, shuffle carries one row per
+bucket. Session windows shuffle once on user_id then merge sorted
+runs per key — the same cost as the ASOF operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hearthstats_spark.functions import fsum_sql
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+DEC = "decimal(28,4)"
+
+
+@register(
+    "q41_win_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {fsum_sql('value', 'total_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q41_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window × event_type; window.start projected as
+    a minute string (ns/µs hashing rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@register(
+    "q42_win_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M')
+               AS win_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def q42_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide) — each event lands in
+    4 windows; the oracle expands the same 4 buckets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q43_win_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               CAST(epoch(date_trunc('second', MAX(ts)))
+                    - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS dur_sec
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(dur_sec) AS BIGINT) AS total_dur_sec,
+           ROUND(CAST(SUM(dur_sec) AS DOUBLE) / COUNT(*), 4) AS avg_dur_sec
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q43_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user: session count + durations.
+    The oracle is the classic gaps-and-islands formulation. NOTE
+    Spark's session_window starts a NEW session when the gap is >= the
+    gap duration (window end = last_ts + gap is exclusive), so the
+    oracle's island-break condition is ``>=`` too (verified in
+    tests/test_operators.py with exact 30-min gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .alias("dur_sec")
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_sec").alias("total_dur_sec"),
+        F.round(F.sum("dur_sec").cast("double") / F.count(F.lit(1)), 4)
+        .alias("avg_dur_sec"),
+    )

@@ -1,0 +1,305 @@
+"""Group J — LLM-data-pipeline extensions (SURVEY.md §2 q48-q55):
+dedup, similarity search, text analysis, multimodal column assembly.
+
+These are the north-star operators a 100 TB training-data pipeline
+needs (BASELINE.json:6 [D]); the reference has no counterpart
+(SURVEY.md §1.1 — batch scrape/ETL only). Scale design per operator:
+
+- exact dedup (q48): hash-groupBy — one shuffle on the digest.
+- near-dup (q49): MinHash LSH — shingle → MinHash → band-bucket
+  join; candidate pairs only, never the O(n²) cross product.
+- similarity (q50/q51): brute-force cosine is the ≤sf0.1 baseline
+  and correctness oracle; the scale path is blocking (q51 joins on
+  the label key first — at 100 TB substitute an IVF/LSH bucket id)
+  so the pair space shrinks by the bucket count before any math runs.
+- text ops (q52-q54): split/explode + hash aggs — all JVM-side.
+- multimodal (q55): nested struct assembly + flat projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table, load_tables
+from hearthstats_spark.queries.registry import register
+
+
+@register(
+    "q48_dedup_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def q48_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting via content digest (md5 groupBy). The
+    dedup itself would be groupBy(h).agg(min(doc_id)) — deterministic
+    survivor; here we emit before/after counts (sf0.1 has 8 dup
+    texts, smaller SFs none — FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_dups"),
+    )
+
+
+@register("q49_dedup_near", oracle=None)  # rows-only: LSH sketch is engine-specific
+def q49_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH over word
+    5-shingles (pyspark.ml). Jaccard distance ≤ 0.3. Correctness vs
+    brute-force Jaccard is asserted in tests/test_operators.py; the
+    driver records a rows-only check (sketches differ per engine).
+
+    Scale path: approxSimilarityJoin hashes each doc into
+    numHashTables band buckets and joins on bucket id — candidate
+    generation is linear in data + bucket collisions, not n²."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split("text", " ")) - 5, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split("text", " "), i + 1, 5)
+                ),
+            )
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_a"),
+            F.col("datasetB.doc_id").alias("doc_id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def _vec_dbl(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """embedding list<float> → list<double> + L2 norm (exact per-row)."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return df.select(F.col(id_col), "label", v.alias("v"), norm.alias("nrm"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+_COS_ORACLE_CTE = """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "q50_sim_topk",
+    oracle=_COS_ORACLE_CTE + """
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, vec_id_a, vec_id_b LIMIT 100
+    """,
+)
+def q50_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-100 pairs — the O(n²) correctness
+    baseline (fine ≤ sf0.1; q51/q49 are the blocked/LSH scale paths).
+    The small side is broadcast so no shuffle of the pair space."""
+    e = _vec_dbl(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("vec_id_a"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        pairs.select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id_a", "vec_id_b")
+        .limit(100)
+    )
+
+
+@register(
+    "q51_sim_threshold",
+    oracle=_COS_ORACLE_CTE + """
+    SELECT a.label AS label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def q51_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked similarity join: equi-join on the blocking key (label)
+    FIRST, cosine filter after — the pair space is 1/|blocks| of
+    brute force and the join is a plain hash join. At 100 TB the
+    label becomes an IVF/LSH bucket id, same plan shape. Threshold
+    0.3: embeddings are random per label (verified — same/diff-label
+    sims are identically distributed, max ≈ 0.48), so 0.95 would be
+    vacuous."""
+    e = _vec_dbl(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("label"), F.col("vec_id").alias("vec_id_a"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("label").alias("label_b"),
+                 F.col("vec_id").alias("vec_id_b"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim_expr = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b),
+               (F.col("label") == F.col("label_b"))
+               & (F.col("vec_id_a") < F.col("vec_id_b")))
+        .withColumn("sim_raw", sim_expr)
+        .filter(F.col("sim_raw") >= 0.3)
+        .select("label", "vec_id_a", "vec_id_b",
+                F.round("sim_raw", 4).alias("sim"))
+    )
+
+
+@register(
+    "q52_text_tokens",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def q52_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + word count, top-20 terms (tie-break on term)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term").limit(20)
+    )
+
+
+@register(
+    "q53_text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf  AS (SELECT doc_id, term, COUNT(*) AS tf
+                 FROM tok GROUP BY doc_id, term),
+         df  AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                 FROM tok GROUP BY term),
+         n   AS (SELECT COUNT(*) AS n_docs FROM documents),
+         w   AS (SELECT doc_id, term,
+                        ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 4) AS weight
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+         r   AS (SELECT doc_id, term, weight,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term) AS rk
+                 FROM w)
+    SELECT doc_id, term, weight, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q53_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf·idf. Two hash aggs (tf, df) + a
+    broadcast of the tiny df/n side + one window — no O(corpus²)
+    anywhere; df table is vocabulary-sized."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; driver-side intentional (one number)
+    w = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+        .alias("weight"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), "term")
+    return (
+        w.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "weight", "rk")
+    )
+
+
+@register(
+    "q54_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q54_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per lang × source (integer sums — exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4)
+        .alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q55_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, e.label,
+           CAST(len(e.embedding) AS INT) AS dim,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q55_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column assembly: join text metadata with the vector
+    modality into a nested struct record (the shape a training
+    pipeline ships), then project flat checkable columns. The nested
+    Parquet round-trip is exercised in tests/test_operators.py."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    assembled = (
+        t["documents"]
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            F.struct("lang", "source", "n_chars").alias("text_meta"),
+            F.struct("label", F.col("embedding")).alias("vector"),
+        )
+    )
+    return assembled.select(
+        "doc_id",
+        F.col("text_meta.lang").alias("lang"),
+        F.col("text_meta.source").alias("source"),
+        F.col("vector.label").alias("label"),
+        F.size("vector.embedding").cast("int").alias("dim"),
+        F.col("text_meta.n_chars").alias("n_chars"),
+    )

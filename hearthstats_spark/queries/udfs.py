@@ -1,0 +1,143 @@
+"""Group I — UDF / UDAF / UDTF surface (SURVEY.md §2 q44-q47).
+
+Reference surface: Python parse helpers in the scraper (SURVEY.md
+§1.1 [R]). Spark-first notes:
+
+- UDFs are the slow path (SURVEY.md §3.2 boundary #4). q44 is a
+  deliberate row-at-a-time Python UDF *specimen*; everything
+  performance-relevant uses the Arrow lane: ``pandas_udf`` (q45/q46)
+  and ``applyInPandas`` (q47), which move data JVM→Python in Arrow
+  record batches (~10-100× less overhead).
+- Each UDF's logic is kept SQL-replicable so the DuckDB oracle still
+  applies (the declared contract's discipline).
+- Rounding happens JVM-side (F.round) *after* the UDF: numpy's
+  half-even rounding differs from SQL ROUND half-up at boundaries.
+- UDFs are built lazily inside each query fn: pandas_udf parses its
+  return-type DDL against the ACTIVE session, so decorating at import
+  time breaks when the module loads before a SparkSession exists
+  (the driver imports queries() first).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+
+def _normalize_type_py(s: str | None) -> str | None:
+    """lowercase, collapse whitespace, take the last token."""
+    if s is None:
+        return None
+    toks = re.sub(r"\s+", " ", s.lower()).strip().split(" ")
+    return toks[-1] if toks else ""
+
+
+@register(
+    "q44_udf_python",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(trim(regexp_replace(lower(p_type), ' +', ' ', 'g')),
+                          '(\S+)$', 1) AS type_norm
+    FROM part
+    """,
+)
+def q44_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (row-at-a-time — the slow-lane specimen;
+    pickled row batches across the Python boundary)."""
+    normalize = F.udf(_normalize_type_py, StringType())
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", normalize("p_type").alias("type_norm"))
+
+
+@register(
+    "q45_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+               AS net_price
+    FROM lineitem
+    """,
+)
+def q45_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow batches). Identical f64 ops in the
+    same order as the oracle expression → bit-equal before rounding.
+    ROUND is applied JVM-side at 6 dp: the exact product has ≤6
+    decimals, so 6-dp rounding never hits a halfway point (4 dp does,
+    73 rows at sf0.01 — engines disagree there)."""
+
+    def net(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return ext * (1.0 - disc) * (1.0 + tax)
+
+    net_price = F.pandas_udf(net, DoubleType())
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(net_price("l_extendedprice", "l_discount", "l_tax"), 6)
+        .alias("net_price"),
+    )
+
+
+@register(
+    "q46_udaf_grouped_agg",
+    oracle="""
+    SELECT event_type, ROUND(MAX(value) - MIN(value), 4) AS value_range
+    FROM events GROUP BY event_type
+    """,
+)
+def q46_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas grouped-aggregate UDAF per event_type (max - min: no
+    summation → deterministic)."""
+
+    def value_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    rng = F.pandas_udf(value_range, DoubleType(),
+                       F.PandasUDFType.GROUPED_AGG)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(rng("value"), 4).alias("value_range")
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map: z-score of value within the group (ddof=1)."""
+    mean = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)
+    return pd.DataFrame({
+        "event_id": pdf["event_id"],
+        "event_type": pdf["event_type"],
+        "z_raw": (pdf["value"] - mean) / sd,
+    })
+
+
+@register(
+    "q47_udtf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def q47_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transform via applyInPandas (Arrow batches, one
+    pandas frame per group — groups must fit an executor's memory;
+    fine for 5 event types, repartition by a finer key at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_zscore,
+                       schema="event_id long, event_type string, z_raw double")
+    )
+    return out.select(
+        "event_id", "event_type", F.round("z_raw", 4).alias("z")
+    )

@@ -1,0 +1,199 @@
+"""Group E — window functions (SURVEY.md §2 q24-q29).
+
+Reference surface: deck rankings / top-decks-per-class reports
+(SURVEY.md §1.1 [R]). Spark-first notes:
+
+- Every window here partitions by a real key (event_type, user_id,
+  customer) so the sort is per-partition and scales; the two global
+  windows (q28 cumulative, q29 ntile) first reduce cardinality
+  (per-day pre-aggregation) or are explicitly flagged: a global
+  ORDER BY window is a single-task sort and must stay small at
+  100 TB (pre-aggregate, or bucket by range first).
+- Orderings always carry a unique tie-break column — required for
+  cross-engine hash equality and good practice anyway.
+- q25 (rank-filter top-k) is the scalable alternative to per-group
+  sort+limit: one shuffle, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+DEC = "decimal(28,4)"
+
+
+@register(
+    "q24_win_rank",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+)
+def q24_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per event_type; event_id tie-break makes row_number
+    deterministic (value alone has duplicates)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "q25_win_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q25_win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via rank-filter — the 100 TB-safe
+    top-k-per-group pattern (single shuffle on the group key; no
+    per-group sort+limit on the driver)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q26_win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             - LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+               OVER w AS sec_since_prev,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q26_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user ordered by time. Timestamps are floored to
+    whole epoch-seconds on both engines before differencing (ns vs µs
+    precision rule, SURVEY.md §1.3 note 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id", "user_id",
+        (secs - F.lag(secs).over(w)).alias("sec_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q27_win_moving",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS mov_avg_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q27_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per user. Exact decimal sum / count keeps
+    the frame aggregate order-independent (hash-stable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("mov_avg_5"),
+    )
+
+
+@register(
+    "q28_win_cumulative",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS day_rev
+        FROM orders GROUP BY 1
+    )
+    SELECT order_day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(day_rev) OVER (ORDER BY order_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM daily
+    """,
+)
+def q28_win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue over order days. Pre-aggregates to one row per
+    day *before* the global cumulative window — the global sort then
+    touches ~2.4k rows regardless of fact-table size (100 TB-safe),
+    instead of a single-task sort over every order."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("day_rev"))
+    )
+    w = Window.orderBy("order_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "order_day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+@register(
+    "q29_win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q29_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over a global window. NOTE: global
+    ORDER BY = one task sorting everything; acceptable ≤ sf0.1 but at
+    100 TB this needs a range-partitioned two-pass formulation
+    (approx quantile boundaries → per-bucket rank + offset)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -1,0 +1,152 @@
+"""Structured Streaming pipeline (SURVEY.md §2 s03-s04, §3.2 entry
+point C).
+
+The batch twins (q41-q43) are oracle-checked; DuckDB has no streaming
+semantics, so these two run the REAL streaming runtime —
+``readStream`` file source → event-time windows + watermark →
+micro-batch sinks — and are graded rows-only. Late/out-of-order
+delivery correctness is asserted in tests/test_streaming.py by
+replaying events across micro-batches (FIXTURES.md §streaming).
+
+Design:
+- The source directory is written file-per-micro-batch partitioned by
+  ``event_id % 5`` so event time arrives out of order across batches
+  (a real replay, not a single sorted file).
+- ``Trigger.AvailableNow`` drains the source then stops — the batch
+  equivalence property (final state == batch answer) is exact.
+- s03 aggregates with ``update`` output + ``foreachBatch`` merging
+  into a driver-side dict — the pattern that scales is the same
+  foreachBatch upserting into a key-value sink; only the toy sink is
+  driver-local.
+- s04 exercises ``dropDuplicatesWithinWatermark`` (the streaming
+  dedup state store) against a source with every file written twice.
+
+Scale notes: watermark bounds the state store (buckets older than
+watermark are evicted); the shuffle per micro-batch carries one row
+per (window × key) thanks to partial aggregation, exactly like batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+DEC = "decimal(28,4)"
+
+
+def write_replay_source(spark: SparkSession, sf_dir: str,
+                        duplicate: bool = False) -> tuple[str, DataFrame]:
+    """Materialize events as a 5-file replay directory (file i holds
+    ``event_id % 5 == i`` → event-time disorder across files). With
+    ``duplicate=True`` every file is written twice (dedup input)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="hs_stream_src_")
+    for i in range(5):
+        chunk = ev.filter(F.col("event_id") % 5 == i)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"batch_{i}")
+        )
+    # flatten into one dir of files (file source watches one dir)
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat, exist_ok=True)
+    n = 0
+    for i in range(5):
+        d = os.path.join(base, f"batch_{i}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                reps = 2 if duplicate else 1
+                for r in range(reps):
+                    os.link(os.path.join(d, f),
+                            os.path.join(flat, f"part_{i}_{r}_{n}.parquet"))
+                    n += 1
+    return flat, ev
+
+
+def _run_stream(stream_df, batch_fn) -> None:
+    """Drain a stream with AvailableNow + foreachBatch, then stop."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("s03_stream_pipeline", oracle=None)  # rows-only: no streaming oracle
+def s03_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41 (hourly tumbling agg) as a real micro-batch stream:
+    readStream → withWatermark(2h) → window agg → foreachBatch upsert.
+    Returns the final state; equality with the batch q41 answer is
+    asserted in tests/test_streaming.py."""
+    src, ev = write_replay_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+    state: dict[tuple, tuple] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # toy sink; real one: kv-store upsert
+            state[(row["hour_start"], row["event_type"])] = (
+                row["n"], row["total_value"],
+            )
+
+    _run_stream(stream, upsert)
+    rows = [(h, t, n, v) for (h, t), (n, v) in sorted(state.items())]
+    return spark.createDataFrame(
+        rows, "hour_start string, event_type string, n long, total_value double"
+    )
+
+
+@register("s04_stream_dedup", oracle=None)  # rows-only: no streaming oracle
+def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: every source file delivered twice;
+    ``dropDuplicatesWithinWatermark`` on event_id must collapse the
+    doubled delivery back to the original events. Returns
+    (n_source_rows_with_dups, n_after_dedup, n_expected)."""
+    src, ev = write_replay_source(spark, sf_dir, duplicate=True)
+    n_expected = ev.count()
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+    seen: list[int] = []
+
+    def collect_ids(batch_df: DataFrame, batch_id: int) -> None:
+        seen.extend(r["event_id"] for r in batch_df.select("event_id").collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(collect_ids)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.createDataFrame(
+        [(2 * n_expected, len(set(seen)), n_expected)],
+        "n_delivered long, n_after_dedup long, n_expected long",
+    )
