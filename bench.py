@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract).
+
+Runs every registered batch query from SURVEY.md §2 at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q15_agg_pricing": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the ``noop`` write format so the
+full plan executes (count() alone would let Catalyst prune every
+column of a projection query); timing excludes JVM startup (one
+warm-up action runs first) but includes planning + execution.
+
+Side-effect/streaming smoke ops (s01–s04) are excluded: they time
+file-system round-trips, not query execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (  # BASELINE.md anchor queries, reported individually
+    "q06_join_multiway", "q15_agg_pricing", "q25_win_topk",
+    "q41_win_tumbling", "q50_sim_topk", "q52_text_tokens",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from hearthstats_spark.queries.registry import load_all
+    from hearthstats_spark.session import get_spark
+
+    spark = get_spark("hearthstats-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warm up the JVM + Python worker pool outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry.items()):
+        if name.startswith("s0"):
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a failed query must not hide the rest
+            print(f"[bench] FAIL {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    print(json.dumps({
+        "metric": f"total_latency_{len(ok)}_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "headline": {k: timings.get(k) for k in HEADLINE},
+    }))
+    return 0 if len(ok) == len(timings) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
