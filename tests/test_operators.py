@@ -1,0 +1,96 @@
+"""Operator-level correctness that the DuckDB oracle can't express:
+LSH vs brute-force Jaccard, HLL error bound, nested Parquet
+round-trip (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _shingle_sets(spark, sf_dir: str, k: int = 5) -> dict[int, frozenset]:
+    from hearthstats_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = {}
+    for r in d.collect():
+        toks = r["text"].split(" ")
+        sh = {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k, 0) + 1)}
+        out[r["doc_id"]] = frozenset(sh)
+    return out
+
+
+def test_lsh_pairs_match_brute_force(spark, registry):
+    """approxSimilarityJoin's distances are exact on candidate pairs
+    (precision = 1); with 8 hash tables on sf0.001's corpus every true
+    pair must also be recalled (sets either both empty or equal)."""
+    got = registry["q49_dedup_near"].fn(spark, SF_SMALL).collect()
+    got_pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard_dist"] for r in got}
+
+    sh = _shingle_sets(spark, SF_SMALL)
+    ids = sorted(sh)
+    want_pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            jd = 1.0 - (inter / union if union else 0.0)
+            if jd <= 0.3:
+                want_pairs[(a, b)] = round(jd, 4)
+
+    assert set(got_pairs) == set(want_pairs)
+    # HashingTF buckets shingles into 2^18 features; rare collisions
+    # merge distinct shingles, shifting Jaccard by O(1/num_shingles)
+    for pair, jd in want_pairs.items():
+        assert abs(got_pairs[pair] - jd) <= 5e-3
+
+
+def test_approx_count_distinct_within_5pct(spark, registry):
+    from hearthstats_spark.io import load_table
+
+    approx = registry["q22_agg_approx"].fn(spark, SF_SMALL).collect()[0][0]
+    exact = (load_table(spark, SF_SMALL, "events")
+             .select("user_id").distinct().count())
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_multimodal_nested_parquet_roundtrip(spark):
+    """q55's nested struct record survives a Parquet write/read with
+    schema and values intact (the rows-only half of q55)."""
+    from hearthstats_spark.io import load_tables
+
+    t = load_tables(spark, SF_SMALL, ("documents", "embeddings"))
+    assembled = (
+        t["documents"]
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            F.struct("lang", "source", "n_chars").alias("text_meta"),
+            F.struct("label", "embedding").alias("vector"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="hs_mm_") as tmp:
+        path = os.path.join(tmp, "mm.parquet")
+        assembled.write.parquet(path)
+        back = spark.read.parquet(path)
+        # Parquet reads are always nullable; compare structure/types only
+        assert back.schema.simpleString() == assembled.schema.simpleString()
+        assert back.count() == assembled.count()
+        a = assembled.orderBy("doc_id").limit(5).collect()
+        b = back.orderBy("doc_id").limit(5).collect()
+        assert a == b
+
+
+def test_exact_dedup_finds_known_duplicates(spark, registry):
+    """sf0.1 contains exactly 8 duplicated texts (FIXTURES.md [G])."""
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        pytest.skip("sf0.1 testdata absent")
+    row = registry["q48_dedup_exact"].fn(spark, sf01).collect()[0]
+    assert row["n_dups"] == 8
+    assert row["n_total"] - row["n_unique"] == 8

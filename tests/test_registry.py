@@ -1,0 +1,44 @@
+"""The registry IS the driver contract (SURVEY.md §2): 55 declared
+queries q01–q55 + 4 side-effect ops s01–s04; 53 oracle-checked."""
+
+from __future__ import annotations
+
+import re
+
+EXPECTED_IDS = {
+    f"q{i:02d}" for i in range(1, 56)
+} | {"s01", "s02", "s03", "s04"}
+
+ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
+    "q22_agg_approx", "q49_dedup_near",
+    "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
+    "s03_stream_pipeline", "s04_stream_dedup",
+}
+
+
+def test_full_inventory(registry):
+    prefixes = {name.split("_")[0] for name in registry}
+    assert prefixes == EXPECTED_IDS
+
+
+def test_oracle_coverage(registry):
+    with_oracle = {n for n, q in registry.items() if q.oracle is not None}
+    without = set(registry) - with_oracle
+    assert without == ROWS_ONLY
+    assert len(with_oracle) == 53
+
+
+def test_names_well_formed(registry):
+    for name in registry:
+        assert re.fullmatch(r"[qs]\d{2}_[a-z0-9_]+", name), name
+
+
+def test_entry_module_exports(registry):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(q) == set(registry)
+    assert set(o) == {n for n, r in registry.items() if r.oracle is not None}
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())

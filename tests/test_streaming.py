@@ -1,0 +1,40 @@
+"""Streaming semantics (SURVEY.md §5.2 item 3): the micro-batch
+pipeline replays events out of order across files; with
+AvailableNow + a 2 h watermark the final state must equal the batch
+answer exactly, and doubled delivery must dedup to the original set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_stream_final_state_equals_batch(spark, registry):
+    stream_out = registry["s03_stream_pipeline"].fn(spark, SF_SMALL)
+
+    from hearthstats_spark.io import load_table
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    got = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in stream_out.collect()}
+    want = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in batch.collect()}
+    assert got == want  # bit-exact: decimal sums are order-independent
+
+
+def test_stream_dedup_collapses_double_delivery(spark, registry):
+    row = registry["s04_stream_dedup"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_delivered"] == 2 * row["n_expected"]
+    assert row["n_after_dedup"] == row["n_expected"]
