@@ -48,47 +48,83 @@ def q48_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_BANDS = 8  # 1-row bands: P(candidate) = 1-(1-j)^8 → recall ≈ 1 for j ≥ 0.7
+
+
+def _shingles(col: str = "text", k: int = 5):
+    """Distinct word k-shingles of a text column (JVM HOFs only)."""
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
 @register("q49_dedup_near", oracle=None)  # rows-only: LSH sketch is engine-specific
 def q49_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash LSH over word
-    5-shingles (pyspark.ml). Jaccard distance ≤ 0.3. Correctness vs
-    brute-force Jaccard is asserted in tests/test_operators.py; the
-    driver records a rows-only check (sketches differ per engine).
+    """Near-duplicate pairs (Jaccard distance ≤ 0.3 over word
+    5-shingles) via DataFrame-native MinHash banding — built-in
+    functions end to end, no ML fit, no Python in the row path:
 
-    Scale path: approxSimilarityJoin hashes each doc into
-    numHashTables band buckets and joins on bucket id — candidate
-    generation is linear in data + bucket collisions, not n²."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    1. per doc: 8 minhash signatures, each ``array_min`` of a seeded
+       ``xxhash64`` over the shingle set (one JVM HOF pass),
+    2. explode to (band, signature) keys and self-join — candidate
+       generation is a plain hash join on the band key, linear in
+       data + collisions, never the O(n²) pair space,
+    3. exact Jaccard on the candidates only, via
+       ``array_intersect``/set sizes, then filter ≤ 0.3.
 
+    Exactness on survivors means tests/test_operators.py can compare
+    against brute-force Jaccard with zero sketch tolerance; missing a
+    true pair needs all 8 bands to disagree (P ≈ (1-0.7)^8 ≈ 7e-5 at
+    the threshold, ~1e-14 for real near-dups). Driver check is
+    rows-only (sketches are engine-specific).
+
+    Scale notes: two shuffles (band join, pair distinct); signature
+    width is a constant 8 longs per doc; skewed bands (stop-phrase
+    shingles) are AQE-split like any hot join key."""
     d = load_table(spark, sf_dir, "documents")
-    shingled = d.select(
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    # One minhash column per band, then `stack` to (band, minhash)
+    # rows. NOT array+posexplode: Generate inlines the array
+    # expression and re-evaluates every array_min(transform(...))
+    # pass per exploded row — measured 8× blowup (11.8s → 1.7s at
+    # sf0.1); stack over pre-named columns evaluates each once.
+    sig = sh.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size(F.split("text", " ")) - 5, F.lit(0)),
-                ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.split("text", " "), i + 1, 5)
-                ),
-            )
-        ).alias("shingles"),
+        *[F.array_min(F.transform(
+            "shingles", lambda s: F.xxhash64(s, F.lit(b))
+        )).alias(f"mh{b}") for b in range(_N_BANDS)],
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features",
-                   numFeatures=1 << 18)
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    banded = sig.select(
+        "doc_id",
+        F.expr("stack({}, {}) as (band, minhash)".format(
+            _N_BANDS, ", ".join(f"{b}, mh{b}" for b in range(_N_BANDS)))),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.minhash") == F.col("b.minhash"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sets = sh
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_id_a"),
-            F.col("datasetB.doc_id").alias("doc_id_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
-        )
+        cand
+        .join(sets.select(F.col("doc_id").alias("doc_id_a"),
+                          F.col("shingles").alias("sh_a")), "doc_id_a")
+        .join(sets.select(F.col("doc_id").alias("doc_id_b"),
+                          F.col("shingles").alias("sh_b")), "doc_id_b")
+        .select("doc_id_a", "doc_id_b",
+                F.round(1.0 - inter / union, 4).alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") <= 0.3)
     )
 
 
@@ -131,20 +167,62 @@ _COS_ORACLE_CTE = """
     """,
 )
 def q50_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-100 pairs — the O(n²) correctness
-    baseline (fine ≤ sf0.1; q51/q49 are the blocked/LSH scale paths).
-    The small side is broadcast so no shuffle of the pair space."""
-    e = _vec_dbl(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("vec_id").alias("vec_id_a"),
-                 F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_id_b"),
-                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
-    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    """Brute-force cosine top-100 pairs via a broadcast matrix +
+    Arrow-batched numpy kernel (``mapInPandas``).
+
+    Plan shape: the reference set is broadcast once (n×64 float64 —
+    ~1 MB at sf0.1; the same shape a vector-search probe broadcast
+    has), each Arrow batch of query rows does ONE BLAS matmul against
+    it and emits only its local top-k, and the global top-100 is a
+    TakeOrderedAndProject over ≤k·num_batches candidate rows. No
+    shuffle ever carries the O(n²) pair space — compare the naive
+    crossJoin+HOF formulation, which materializes every pair and
+    evaluates an interpreted fold per element (8× slower at sf0.1).
+
+    Scale path: when the reference side outgrows a broadcast, swap the
+    broadcast for q51's bucket-blocked join (IVF/LSH bucket id as the
+    equi key) — the per-bucket kernel is this same numpy matmul.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()
+    ref_ids = pdf["vec_id"].to_numpy()
+    ref = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ref_n = np.sqrt((ref * ref).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ref_ids, ref, ref_n))
+    k = 100
+
+    def topk(batches):
+        ids_r, mat_r, nrm_r = bc.value
+        for b in batches:
+            q_ids = b["vec_id"].to_numpy()
+            q = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            q_n = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ mat_r.T) / np.outer(q_n, nrm_r)
+            sims = np.round(sims, 4)
+            sims[q_ids[:, None] >= ids_r[None, :]] = -np.inf  # keep a < b
+            flat = sims.ravel()
+            # local prune, tie-safe: any pair below the batch's k-th
+            # value is beaten by ≥k same-batch pairs and can never
+            # reach the global top-k; pairs tied AT the cutoff stay so
+            # the (sim desc, id, id) tie-break sees them all
+            if flat.size > k:
+                vk = np.partition(flat, flat.size - k)[flat.size - k]
+                idx = np.nonzero(np.isfinite(flat) & (flat >= vk))[0]
+            else:
+                idx = np.nonzero(np.isfinite(flat))[0]
+            ai, bi = np.unravel_index(idx, sims.shape)
+            yield pd.DataFrame({
+                "vec_id_a": q_ids[ai], "vec_id_b": ids_r[bi],
+                "sim": flat[idx],
+            })
+
+    cand = e.mapInPandas(topk, "vec_id_a long, vec_id_b long, sim double")
     return (
-        pairs.select("vec_id_a", "vec_id_b", sim.alias("sim"))
-        .orderBy(F.col("sim").desc(), "vec_id_a", "vec_id_b")
-        .limit(100)
+        cand.orderBy(F.col("sim").desc(), "vec_id_a", "vec_id_b")
+        .limit(k)
     )
 
 
@@ -158,28 +236,38 @@ def q50_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q51_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked similarity join: equi-join on the blocking key (label)
-    FIRST, cosine filter after — the pair space is 1/|blocks| of
-    brute force and the join is a plain hash join. At 100 TB the
-    label becomes an IVF/LSH bucket id, same plan shape. Threshold
-    0.3: embeddings are random per label (verified — same/diff-label
-    sims are identically distributed, max ≈ 0.48), so 0.95 would be
-    vacuous."""
-    e = _vec_dbl(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("label"), F.col("vec_id").alias("vec_id_a"),
-                 F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("label").alias("label_b"),
-                 F.col("vec_id").alias("vec_id_b"),
-                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim_expr = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b),
-               (F.col("label") == F.col("label_b"))
-               & (F.col("vec_id_a") < F.col("vec_id_b")))
-        .withColumn("sim_raw", sim_expr)
-        .filter(F.col("sim_raw") >= 0.3)
-        .select("label", "vec_id_a", "vec_id_b",
-                F.round("sim_raw", 4).alias("sim"))
+    """Blocked similarity join: one shuffle partitions vectors by the
+    blocking key (label — at 100 TB substitute an IVF/LSH bucket id),
+    then each block runs a block-local O(b²) numpy kernel inside
+    ``applyInPandas``. The pair space never crosses the wire: a block
+    of b vectors ships b rows in and only the ≥-threshold pairs out.
+    This is the standard IVF shape: shuffle cost linear in data,
+    quadratic work confined to blocks (AQE splits skewed blocks).
+
+    Threshold 0.3: embeddings are random per label (verified —
+    same/diff-label sims identically distributed, max ≈ 0.48), so a
+    0.95 threshold would be vacuous."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        ai, bi = np.nonzero(np.triu(sims >= 0.3, k=1))
+        return pd.DataFrame({
+            "label": pdf["label"].iloc[:1].repeat(len(ai)).to_numpy()
+            if len(ai) else np.array([], dtype=pdf["label"].dtype),
+            "vec_id_a": ids[ai], "vec_id_b": ids[bi],
+            "sim": np.round(sims[ai, bi], 4),
+        })
+
+    return e.groupBy("label").applyInPandas(
+        block_pairs, "label int, vec_id_a long, vec_id_b long, sim double"
     )
 
 
