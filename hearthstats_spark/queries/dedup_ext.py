@@ -1,0 +1,80 @@
+"""Group K — SimHash near-dup fingerprinting (q60), the second
+sketch family a dedup pipeline runs alongside MinHash (q49).
+
+SimHash here is 60-bit (not 64) so every intermediate stays inside a
+signed BIGINT on both engines: the per-token hash is the first 15 hex
+chars of md5 (identical in Spark and DuckDB — verified), and each
+signature bit is the sign of the ±1 vote sum over the doc's tokens.
+The whole computation is integer arithmetic → hash-exact oracle, no
+sketch tolerance needed (unlike MinHash, SimHash has no randomness
+once the hash function is fixed).
+
+Scale: one explode + one 60-expression hash agg per doc — a single
+shuffle on doc_id; the 60 votes ride the partial-aggregation pair
+like any other measure. Near-dup candidates at scale come from
+banding the signature (4×15-bit keys), same join shape as q49.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+_BITS = 60
+
+
+def _oracle() -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(md5(unnest(string_split(text, ' '))), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, {simhash} AS simhash
+    FROM votes
+    """
+
+
+@register("q60_dedup_simhash", oracle=_oracle())
+def q60_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (see module docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("term").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).select("doc_id", h.alias("h"))
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(_BITS)
+    ])
+    simhash = sum(
+        (
+            F.when(F.col(f"v{b}") >= 0, F.lit(1).cast("long") * (1 << b))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(_BITS)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", simhash.alias("simhash"))

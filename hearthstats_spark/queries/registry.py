@@ -50,6 +50,10 @@ QUERY_MODULES = (
     "hearthstats_spark.queries.events",
     "hearthstats_spark.queries.udfs",
     "hearthstats_spark.queries.llm",
+    "hearthstats_spark.queries.textops",
+    "hearthstats_spark.queries.dedup_ext",
+    "hearthstats_spark.queries.ann",
+    "hearthstats_spark.queries.multimodal",
     "hearthstats_spark.queries.sinks",
     "hearthstats_spark.streaming.pipeline",
 )

@@ -118,6 +118,62 @@ def s03_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s05_stream_stateful", oracle=None)  # rows-only: no streaming oracle
+def s05_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum) maintained in the state
+    store across micro-batches — the flatMapGroupsWithState shape for
+    logic that windowed aggs can't express (counters, sessions with
+    custom close rules, ML feature state).
+
+    Each micro-batch updates its keys' state; the LAST emission per
+    user is the running total after the final batch, which must equal
+    the batch groupBy answer (asserted in tests/test_streaming.py).
+    State is one (long, double) pair per user — bounded, and evicted
+    in production by a timeout (`GroupStateTimeout` — not set here
+    since AvailableNow drains a finite source)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src, ev = write_replay_source(spark, sf_dir)
+
+    def running_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # float sum is fine: state updates are sequential per key
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total],
+        })
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    latest: dict[int, tuple] = {}
+
+    def keep_latest(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # toy sink; real: kv-store upsert
+            latest[row["user_id"]] = (row["n_events"], row["total_value"])
+
+    _run_stream(stream, keep_latest)
+    rows = [(u, n, round(t, 4)) for u, (n, t) in sorted(latest.items())]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, total_value double"
+    )
+
+
 @register("s04_stream_dedup", oracle=None)  # rows-only: no streaming oracle
 def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: every source file delivered twice;

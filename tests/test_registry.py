@@ -1,18 +1,20 @@
-"""The registry IS the driver contract (SURVEY.md §2): 55 declared
-queries q01–q55 + 4 side-effect ops s01–s04; 53 oracle-checked."""
+"""The registry IS the driver contract (SURVEY.md §2): 55 original
+queries q01–q55 + 7 K-group additions q56–q62 + 5 side-effect ops
+s01–s05; 60 oracle-checked."""
 
 from __future__ import annotations
 
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 56)
-} | {"s01", "s02", "s03", "s04"}
+    f"q{i:02d}" for i in range(1, 63)
+} | {"s01", "s02", "s03", "s04", "s05"}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
+    "s05_stream_stateful",
 }
 
 
@@ -25,7 +27,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 53
+    assert len(with_oracle) == 60
 
 
 def test_names_well_formed(registry):

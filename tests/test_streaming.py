@@ -34,6 +34,24 @@ def test_stream_final_state_equals_batch(spark, registry):
     assert got == want  # bit-exact: decimal sums are order-independent
 
 
+def test_stream_stateful_counts_equal_batch(spark, registry):
+    """s05's final per-user state must equal the batch groupBy answer
+    (value sums rounded: per-key accumulation order differs)."""
+    from hearthstats_spark.io import load_table
+
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in registry["s05_stream_stateful"].fn(spark, SF_SMALL).collect()}
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {r["user_id"]: (r["n"], r["t"])
+            for r in ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("t")).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) <= 1e-3
+
+
 def test_stream_dedup_collapses_double_delivery(spark, registry):
     row = registry["s04_stream_dedup"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_delivered"] == 2 * row["n_expected"]
