@@ -1,7 +1,26 @@
 """Library operators the engine adds on top of stock Spark
-(SURVEY.md §4.3): pure DataFrame compositions, no Catalyst rules.
+(SURVEY.md §4.3): pure DataFrame compositions plus two Arrow-batched
+numpy kernels — no Catalyst rules needed.
 """
 
 from hearthstats_spark.operators.asof import asof_join
+from hearthstats_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    shingles,
+    simhash,
+)
+from hearthstats_spark.operators.similarity import (
+    blocked_threshold_pairs,
+    brute_force_topk_pairs,
+)
 
-__all__ = ["asof_join"]
+__all__ = [
+    "asof_join",
+    "blocked_threshold_pairs",
+    "brute_force_topk_pairs",
+    "exact_dedup",
+    "minhash_near_dup_pairs",
+    "shingles",
+    "simhash",
+]

@@ -1,0 +1,117 @@
+"""Deduplication operators as a reusable library (the dedup family a
+training-data pipeline composes; q48/q49/q59/q60 are the declared
+query forms).
+
+All operators are pure DataFrame compositions — one or two shuffles,
+no Python in the row path — and return DataFrames so they chain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+N_BANDS_DEFAULT = 8
+
+
+def shingles(col: str = "text", k: int = 5):
+    """Column expr: distinct word k-shingles of a text column."""
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, on: Sequence[str],
+                order_by: str) -> DataFrame:
+    """Drop exact duplicates over ``on`` (by content digest),
+    deterministically keeping the row with min ``order_by`` — the
+    groupBy formulation, not dropDuplicates, so the survivor is
+    stable across runs/partitionings."""
+    digest = F.md5(F.concat_ws("\x1f", *on).cast("binary"))
+    keep = (df.withColumn("__h", digest)
+            .groupBy("__h").agg(F.min(order_by).alias(order_by)))
+    return df.join(keep, [order_by], "left_semi")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    n_bands: int = N_BANDS_DEFAULT,
+    max_jaccard_dist: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate pairs (exact Jaccard ≤ threshold over word
+    k-shingles) via MinHash banding. See q49's docstring for the plan
+    shape and the stack-not-posexplode rationale; this is that
+    pipeline parameterized. Returns (id_a, id_b, jaccard_dist)."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   shingles(text_col, k).alias("__sh"))
+    sig = sh.select(
+        "__id",
+        *[F.array_min(F.transform(
+            "__sh", lambda s: F.xxhash64(s, F.lit(b))
+        )).alias(f"__mh{b}") for b in range(n_bands)],
+    )
+    banded = sig.select(
+        "__id",
+        F.expr("stack({}, {}) as (band, minhash)".format(
+            n_bands, ", ".join(f"{b}, __mh{b}" for b in range(n_bands)))),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.minhash") == F.col("b.minhash"))
+              & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand
+        .join(sh.select(F.col("__id").alias("id_a"),
+                        F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"),
+                        F.col("__sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(1.0 - inter / union, 4).alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") <= max_jaccard_dist)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            bits: int = 60) -> DataFrame:
+    """Per-row SimHash signature over whitespace tokens; ``bits`` ≤ 60
+    keeps every intermediate in a signed 64-bit long (q60's docstring
+    has the cross-engine rationale). Returns (id, simhash)."""
+    assert bits <= 60
+    h = F.conv(
+        F.substring(F.md5(F.col("__t").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(text_col, " ")).alias("__t"),
+    ).select("__id", h.alias("__h"))
+    votes = tok.groupBy("__id").agg(*[
+        F.sum(
+            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ])
+    sig = sum(
+        (
+            F.when(F.col(f"__v{b}") >= 0, F.lit(1).cast("long") * (1 << b))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select(F.col("__id").alias(id_col), sig.alias("simhash"))

@@ -18,7 +18,6 @@ banding the signature (4×15-bit keys), same join shape as q49.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
 from hearthstats_spark.queries.registry import register
@@ -54,27 +53,11 @@ def _oracle() -> str:
 
 @register("q60_dedup_simhash", oracle=_oracle())
 def q60_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document (see module docstring)."""
+    """60-bit SimHash per document (see module docstring).
+
+    Implementation: hearthstats_spark.operators.dedup (simhash) —
+    this query is its declared form."""
+    from hearthstats_spark.operators.dedup import simhash
+
     d = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("term").cast("binary")), 1, 15), 16, 10
-    ).cast("long")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).select("doc_id", h.alias("h"))
-    votes = tok.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(_BITS)
-    ])
-    simhash = sum(
-        (
-            F.when(F.col(f"v{b}") >= 0, F.lit(1).cast("long") * (1 << b))
-            .otherwise(F.lit(0).cast("long"))
-            for b in range(_BITS)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    return votes.select("doc_id", simhash.alias("simhash"))
+    return simhash(d, "doc_id", "text", bits=_BITS)

@@ -51,15 +51,8 @@ def q48_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_BANDS = 8  # 1-row bands: P(candidate) = 1-(1-j)^8 → recall ≈ 1 for j ≥ 0.7
 
 
-def _shingles(col: str = "text", k: int = 5):
-    """Distinct word k-shingles of a text column (JVM HOFs only)."""
-    toks = F.split(col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+# shared shingling lives with the dedup operators
+from hearthstats_spark.operators.dedup import shingles as _shingles  # noqa: E402
 
 
 @register("q49_dedup_near", oracle=None)  # rows-only: LSH sketch is engine-specific
@@ -84,47 +77,18 @@ def q49_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: two shuffles (band join, pair distinct); signature
     width is a constant 8 longs per doc; skewed bands (stop-phrase
-    shingles) are AQE-split like any hot join key."""
+    shingles) are AQE-split like any hot join key.
+
+    Implementation: hearthstats_spark.operators.dedup
+    (minhash_near_dup_pairs) — this query is its declared form."""
+    from hearthstats_spark.operators.dedup import minhash_near_dup_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles().alias("shingles"))
-    # One minhash column per band, then `stack` to (band, minhash)
-    # rows. NOT array+posexplode: Generate inlines the array
-    # expression and re-evaluates every array_min(transform(...))
-    # pass per exploded row — measured 8× blowup (11.8s → 1.7s at
-    # sf0.1); stack over pre-named columns evaluates each once.
-    sig = sh.select(
-        "doc_id",
-        *[F.array_min(F.transform(
-            "shingles", lambda s: F.xxhash64(s, F.lit(b))
-        )).alias(f"mh{b}") for b in range(_N_BANDS)],
-    )
-    banded = sig.select(
-        "doc_id",
-        F.expr("stack({}, {}) as (band, minhash)".format(
-            _N_BANDS, ", ".join(f"{b}, mh{b}" for b in range(_N_BANDS)))),
-    )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.minhash") == F.col("b.minhash"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_id_a"),
-                F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
-    sets = sh
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        cand
-        .join(sets.select(F.col("doc_id").alias("doc_id_a"),
-                          F.col("shingles").alias("sh_a")), "doc_id_a")
-        .join(sets.select(F.col("doc_id").alias("doc_id_b"),
-                          F.col("shingles").alias("sh_b")), "doc_id_b")
-        .select("doc_id_a", "doc_id_b",
-                F.round(1.0 - inter / union, 4).alias("jaccard_dist"))
-        .filter(F.col("jaccard_dist") <= 0.3)
+        minhash_near_dup_pairs(d, "doc_id", "text",
+                               k=5, n_bands=_N_BANDS, max_jaccard_dist=0.3)
+        .withColumnRenamed("id_a", "doc_id_a")
+        .withColumnRenamed("id_b", "doc_id_b")
     )
 
 
@@ -182,48 +146,13 @@ def q50_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: when the reference side outgrows a broadcast, swap the
     broadcast for q51's bucket-blocked join (IVF/LSH bucket id as the
     equi key) — the per-bucket kernel is this same numpy matmul.
-    """
-    import numpy as np
-    import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = e.toPandas()
-    ref_ids = pdf["vec_id"].to_numpy()
-    ref = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    ref_n = np.sqrt((ref * ref).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ref_ids, ref, ref_n))
-    k = 100
+    Implementation: hearthstats_spark.operators.similarity
+    (brute_force_topk_pairs) — this query is its declared form."""
+    from hearthstats_spark.operators.similarity import brute_force_topk_pairs
 
-    def topk(batches):
-        ids_r, mat_r, nrm_r = bc.value
-        for b in batches:
-            q_ids = b["vec_id"].to_numpy()
-            q = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            q_n = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ mat_r.T) / np.outer(q_n, nrm_r)
-            sims = np.round(sims, 4)
-            sims[q_ids[:, None] >= ids_r[None, :]] = -np.inf  # keep a < b
-            flat = sims.ravel()
-            # local prune, tie-safe: any pair below the batch's k-th
-            # value is beaten by ≥k same-batch pairs and can never
-            # reach the global top-k; pairs tied AT the cutoff stay so
-            # the (sim desc, id, id) tie-break sees them all
-            if flat.size > k:
-                vk = np.partition(flat, flat.size - k)[flat.size - k]
-                idx = np.nonzero(np.isfinite(flat) & (flat >= vk))[0]
-            else:
-                idx = np.nonzero(np.isfinite(flat))[0]
-            ai, bi = np.unravel_index(idx, sims.shape)
-            yield pd.DataFrame({
-                "vec_id_a": q_ids[ai], "vec_id_b": ids_r[bi],
-                "sim": flat[idx],
-            })
-
-    cand = e.mapInPandas(topk, "vec_id_a long, vec_id_b long, sim double")
-    return (
-        cand.orderBy(F.col("sim").desc(), "vec_id_a", "vec_id_b")
-        .limit(k)
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_pairs(e, "vec_id", "embedding", k=100)
 
 
 @register(
@@ -246,28 +175,19 @@ def q51_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Threshold 0.3: embeddings are random per label (verified —
     same/diff-label sims identically distributed, max ≈ 0.48), so a
-    0.95 threshold would be vacuous."""
-    import numpy as np
-    import pandas as pd
+    0.95 threshold would be vacuous.
+
+    Implementation: hearthstats_spark.operators.similarity
+    (blocked_threshold_pairs) — this query is its declared form."""
+    from hearthstats_spark.operators.similarity import blocked_threshold_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[order]
-        mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / np.outer(nrm, nrm)
-        ai, bi = np.nonzero(np.triu(sims >= 0.3, k=1))
-        return pd.DataFrame({
-            "label": pdf["label"].iloc[:1].repeat(len(ai)).to_numpy()
-            if len(ai) else np.array([], dtype=pdf["label"].dtype),
-            "vec_id_a": ids[ai], "vec_id_b": ids[bi],
-            "sim": np.round(sims[ai, bi], 4),
-        })
-
-    return e.groupBy("label").applyInPandas(
-        block_pairs, "label int, vec_id_a long, vec_id_b long, sim double"
+    return (
+        blocked_threshold_pairs(e, "vec_id", "embedding", "label",
+                                min_sim=0.3)
+        .select(F.col("block").alias("label"),
+                F.col("id_a").alias("vec_id_a"),
+                F.col("id_b").alias("vec_id_b"), "sim")
     )
 
 

@@ -86,6 +86,35 @@ def test_multimodal_nested_parquet_roundtrip(spark):
         assert a == b
 
 
+def test_exact_dedup_operator_keeps_min_survivor(spark):
+    from pyspark.sql import Row
+
+    from hearthstats_spark.operators import exact_dedup
+
+    df = spark.createDataFrame([
+        Row(doc_id=3, text="aaa"), Row(doc_id=1, text="aaa"),
+        Row(doc_id=2, text="bbb"), Row(doc_id=4, text="aaa"),
+    ])
+    out = exact_dedup(df, on=["text"], order_by="doc_id")
+    got = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    assert got == [(1, "aaa"), (2, "bbb")]  # deterministic min survivor
+
+
+def test_simhash_operator_identical_texts_collide(spark):
+    from pyspark.sql import Row
+
+    from hearthstats_spark.operators import simhash
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spark shuffles the hash join"),
+        Row(doc_id=2, text="spark shuffles the hash join"),
+        Row(doc_id=3, text="completely different words entirely"),
+    ])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
 def test_exact_dedup_finds_known_duplicates(spark, registry):
     """sf0.1 contains exactly 8 duplicated texts (FIXTURES.md [G])."""
     sf01 = "/root/testdata/sf0.1"
