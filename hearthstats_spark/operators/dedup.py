@@ -50,8 +50,14 @@ def minhash_near_dup_pairs(
     k-shingles) via MinHash banding. See q49's docstring for the plan
     shape and the stack-not-posexplode rationale; this is that
     pipeline parameterized. Returns (id_a, id_b, jaccard_dist)."""
+    # cached: four DAG branches read the shingle sets (both band-join
+    # sides + both candidate probes) and Spark does not reuse the
+    # subplan across branches — caching halves the wall clock
+    # (measured 7.5s → 3.6s at sf0.1). The cache is partition-sized
+    # (ids + shingle arrays), LRU-evicted; at cluster scale prefer an
+    # explicit checkpoint of the shingled frame.
     sh = df.select(F.col(id_col).alias("__id"),
-                   shingles(text_col, k).alias("__sh"))
+                   shingles(text_col, k).alias("__sh")).cache()
     sig = sh.select(
         "__id",
         *[F.array_min(F.transform(

@@ -1,0 +1,74 @@
+"""Layout-policy plan proofs (SURVEY.md §4.2 'for 100 TB layout'):
+time-partitioned facts must prune directories at plan time; bucketed
+copies must join with zero exchange. These are THE two levers that
+keep the engine's join/scan cost sublinear in table size at cluster
+scale, so their plan shapes are pinned here.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.plans import explain_str
+from hearthstats_spark.sources.layout import (
+    read_partitioned,
+    write_bucketed,
+    write_time_partitioned,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def partitioned_orders(spark):
+    tmp = tempfile.mkdtemp(prefix="hs_layout_")
+    orders = load_table(spark, SF_SMALL, "orders")
+    write_time_partitioned(orders, tmp, "o_orderdate", "month")
+    return tmp, orders
+
+
+def test_partition_pruning_prunes_directories(spark, partitioned_orders):
+    path, orders = partitioned_orders
+    df = read_partitioned(spark, path).filter(
+        F.col("p_month") == "1996-03-01")
+    p = explain_str(df)
+    assert "PartitionFilters" in p and "p_month" in p
+    # correctness: pruned read equals a full-scan filter
+    want = orders.filter(
+        (F.col("o_orderdate") >= "1996-03-01")
+        & (F.col("o_orderdate") < "1996-04-01")).count()
+    assert df.count() == want
+    assert want > 0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """orders ⋈ lineitem both bucketed by orderkey: the sort-merge
+    join must read SelectedBucketsCount and shuffle NOTHING."""
+    o = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "t_orders_b",
+                   ["k"], 8, sort_cols=["k"])
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "t_lineitem_b",
+                   ["k"], 8, sort_cols=["k"])
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        # force the join lane bucketing optimizes (not broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, "k").select("k", "o_totalprice",
+                                             "l_quantity")
+            p = explain_str(joined)
+            assert re.search(r"SelectedBucketsCount: 8 out of 8", p)
+            assert "Exchange" not in p  # the whole point of bucketing
+            assert joined.count() == li.count()  # FK integrity holds
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(32 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
