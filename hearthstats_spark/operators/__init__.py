@@ -10,6 +10,7 @@ from hearthstats_spark.operators.dedup import (
     shingles,
     simhash,
 )
+from hearthstats_spark.operators.skew import salted_join
 from hearthstats_spark.operators.similarity import (
     blocked_threshold_pairs,
     brute_force_topk_pairs,
@@ -21,6 +22,7 @@ __all__ = [
     "brute_force_topk_pairs",
     "exact_dedup",
     "minhash_near_dup_pairs",
+    "salted_join",
     "shingles",
     "simhash",
 ]

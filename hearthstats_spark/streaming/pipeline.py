@@ -41,16 +41,26 @@ DEC = "decimal(28,4)"
 
 
 def write_replay_source(spark: SparkSession, sf_dir: str,
-                        duplicate: bool = False) -> tuple[str, DataFrame]:
-    """Materialize events as a 5-file replay directory (file i holds
-    ``event_id % 5 == i`` → event-time disorder across files). With
+                        duplicate: bool = False,
+                        time_ordered: bool = False) -> tuple[str, DataFrame]:
+    """Materialize events as a 5-file replay directory. Default split
+    is ``event_id % 5`` → event-time disorder ACROSS files (the
+    watermark-stress replay for aggregations, which tolerate late
+    updates in `update` mode). ``time_ordered=True`` splits by 6-day
+    ts ranges instead — files arrive in event-time order with only
+    intra-file disorder, the delivery profile stream-stream joins
+    need (append-mode state eviction drops truly-late rows). With
     ``duplicate=True`` every file is written twice (dedup input)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     base = tempfile.mkdtemp(prefix="hs_stream_src_")
     for i in range(5):
-        chunk = ev.filter(F.col("event_id") % 5 == i)
+        if time_ordered:
+            chunk = ev.filter(
+                ((F.dayofmonth("ts") - 1) / 6).cast("int") == i)
+        else:
+            chunk = ev.filter(F.col("event_id") % 5 == i)
         chunk.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(base, f"batch_{i}")
         )
@@ -115,6 +125,74 @@ def s03_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(h, t, n, v) for (h, t), (n, v) in sorted(state.items())]
     return spark.createDataFrame(
         rows, "hour_start string, event_type string, n long, total_value double"
+    )
+
+
+@register("s06_stream_stream_join", oracle=None)  # rows-only: no streaming oracle
+def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the purchase stream joins the view
+    stream per user within a 1-hour event-time window. Both sides are
+    watermarked and the join carries an explicit time-range condition
+    — that pair is what lets the state store EVICT buffered rows (an
+    unconstrained stream-stream join buffers forever). Output:
+    (user_id, n_view_purchase_pairs) per user; equality with the
+    batch self-join is asserted in tests/test_streaming.py.
+
+    Source is the time-ordered replay: in append-mode joins the state
+    store EVICTS below-watermark rows, so cross-file event-time
+    disorder (the agg replay's profile) would legitimately drop
+    matches; ordered files bound disorder to intra-file."""
+    src, ev = write_replay_source(spark, sf_dir, time_ordered=True)
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(ev.schema).parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(f"{alias}_user"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("event_id").alias(f"{alias}_id"))
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    joined = side("purchase", "p").join(
+        side("view", "v"),
+        F.expr("p_user = v_user AND "
+               "v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "inner",
+    )
+
+    pairs: set[tuple] = set()
+
+    def collect_pairs(batch_df: DataFrame, batch_id: int) -> None:
+        pairs.update((r["p_id"], r["v_id"])
+                     for r in batch_df.select("p_id", "v_id").collect())
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(collect_pairs)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    ev_b = ev
+    batch_pairs = (
+        ev_b.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .join(
+            ev_b.filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"),
+                    F.col("event_id").alias("v_id")),
+            F.expr("p_user = v_user AND "
+                   "v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(len(pairs), batch_pairs)],
+        "n_stream_pairs long, n_batch_pairs long",
     )
 
 

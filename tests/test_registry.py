@@ -1,6 +1,6 @@
 """The registry IS the driver contract (SURVEY.md §2): 55 original
-queries q01–q55 + 7 K-group additions q56–q62 + 5 side-effect ops
-s01–s05; 60 oracle-checked."""
+queries q01–q55 + 7 K-group additions q56–q62 + 6 side-effect ops
+s01–s06; 60 oracle-checked."""
 
 from __future__ import annotations
 
@@ -8,13 +8,13 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 63)
-} | {"s01", "s02", "s03", "s04", "s05"}
+} | {"s01", "s02", "s03", "s04", "s05", "s06"}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
-    "s05_stream_stateful",
+    "s05_stream_stateful", "s06_stream_stream_join",
 }
 
 

@@ -52,6 +52,15 @@ def test_stream_stateful_counts_equal_batch(spark, registry):
         assert abs(got[u][1] - want[u][1]) <= 1e-3
 
 
+def test_stream_stream_join_matches_batch(spark, registry):
+    """s06: watermarked purchase⋈view within 1h must find exactly the
+    batch join's pairs (time-ordered replay keeps disorder intra-file
+    so append-mode eviction never drops a true match)."""
+    row = registry["s06_stream_stream_join"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_stream_pairs"] == row["n_batch_pairs"]
+    assert row["n_batch_pairs"] > 0
+
+
 def test_stream_dedup_collapses_double_delivery(spark, registry):
     row = registry["s04_stream_dedup"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_delivered"] == 2 * row["n_expected"]
