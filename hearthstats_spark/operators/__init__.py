@@ -4,6 +4,7 @@ numpy kernels — no Catalyst rules needed.
 """
 
 from hearthstats_spark.operators.asof import asof_join
+from hearthstats_spark.operators.graph import connected_components, dedup_clusters
 from hearthstats_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -20,6 +21,8 @@ __all__ = [
     "asof_join",
     "blocked_threshold_pairs",
     "brute_force_topk_pairs",
+    "connected_components",
+    "dedup_clusters",
     "exact_dedup",
     "minhash_near_dup_pairs",
     "salted_join",

@@ -1,0 +1,72 @@
+"""Connected components for dedup clustering.
+
+Near-dup detection (q49/q60) yields PAIRS; deduplication needs
+CLUSTERS — transitive closure over the pair graph, one canonical
+survivor per component. This is the iterative min-label-propagation
+algorithm (each vertex repeatedly adopts the smallest label among
+itself and its neighbors) expressed in DataFrame ops:
+
+- one iteration = two broadcast-or-shuffle joins + a groupBy min,
+- convergence in O(component diameter) iterations — near-dup
+  clusters are shallow (pairs all mutually similar), so 2-4 rounds,
+- each round's result is localCheckpoint()ed: iterative plans
+  otherwise stack lineage until planning time explodes (the classic
+  iterative-Spark trap; GraphX/GraphFrames do the same internally).
+
+Rows-only op: transitive closure is not practically expressible in
+DuckDB's recursive CTEs with aggregation, so correctness comes from
+unit tests (known graphs + q49 integration) rather than the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_iter: int = 20) -> DataFrame:
+    """Return (vertex, component) where component is the min vertex
+    id reachable from ``vertex`` over undirected ``edges``."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct()
+           .localCheckpoint())
+    labels = (und.select(F.col("a").alias("vertex"))
+              .distinct()
+              .withColumn("component", F.col("vertex")))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["b"] == labels["vertex"])
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least("component", F.coalesce("nbr_component",
+                                                "component"))
+                .alias("component"),
+            )
+            .localCheckpoint()  # cut lineage: iterative-plan blowup
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Collapse near-dup pairs into clusters: returns
+    (member, canonical) for every clustered id, canonical being the
+    component's min id — the survivor a dedup pass keeps."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(F.col("vertex").alias("member"),
+                     F.col("component").alias("canonical"))
