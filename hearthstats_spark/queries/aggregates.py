@@ -263,3 +263,58 @@ def q23_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.round(F.percentile("value", 0.5), 4).alias("median_value"),
     )
+
+
+@register(
+    "q63_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q63_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar_samp /
+    regr_slope / regr_intercept) per return flag — the correlation
+    surface an analytics engine needs for feature screening. All are
+    single-pass moment aggregates: they ride the same partial+final
+    HashAggregate pair as sums (no extra shuffle, no sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q64_agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses_csv,
+           CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q64_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set collection (array_agg surface): distinct statuses
+    per priority, emitted as a deterministically-sorted CSV string so
+    the value hash is stable (collect_set order is partition-
+    dependent; sort_array fixes it — the discipline any array-valued
+    result needs for cross-engine comparison)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus")))
+        .alias("statuses_csv"),
+        F.countDistinct("o_orderstatus").cast("int").alias("n_statuses"),
+    )
