@@ -11,6 +11,7 @@ from hearthstats_spark.operators.dedup import (
     shingles,
     simhash,
 )
+from hearthstats_spark.operators.rangejoin import range_join
 from hearthstats_spark.operators.skew import salted_join
 from hearthstats_spark.operators.similarity import (
     blocked_threshold_pairs,
@@ -25,6 +26,7 @@ __all__ = [
     "dedup_clusters",
     "exact_dedup",
     "minhash_near_dup_pairs",
+    "range_join",
     "salted_join",
     "shingles",
     "simhash",

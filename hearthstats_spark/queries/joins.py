@@ -279,3 +279,51 @@ def q14_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested loop)."""
     t = load_tables(spark, sf_dir, ("region", "nation"))
     return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@register(
+    "q66_join_range",
+    oracle="""
+    WITH s AS (SELECT event_id AS signup_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS st
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS pt
+               FROM events WHERE event_type = 'purchase')
+    SELECT s.signup_id, COUNT(p.user_id) AS n_purchases_24h
+    FROM s LEFT JOIN p
+      ON s.user_id = p.user_id AND p.pt >= s.st AND p.pt < s.st + 86400
+    GROUP BY s.signup_id
+    """,
+)
+def q66_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases within 24 h of each signup for
+    the same user, counted per signup (zero-count signups kept).
+
+    Implementation: hearthstats_spark.operators.rangejoin — the
+    interval side explodes to its overlapped day buckets, points key
+    to their own bucket, and the join is a plain equi join on
+    (user_id, bucket) with the exact range as a post-filter. A naive
+    formulation leaves the range as a join residual evaluated per
+    equi-key candidate; with long-lived users that candidate set is
+    quadratic, the bucketed plan stays linear in rows."""
+    from hearthstats_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr("unix_micros(ts) div 1000000")  # exact int division
+    s = (ev.filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("signup_id"), "user_id",
+                 secs.alias("st"))
+         .withColumn("en", F.col("st") + 86400))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", secs.alias("pt")))
+    matched = range_join(s, p, ["user_id"], "st", "en", "pt",
+                         bucket_width=86400)
+    counts = matched.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_24h"))
+    return (
+        s.select("signup_id").join(counts, "signup_id", "left")
+        .select("signup_id",
+                F.coalesce("n_purchases_24h", F.lit(0)).cast("long")
+                .alias("n_purchases_24h"))
+    )

@@ -98,3 +98,60 @@ def q62_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, modality string, n_bytes long, header_byte int, "
         "width int, height int",
     )
+
+
+_N_FRAMES = 4
+
+
+@register(
+    "q65_multimodal_frames",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST((f.frame_idx * n_chars) // {_N_FRAMES} AS BIGINT) AS offset,
+           CAST(unicode(SUBSTRING(text,
+                CAST((f.frame_idx * n_chars) // {_N_FRAMES} AS INT) + 1, 1))
+                AS INT) AS frame_byte
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, {_N_FRAMES - 1}))
+                AS frame_idx) f
+    """,
+)
+def q65_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling — the 1→N multimodal shape (video → sampled
+    frames): each payload emits ``_N_FRAMES`` rows at evenly-spaced
+    byte offsets, produced in one vectorized ``mapInPandas`` pass
+    (the decoder-free analog of ffmpeg keyframe extraction; the
+    sampled byte stands in for the frame tensor).
+
+    Scale notes: output rows = N × input rows with no shuffle — the
+    explode happens inside the Python stage so payload bytes cross
+    the Arrow boundary ONCE, not once per frame."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "frame_idx": [], "offset": [],
+                   "frame_byte": []}
+            for did, payload in zip(b["doc_id"], b["payload"]):
+                n = len(payload)
+                for i in range(_N_FRAMES):
+                    off = (i * n) // _N_FRAMES
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(off)
+                    out["frame_byte"].append(payload[off] if n else -1)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "offset": pd.Series(out["offset"], dtype="int64"),
+                "frame_byte": pd.Series(out["frame_byte"], dtype="int32"),
+            })
+
+    return d.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_idx int, offset long, frame_byte int",
+    )
