@@ -29,11 +29,27 @@ REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a (spark_fn, oracle) pair to the registry."""
+    """Decorator: add a (spark_fn, oracle) pair to the registry.
+
+    The registered callable applies the engine's runtime-settable
+    session conf first (UTC timezone, Arrow, AQE, nanosAsLong):
+    the driver invokes queries on a session IT built, and e.g. a
+    non-UTC session timezone would shift every date_format/window
+    boundary away from the DuckDB oracle's."""
+    import functools
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
-        REGISTRY[name] = Query(name, fn, oracle)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hearthstats_spark.session import ensure_conf
+
+            ensure_conf(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(name, wrapped, oracle)
         return fn
     return deco
 
