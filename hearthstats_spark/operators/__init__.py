@@ -10,6 +10,7 @@ from hearthstats_spark.operators.dedup import (
     minhash_near_dup_pairs,
     shingles,
     simhash,
+    winnow_fingerprints,
 )
 from hearthstats_spark.operators.rangejoin import range_join
 from hearthstats_spark.operators.skew import salted_join
@@ -30,4 +31,5 @@ __all__ = [
     "salted_join",
     "shingles",
     "simhash",
+    "winnow_fingerprints",
 ]

@@ -92,6 +92,63 @@ def minhash_near_dup_pairs(
     )
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str,
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS):
+    polynomial ROLLING hash over char ``k``-grams, then the rightmost
+    minimum of every ``w``-hash window, deduplicated — any shared
+    substring of length ≥ ``w + k - 1`` between two documents is
+    guaranteed to share at least one fingerprint. Returns
+    (id, fingerprint) rows.
+
+    Python stage (``mapInPandas``): the O(1)-per-char rolling update
+    is inherently sequential within a document, but documents batch
+    through Arrow and the stage parallelizes per partition — the same
+    layout the decode stubs use. Fingerprint count ≈ 2·len/(w+1) per
+    doc, so output stays a small multiple of input rows."""
+    import pandas as pd
+
+    B, M = 257, (1 << 61) - 1
+    top = pow(B, k - 1, M)
+
+    def fingerprints(text: str) -> list[int]:
+        n = len(text)
+        if n < k:
+            return []
+        codes = [ord(c) for c in text]
+        h = 0
+        for c in codes[:k]:
+            h = (h * B + c) % M
+        hashes = [h]
+        for i in range(1, n - k + 1):
+            h = ((h - codes[i - 1] * top) * B + codes[i + k - 1]) % M
+            hashes.append(h)
+        picked: set[int] = set()
+        prev_idx = -1
+        for s in range(max(len(hashes) - w + 1, 1)):
+            window = hashes[s:s + w]
+            m = min(window)
+            idx = s + max(j for j, v in enumerate(window) if v == m)
+            if idx != prev_idx:
+                picked.add(hashes[idx])
+                prev_idx = idx
+        return sorted(picked)
+
+    def run(batches):
+        for b in batches:
+            ids, fps = [], []
+            for did, text in zip(b[id_col], b[text_col]):
+                for fp in fingerprints(text):
+                    ids.append(did)
+                    fps.append(fp)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "fingerprint": pd.Series(fps, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, fingerprint long")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text",
             bits: int = 60) -> DataFrame:
     """Per-row SimHash signature over whitespace tokens; ``bits`` ≤ 60

@@ -318,3 +318,37 @@ def q64_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("statuses_csv"),
         F.countDistinct("o_orderstatus").cast("int").alias("n_statuses"),
     )
+
+
+@register(
+    "q67_correlated_subquery",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS small_revenue
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q67_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, submitted as SQL
+    so Catalyst's decorrelation rewrites it (RewriteCorrelatedScalar-
+    Subquery → aggregate + join — SURVEY.md §4.2): lineitems whose
+    quantity is below half their part's average quantity. The naive
+    reading re-runs the subquery per outer row; the decorrelated plan
+    computes per-part averages ONCE and joins — the only formulation
+    that survives at scale. Exercises SQL entry point B end to end."""
+    from hearthstats_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small_orders,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS small_revenue
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+    """)

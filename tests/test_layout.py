@@ -45,6 +45,24 @@ def test_partition_pruning_prunes_directories(spark, partitioned_orders):
     assert want > 0
 
 
+def test_dynamic_partition_pruning_fires(spark, partitioned_orders):
+    """Fact partitioned by month ⋈ filtered month-dim: the fact scan
+    must carry a dynamicpruning subquery — at 100 TB this is what
+    turns a dim-filtered star join into a read of only the matching
+    fact partitions (plan-time pruning can't see the dim filter)."""
+    path, orders = partitioned_orders
+    fact = read_partitioned(spark, path)
+    dim = (orders.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"),
+                      "yyyy-MM-dd").alias("p_month")).distinct()
+        .filter(F.col("p_month").startswith("1996")))
+    joined = fact.join(dim, "p_month")
+    assert "dynamicpruning" in explain_str(joined).lower()
+    want = orders.filter(F.col("o_orderdate").between(
+        "1996-01-01", "1996-12-31 23:59:59")).count()
+    assert joined.count() == want > 0
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """orders ⋈ lineitem both bucketed by orderkey: the sort-merge
     join must read SelectedBucketsCount and shuffle NOTHING."""
