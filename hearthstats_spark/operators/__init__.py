@@ -4,6 +4,7 @@ numpy kernels — no Catalyst rules needed.
 """
 
 from hearthstats_spark.operators.asof import asof_join
+from hearthstats_spark.operators.expectations import audit, fk_violations
 from hearthstats_spark.operators.graph import connected_components, dedup_clusters
 from hearthstats_spark.operators.dedup import (
     exact_dedup,
@@ -21,11 +22,13 @@ from hearthstats_spark.operators.similarity import (
 
 __all__ = [
     "asof_join",
+    "audit",
     "blocked_threshold_pairs",
     "brute_force_topk_pairs",
     "connected_components",
     "dedup_clusters",
     "exact_dedup",
+    "fk_violations",
     "minhash_near_dup_pairs",
     "range_join",
     "salted_join",

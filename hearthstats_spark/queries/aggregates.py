@@ -352,3 +352,68 @@ def q67_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FROM lineitem l2
                             WHERE l2.l_partkey = l1.l_partkey)
     """)
+
+
+@register(
+    "q68_data_audit",
+    oracle="""
+    SELECT 'lineitem_negative_price' AS check,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_null_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_date_range',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate > TIMESTAMP '2005-01-01') AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    """,
+)
+def q68_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (expectations gate): range/null rules in a
+    single conditional-count pass per table plus two referential
+    anti-join checks — the validation a pipeline runs before a batch
+    is admitted. All six checks return 0 on this corpus (generated
+    with full integrity — SURVEY.md §1.3 note 4); the unit tests
+    corrupt a copy to prove the checks actually fire.
+
+    Implementation: hearthstats_spark.operators.expectations."""
+    from hearthstats_spark.operators.expectations import audit, fk_violations
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    row_rules = audit(li, {
+        "lineitem_negative_price": F.col("l_extendedprice") < 0,
+        "lineitem_discount_range": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1),
+        "lineitem_null_orderkey": F.col("l_orderkey").isNull(),
+    }).unionByName(audit(o, {
+        "orders_date_range": (F.col("o_orderdate") < "1990-01-01")
+        | (F.col("o_orderdate") > "2005-01-01"),
+    }))
+    fk = spark.createDataFrame(
+        [("orders_orphan_custkey",
+          fk_violations(o, "o_custkey", c, "c_custkey").count()),
+         ("lineitem_orphan_orderkey",
+          fk_violations(li, "l_orderkey", o, "o_orderkey").count())],
+        "check string, n_violations long",
+    )
+    return row_rules.unionByName(fk)
