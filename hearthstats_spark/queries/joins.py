@@ -327,3 +327,101 @@ def q66_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_purchases_24h", F.lit(0)).cast("long")
                 .alias("n_purchases_24h"))
     )
+
+
+@register(
+    "q69_join_nested_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_extendedprice > 90000))
+    ORDER BY c_custkey
+    """,
+)
+def q69_join_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped two-level nested IN chain: customers holding
+    an urgent order that contains a >90k lineitem. Each IN level is a
+    LEFT SEMI join in the DataFrame form — the chain stays semi all
+    the way down, so no level materializes more than its key set and
+    duplicate matches never multiply rows (the failure mode of
+    rewriting IN as a plain inner join)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big_items = t["lineitem"].filter(F.col("l_extendedprice") > 90000)
+    urgent_with_big = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(big_items.select(F.col("l_orderkey").alias("o_orderkey")),
+              "o_orderkey", "left_semi")
+    )
+    return (
+        t["customer"]
+        .join(urgent_with_big.select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q70_join_nation_pairs",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+           OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q70_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume: revenue shipped between a
+    nation PAIR in both directions (disjunctive pair predicate the
+    optimizer cannot turn into a single equi filter), per year. The
+    two nation dims broadcast; lineitem⋈orders is the only big join.
+    Decimal-cast sum keeps the revenue hash-stable (SURVEY §1.3)."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "supplier", "nation", "orders", "customer"))
+    ns = t["nation"].select(F.col("n_nationkey").alias("s_nationkey"),
+                            F.col("n_name").alias("supp_nation"))
+    nc = t["nation"].select(F.col("n_nationkey").alias("c_nationkey"),
+                            F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), "s_nationkey")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), "c_nationkey")
+        .filter(pair)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            vol.alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum(F.col("volume").cast("decimal(28,4)")).cast("double")
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )

@@ -155,3 +155,113 @@ def q65_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id long, frame_idx int, offset long, frame_byte int",
     )
+
+
+_N_HIST = 16
+
+
+@register(
+    "q71_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes_in_bucket
+    FROM (
+        SELECT doc_id,
+               unicode(unnest(string_split_regex(text, ''))) % {_N_HIST}
+                   AS bucket
+        FROM documents
+    )
+    WHERE bucket IS NOT NULL
+    GROUP BY doc_id, bucket
+    """,
+)
+def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction stage — the fixed-dim-vector-per-payload
+    shape (image → embedding): a 16-bucket byte histogram per payload
+    computed in one ``mapInPandas`` pass (numpy bincount per row),
+    emitted as (doc_id, bucket, count) rows so the oracle can check
+    it flat. A real deployment swaps the histogram kernel for a model
+    forward pass; the Arrow plumbing, batch shape, and output
+    contract are identical.
+
+    Scale notes: histogram work is a single vectorized pass per
+    Arrow batch; output is ≤16 rows per payload, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, buckets, counts = [], [], []
+            for did, payload in zip(b["doc_id"], b["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8) % _N_HIST
+                hist = np.bincount(arr, minlength=_N_HIST)
+                nz = np.nonzero(hist)[0]
+                ids.extend([did] * len(nz))
+                buckets.extend(nz.tolist())
+                counts.extend(hist[nz].tolist())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bucket": pd.Series(buckets, dtype="int32"),
+                "n_bytes_in_bucket": pd.Series(counts, dtype="int64"),
+            })
+
+    return d.mapInPandas(
+        extract, "doc_id long, bucket int, n_bytes_in_bucket long")
+
+
+@register(
+    "q72_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(32 + doc_id % 608 AS INT) AS orig_w,
+           CAST(32 + doc_id % 448 AS INT) AS orig_h,
+           64 AS target_w, 64 AS target_h,
+           ROUND(64.0 / (32 + doc_id % 608), 4) AS scale_x,
+           ROUND(64.0 / (32 + doc_id % 448), 4) AS scale_y,
+           CAST(CEIL(CAST(n_chars AS DOUBLE)
+                / CEIL(CAST(n_chars AS DOUBLE) / 4096)) AS BIGINT)
+               AS n_sampled_bytes
+    FROM documents
+    """,
+)
+def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage — metadata transform + payload downsampling (the
+    image-resize analog without codecs): target 64×64 with scale
+    factors from the typed metadata, and the payload strided down to
+    ≤4096 bytes inside ``mapInPandas`` (``payload[::stride]`` stands
+    in for pixel interpolation; n_sampled_bytes is checked against
+    the closed-form ceil arithmetic in the oracle)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    assembled = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        (F.lit(32) + F.col("doc_id") % 608).cast("int").alias("orig_w"),
+        (F.lit(32) + F.col("doc_id") % 448).cast("int").alias("orig_h"),
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            strides = b["payload"].map(
+                lambda p: max(-(-len(p) // 4096), 1))
+            sampled = [len(p[::s]) for p, s in zip(b["payload"], strides)]
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "orig_w": b["orig_w"], "orig_h": b["orig_h"],
+                "target_w": pd.Series([64] * len(b), dtype="int32"),
+                "target_h": pd.Series([64] * len(b), dtype="int32"),
+                "scale_x": (64.0 / b["orig_w"]).round(4),
+                "scale_y": (64.0 / b["orig_h"]).round(4),
+                "n_sampled_bytes": pd.Series(sampled, dtype="int64"),
+            })
+
+    return assembled.mapInPandas(
+        resize,
+        "doc_id long, orig_w int, orig_h int, target_w int, target_h int, "
+        "scale_x double, scale_y double, n_sampled_bytes long",
+    )
