@@ -417,3 +417,102 @@ def q68_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check string, n_violations long",
     )
     return row_rules.unionByName(fk)
+
+
+@register(
+    "q73_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+               AS status_F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+               AS status_O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+               AS status_P,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE)
+               AS revenue_F
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q73_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per priority spread across
+    status columns, plus one pivoted measure. The value list is
+    EXPLICIT (['F','O','P']) — with an implicit list Spark runs an
+    extra distinct-collect job to discover columns and the output
+    schema becomes data-dependent, both wrong at scale. Pivot
+    compiles to the same conditional-aggregation pattern the oracle
+    spells out: one pass, partial+final pair, no extra shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select("o_orderpriority",
+                F.coalesce("F", F.lit(0)).alias("status_F"),
+                F.coalesce("O", F.lit(0)).alias("status_O"),
+                F.coalesce("P", F.lit(0)).alias("status_P"))
+    )
+    rev = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F",
+                     F.col("o_totalprice").cast("decimal(28,4)")))
+        .cast("double").alias("revenue_F"))
+    return counts.join(rev, "o_orderpriority")
+
+
+@register(
+    "q74_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+        SELECT c_custkey, 'acctbal' AS metric,
+               ROUND(c_acctbal, 4) AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        FROM customer
+    )
+    """,
+)
+def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): customer measures stacked into
+    (key, metric, value) rows via the native ``unpivot`` — a Generate
+    node emitting N rows per input row with no shuffle at all (the
+    shape feature stores and metric pipelines ingest)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey",
+                 F.round("c_acctbal", 4).alias("acctbal"),
+                 F.col("c_nationkey").cast("double").alias("nationkey"))
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+    )
+
+
+@register(
+    "q75_sample_systematic",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS sampled_revenue
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+          FROM orders)
+    WHERE rn % 10 = 1
+    """,
+)
+def q75_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% systematic sample (every 10th row by key
+    order) + aggregate on the sample. `df.sample()` is the
+    production path but its row set depends on partitioning, so the
+    cross-engine-checkable form is the key-ordered modulus. At scale
+    systematic-by-key sampling stays a window over a range-partitioned
+    sort; hash-mod on the key (`pmod(xxhash64(key), 10) = 0`) is the
+    shuffle-free variant when key order doesn't matter."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 10 == 1)
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+             .cast("double").alias("sampled_revenue"))
+    )

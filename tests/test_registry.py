@@ -1,13 +1,13 @@
 """The registry IS the driver contract (SURVEY.md §2): 55 original
-queries q01–q55 + 7 K-group additions q56–q72 + 6 side-effect ops
-s01–s06; 70 oracle-checked."""
+queries q01–q55 + 7 K-group additions q56–q75 + 6 side-effect ops
+s01–s06; 73 oracle-checked."""
 
 from __future__ import annotations
 
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 73)
+    f"q{i:02d}" for i in range(1, 76)
 } | {"s01", "s02", "s03", "s04", "s05", "s06"}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -27,7 +27,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 70
+    assert len(with_oracle) == 73
 
 
 def test_names_well_formed(registry):
