@@ -3,10 +3,17 @@
 
 Runs every registered batch query from SURVEY.md §2 at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE SHORT JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec",
-     "queries": {"q15_agg_pricing": sec, ...}, "sf": 0.1}
+    {"metric": "headline6_total_latency", "value": N, "unit": "sec",
+     "sf": 0.1, "n_queries": 75, "total_all_queries": T}
+
+The final stdout line is deliberately compact (<200 bytes): round 1
+lost its bench gate because the driver tail-captures stdout and a
+~4 KB line with the 75-entry per-query map inline was truncated
+mid-object (BENCH_r01.json "parsed": null). The full per-query
+breakdown now goes to ``BENCH_DETAIL.json`` next to this file and is
+echoed on stderr.
 
 Each query is materialized through the ``noop`` write format so the
 full plan executes (count() alone would let Catalyst prune every
@@ -65,19 +72,34 @@ def main() -> int:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # the headline set is FIXED (BASELINE.md anchors) so `value` stays
-    # comparable across rounds as query coverage grows; the full
-    # per-query breakdown rides along in `queries`
+    # comparable across rounds as query coverage grows
     headline_total = round(sum(timings[k] for k in HEADLINE
                                if timings.get(k, -1) >= 0), 3)
+    detail = {
+        "metric": "headline6_total_latency",
+        "value": headline_total,
+        "unit": "sec",
+        "sf": sf,
+        "headline": {k: timings.get(k) for k in HEADLINE},
+        "queries": timings,
+        "total_all_queries": round(sum(ok.values()), 3),
+        "n_queries": len(ok),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
+    # final stdout line: compact on purpose — the driver tail-captures
+    # stdout and truncated round 1's 4 KB line (per-query map now in
+    # BENCH_DETAIL.json / stderr instead)
     print(json.dumps({
         "metric": "headline6_total_latency",
         "value": headline_total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-        "headline": {k: timings.get(k) for k in HEADLINE},
-        "total_all_queries": round(sum(ok.values()), 3),
         "n_queries": len(ok),
+        "total_all_queries": round(sum(ok.values()), 3),
     }))
     return 0 if len(ok) == len(timings) else 1
 

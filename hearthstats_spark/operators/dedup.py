@@ -29,13 +29,38 @@ def shingles(col: str = "text", k: int = 5):
 def exact_dedup(df: DataFrame, on: Sequence[str],
                 order_by: str) -> DataFrame:
     """Drop exact duplicates over ``on`` (by content digest),
-    deterministically keeping the row with min ``order_by`` — the
-    groupBy formulation, not dropDuplicates, so the survivor is
-    stable across runs/partitionings."""
-    digest = F.md5(F.concat_ws("\x1f", *on).cast("binary"))
-    keep = (df.withColumn("__h", digest)
-            .groupBy("__h").agg(F.min(order_by).alias(order_by)))
-    return df.join(keep, [order_by], "left_semi")
+    deterministically keeping the row with min ``order_by`` — not
+    dropDuplicates, so the survivor is stable across
+    runs/partitionings.
+
+    Formulation: row_number over Window.partitionBy(digest) — one
+    shuffle on the digest, same as the groupBy form, but the survivor
+    choice happens INSIDE the group. (An earlier semi-join-on-
+    ``order_by``-alone version wrongly kept both rows when a group's
+    min ``order_by`` was duplicated, and kept rows whose ``order_by``
+    merely equaled another group's min.)
+
+    NULL handling: each key column is NULL-encoded before the digest
+    (``\\x00NULL`` sentinel + ``\\x1f`` separator), so ('a', NULL,
+    'b') and ('a', 'b', NULL) hash differently — ``concat_ws`` alone
+    silently drops NULLs and would conflate them.
+
+    Determinism: ties on ``order_by`` within a group fall back to the
+    remaining columns in ``df.columns`` order, so the survivor is a
+    total-order choice even when ``order_by`` is not unique."""
+    from pyspark.sql import Window
+
+    digest = F.md5(F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+          for c in on],
+    ).cast("binary"))
+    tiebreak = [c for c in df.columns if c != order_by]
+    w = Window.partitionBy("__h").orderBy(order_by, *tiebreak)
+    return (df.withColumn("__h", digest)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn"))
 
 
 def minhash_near_dup_pairs(

@@ -100,6 +100,51 @@ def test_exact_dedup_operator_keeps_min_survivor(spark):
     assert got == [(1, "aaa"), (2, "bbb")]  # deterministic min survivor
 
 
+def test_exact_dedup_duplicated_min_and_cross_group_collision(spark):
+    """Regression (ADVICE r01): the old semi-join on order_by alone
+    (a) kept BOTH rows of a group whose min order_by was duplicated
+    and (b) kept any row whose order_by equaled another group's min."""
+    from pyspark.sql import Row
+
+    from hearthstats_spark.operators import exact_dedup
+
+    df = spark.createDataFrame([
+        # group "aaa": min order_by (1) appears twice → exactly one survives
+        Row(doc_id=1, text="aaa", src="x"),
+        Row(doc_id=1, text="aaa", src="y"),
+        Row(doc_id=5, text="aaa", src="z"),
+        # group "bbb": its row's order_by (1) equals group aaa's min —
+        # must still dedup within its own group only
+        Row(doc_id=1, text="bbb", src="x"),
+        Row(doc_id=7, text="bbb", src="y"),
+    ])
+    out = exact_dedup(df, on=["text"], order_by="doc_id").collect()
+    assert len(out) == 2
+    by_text = {r["text"]: r for r in out}
+    assert by_text["aaa"]["doc_id"] == 1
+    assert by_text["aaa"]["src"] == "x"  # tiebreak on remaining cols
+    assert by_text["bbb"]["doc_id"] == 1
+
+
+def test_exact_dedup_null_positions_distinct(spark):
+    """Regression (ADVICE r01): concat_ws skips NULLs, so ('a', NULL,
+    'b') and ('a', 'b', NULL) used to digest identically; the NULL
+    sentinel encoding must keep them distinct groups."""
+    from pyspark.sql import Row
+
+    from hearthstats_spark.operators import exact_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, k1="a", k2=None, k3="b"),
+         Row(doc_id=2, k1="a", k2="b", k3=None),
+         Row(doc_id=3, k1="a", k2="b", k3=None)],
+        "doc_id long, k1 string, k2 string, k3 string",
+    )
+    out = exact_dedup(df, on=["k1", "k2", "k3"], order_by="doc_id")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 2]  # rows 2/3 are true dups; row 1 is not
+
+
 def test_simhash_operator_identical_texts_collide(spark):
     from pyspark.sql import Row
 
