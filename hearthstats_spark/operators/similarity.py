@@ -3,31 +3,141 @@ are the declared query forms).
 
 Three tiers, by data size:
 
+- ``chunked_topk_pairs`` — exact global top-k pairs via block
+  all-pairs: ids hash into B chunks, every chunk PAIR becomes one
+  ``applyInPandas`` task running one numpy matmul. Shuffle is
+  O(n·B) (each row ships to B+1 tasks), never the O(n²) pair space;
+  no driver collect anywhere in the plan. The declared q50 path.
 - ``brute_force_topk_pairs`` — broadcast reference matrix + numpy
-  kernel per Arrow batch; exact; reference side must fit in a
-  broadcast (≲ 1M × 64 f64 ≈ 0.5 GB).
+  kernel per Arrow batch; exact and fastest when the reference side
+  fits in a broadcast (≲ 1M × 64 f64 ≈ 0.5 GB). Builds the broadcast
+  driver-side, so it is guarded by ``max_broadcast_rows`` and
+  falls back to ``chunked_topk_pairs`` above the cap.
 - ``blocked_threshold_pairs`` — one shuffle on a blocking key, then
   a block-local O(b²) kernel; exact WITHIN blocks (IVF trade).
 - q61's bucketed probe — same blocked shape with a quantizer as the
   key; see queries/ann.py.
+
+Exact all-pairs is intrinsically O(n²) COMPUTE no matter the plan;
+past ~1M vectors the right operator is the ANN tier (q61), and these
+exact kernels are the oracle it is validated against.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
+def _local_topk(sims, k):
+    """Indices of every finite entry at-or-above the k-th largest
+    value (tie-safe: the global order sees all contenders)."""
+    import numpy as np
+
+    flat = sims.ravel()
+    if flat.size > k:
+        vk = np.partition(flat, flat.size - k)[flat.size - k]
+        idx = np.nonzero(np.isfinite(flat) & (flat >= vk))[0]
+    else:
+        idx = np.nonzero(np.isfinite(flat))[0]
+    return idx, flat
+
+
+def chunked_topk_pairs(df: DataFrame, id_col: str, vec_col: str,
+                       k: int = 100,
+                       rows_per_chunk: int = 4096) -> DataFrame:
+    """Global top-k most-cosine-similar pairs (id_a < id_b), exact,
+    with NO driver-side collect: ids hash into ``B = ceil(n /
+    rows_per_chunk)`` chunks; each of the B(B+1)/2 chunk pairs is one
+    ``applyInPandas`` group computing one matmul and keeping its
+    local tie-safe top-k; a TakeOrderedAndProject over ≤ k·tasks
+    candidate rows yields the global answer.
+
+    Plan: rows join a broadcast task list twice (once per side), so
+    each row is replicated to B+1 tasks — shuffle O(n·B), compute
+    O(n²·d / 2) spread evenly over tasks. The only driver action is a
+    count() to size B (one scalar). Returns (id_a, id_b, sim), sim
+    rounded 4dp, ordered (sim desc, id_a, id_b)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()  # scalar metadata action (sizes B), not a collect
+    n_chunks = max(1, math.ceil(n / rows_per_chunk))
+
+    base = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("embedding"),
+                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+                     .cast("int").alias("__c"))
+    if n_chunks == 1:
+        # degenerate task list — skip the task join/union entirely:
+        # one shuffle of all rows into the single (0,0) task
+        rows = base.select(F.lit(0).alias("ca"), F.lit(0).alias("cb"),
+                           "vec_id", "embedding", F.lit(0).alias("__side"))
+        side_a, side_b = rows, None
+    else:
+        tasks = spark.createDataFrame(
+            [(a, b) for a in range(n_chunks) for b in range(a, n_chunks)],
+            "ca int, cb int",
+        )
+        side_a = (base.join(F.broadcast(tasks), F.col("__c") == F.col("ca"))
+                  .select("ca", "cb", "vec_id", "embedding",
+                          F.lit(0).alias("__side")))
+        side_b = (base.join(F.broadcast(tasks), F.col("__c") == F.col("cb"))
+                  .select("ca", "cb", "vec_id", "embedding",
+                          F.lit(1).alias("__side")))
+
+    def task_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = pdf["ca"].iat[0] == pdf["cb"].iat[0]
+        a = pdf[pdf["__side"] == 0]
+        b = a if same else pdf[pdf["__side"] == 1]
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = ma if same else np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = na if same else np.sqrt((mb * mb).sum(axis=1))
+        sims = np.round((ma @ mb.T) / np.outer(na, nb), 4)
+        # each unordered pair appears exactly once per task; mask the
+        # diagonal/dup half only when both sides are the same chunk
+        if same:
+            sims[ids_a[:, None] >= ids_b[None, :]] = -np.inf
+        idx, flat = _local_topk(sims, k)
+        ai, bi = np.unravel_index(idx, sims.shape)
+        pa, pb = ids_a[ai], ids_b[bi]
+        return pd.DataFrame({
+            "vec_id_a": np.minimum(pa, pb), "vec_id_b": np.maximum(pa, pb),
+            "sim": flat[idx],
+        })
+
+    rows = side_a if side_b is None else side_a.unionByName(side_b)
+    cand = (rows.groupBy("ca", "cb")
+            .applyInPandas(task_topk,
+                           "vec_id_a long, vec_id_b long, sim double"))
+    return (cand.orderBy(F.col("sim").desc(), "vec_id_a", "vec_id_b")
+            .limit(k)
+            .withColumnRenamed("vec_id_a", f"{id_col}_a")
+            .withColumnRenamed("vec_id_b", f"{id_col}_b"))
+
+
 def brute_force_topk_pairs(df: DataFrame, id_col: str, vec_col: str,
-                           k: int = 100) -> DataFrame:
+                           k: int = 100,
+                           max_broadcast_rows: int = 100_000) -> DataFrame:
     """Global top-k most-cosine-similar pairs (id_a < id_b), exact.
-    Tie-safe local pruning: a batch keeps every pair at-or-above its
-    own k-th value, so the global (sim desc, id_a, id_b) order sees
-    all contenders. Returns (id_a, id_b, sim) with sim rounded 4dp."""
+    Small-reference fast path: the full matrix broadcasts once and
+    each Arrow batch does ONE matmul against it, keeping its tie-safe
+    local top-k. The broadcast is built via a driver collect, so
+    inputs beyond ``max_broadcast_rows`` route through
+    ``chunked_topk_pairs`` instead of materializing on the driver.
+    Returns (id_a, id_b, sim) with sim rounded 4dp."""
     import numpy as np
     import pandas as pd
 
     base = df.select(F.col(id_col).alias("vec_id"),
                      F.col(vec_col).alias("embedding"))
+    if base.count() > max_broadcast_rows:
+        return chunked_topk_pairs(df, id_col, vec_col, k=k)
     pdf = base.toPandas()
     ref_ids = pdf["vec_id"].to_numpy()
     ref = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -42,12 +152,7 @@ def brute_force_topk_pairs(df: DataFrame, id_col: str, vec_col: str,
             q_n = np.sqrt((q * q).sum(axis=1))
             sims = np.round((q @ mat_r.T) / np.outer(q_n, nrm_r), 4)
             sims[q_ids[:, None] >= ids_r[None, :]] = -np.inf
-            flat = sims.ravel()
-            if flat.size > k:
-                vk = np.partition(flat, flat.size - k)[flat.size - k]
-                idx = np.nonzero(np.isfinite(flat) & (flat >= vk))[0]
-            else:
-                idx = np.nonzero(np.isfinite(flat))[0]
+            idx, flat = _local_topk(sims, k)
             ai, bi = np.unravel_index(idx, sims.shape)
             yield pd.DataFrame({
                 "vec_id_a": q_ids[ai], "vec_id_b": ids_r[bi],

@@ -131,28 +131,28 @@ _COS_ORACLE_CTE = """
     """,
 )
 def q50_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-100 pairs via a broadcast matrix +
-    Arrow-batched numpy kernel (``mapInPandas``).
+    """Exact cosine top-100 pairs via the chunk-pair kernel: ids hash
+    into B ≈ n/4096 chunks, every chunk PAIR is one ``applyInPandas``
+    task running one numpy matmul and emitting its tie-safe local
+    top-k, and the global top-100 is a TakeOrderedAndProject over
+    ≤ k·tasks candidate rows.
 
-    Plan shape: the reference set is broadcast once (n×64 float64 —
-    ~1 MB at sf0.1; the same shape a vector-search probe broadcast
-    has), each Arrow batch of query rows does ONE BLAS matmul against
-    it and emits only its local top-k, and the global top-100 is a
-    TakeOrderedAndProject over ≤k·num_batches candidate rows. No
-    shuffle ever carries the O(n²) pair space — compare the naive
-    crossJoin+HOF formulation, which materializes every pair and
-    evaluates an interpreted fold per element (8× slower at sf0.1).
-
-    Scale path: when the reference side outgrows a broadcast, swap the
-    broadcast for q51's bucket-blocked join (IVF/LSH bucket id as the
-    equi key) — the per-bucket kernel is this same numpy matmul.
+    Plan shape: rows join a broadcast task list (B(B+1)/2 tiny rows),
+    so shuffle is O(n·B) — never the O(n²) pair space, and unlike the
+    round-1 broadcast-matrix version, NO driver-side collect of the
+    vector table (the only driver action is a count() to size B).
+    The quadratic COMPUTE is inherent to exact all-pairs; it is
+    spread evenly across tasks, and past ~1M vectors the right
+    operator is the ANN tier (q61), validated against this one.
 
     Implementation: hearthstats_spark.operators.similarity
-    (brute_force_topk_pairs) — this query is its declared form."""
-    from hearthstats_spark.operators.similarity import brute_force_topk_pairs
+    (chunked_topk_pairs) — this query is its declared form;
+    brute_force_topk_pairs remains the guarded small-data fast path
+    and the unit-test cross-check (tests/test_operators.py)."""
+    from hearthstats_spark.operators.similarity import chunked_topk_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk_pairs(e, "vec_id", "embedding", k=100)
+    return chunked_topk_pairs(e, "vec_id", "embedding", k=100)
 
 
 @register(

@@ -145,6 +145,36 @@ def test_exact_dedup_null_positions_distinct(spark):
     assert got == [1, 2]  # rows 2/3 are true dups; row 1 is not
 
 
+def test_chunked_topk_matches_broadcast_kernel(spark):
+    """q50's chunk-pair kernel (no driver collect) must produce the
+    identical top-k to the broadcast brute-force kernel — forced
+    multi-chunk (rows_per_chunk=64 → several chunk-pair tasks) so the
+    cross-chunk orientation/masking paths are actually exercised."""
+    from hearthstats_spark.operators.similarity import (
+        brute_force_topk_pairs, chunked_topk_pairs)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    want = brute_force_topk_pairs(e, "vec_id", "embedding", k=50).collect()
+    got = chunked_topk_pairs(e, "vec_id", "embedding", k=50,
+                             rows_per_chunk=64).collect()
+    as_tuples = lambda rows: [(r["vec_id_a"], r["vec_id_b"], r["sim"])
+                              for r in rows]
+    assert as_tuples(got) == as_tuples(want)
+
+
+def test_brute_force_topk_guard_routes_oversize_to_chunked(spark):
+    """Above max_broadcast_rows the broadcast kernel must not collect
+    the table driver-side; it falls back to the chunked kernel and
+    still returns the identical answer."""
+    from hearthstats_spark.operators.similarity import brute_force_topk_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    want = brute_force_topk_pairs(e, "vec_id", "embedding", k=10).collect()
+    got = brute_force_topk_pairs(e, "vec_id", "embedding", k=10,
+                                 max_broadcast_rows=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_simhash_operator_identical_texts_collide(spark):
     from pyspark.sql import Row
 
