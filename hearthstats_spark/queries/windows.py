@@ -185,15 +185,61 @@ def q28_win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions over a global window. NOTE: global
-    ORDER BY = one task sorting everything; acceptable ≤ sf0.1 but at
-    100 TB this needs a range-partitioned two-pass formulation
-    (approx quantile boundaries → per-bucket rank + offset)."""
+    """Distribution functions (ntile/percent_rank/cume_dist) over a
+    global ordering WITHOUT a global single-task sort — the two-pass
+    range-partitioned formulation:
+
+    1. approxQuantile picks ~32 range boundaries on o_totalprice
+       (driver receives 31 scalars — metadata, like any range
+       partitioner); rows map to buckets with a codegen'd comparison
+       chain. Equal prices always share a bucket, so bucket ranges
+       respect the global (price, orderkey) order.
+    2. exact per-bucket counts (one tiny aggregate, ≤32 rows to the
+       driver) become each bucket's global-rank offset and the exact
+       total n — broadcast-joined back.
+    3. a PER-BUCKET window (partitionBy bucket) computes local
+       row_number; global position = offset + local rank. The
+       ordering (price, orderkey) is unique, so rank == row_number
+       and the closed forms are exact: pct_rank = (pos-1)/(n-1),
+       cume = pos/n, and NTILE's first n%4 tiles take ceil(n/4) rows.
+
+    Every window in the plan partitions by a real key; the sort is
+    per-bucket and the bucket count scales with the data (boundaries
+    are quantiles, so buckets stay balanced under value skew).
+    Hash-exact vs the single-window oracle."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(o.approxQuantile("o_totalprice", probs, 0.001)))
+    bucket = sum(
+        (F.when(F.col("o_totalprice") > F.lit(b), 1).otherwise(0)
+         for b in bounds),
+        start=F.lit(0),
+    ).alias("__b")
+    b = o.select("o_orderkey", "o_totalprice", bucket)
+    counts = {r["__b"]: r["cnt"] for r in
+              b.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for bk in sorted(counts):
+        offsets.append((bk, acc))
+        acc += counts[bk]
+    off = spark.createDataFrame(offsets, "__b int, __off long")
+    w = Window.partitionBy("__b").orderBy("o_totalprice", "o_orderkey")
+    pos = (F.col("__off") + F.row_number().over(w)).alias("__pos")
+    q4, r4 = divmod(n, 4)
+    tile = F.when(
+        F.col("__pos") <= r4 * (q4 + 1),
+        F.ceil(F.col("__pos") / (q4 + 1)),
+    ).otherwise(r4 + F.ceil((F.col("__pos") - r4 * (q4 + 1)) / F.lit(max(q4, 1))))
+    return (
+        b.join(F.broadcast(off), "__b")
+        .select("o_orderkey", pos)
+        .select(
+            "o_orderkey",
+            tile.cast("long").alias("quartile"),
+            F.round((F.col("__pos") - 1) / F.lit(max(n - 1, 1)), 6)
+            .alias("pct_rank"),
+            F.round(F.col("__pos") / F.lit(n), 6).alias("cume"),
+        )
     )

@@ -16,6 +16,33 @@ from tests.conftest import SF_MED
 
 NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid"}
 PYTHON_ROW_OK = {"q44_udf_python"}
+# q28 pre-aggregates to one row per ORDER DAY before its global
+# cumulative window — the single sort task sees ~2.4k rows regardless
+# of fact-table size, which is the documented safe use of an
+# empty-partition window. Nothing else may have one (q29's two-pass
+# formulation replaced the last raw-table global window in round 2).
+GLOBAL_WINDOW_OK = {"q28_win_cumulative"}
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if any Window node in a formatted plan has an empty
+    partition spec. Formatted explain prints Window details as
+    ``Arguments: [exprs], [partition], [order]`` — a global window
+    has only TWO top-level bracket groups (no partition list)."""
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\s*\nArguments: (.+)", plan):
+        args, depth, groups = m.group(1), 0, 0
+        for ch in args:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            return True
+    return False
 
 
 def test_no_scale_hostile_plans(spark, registry):
@@ -30,4 +57,6 @@ def test_no_scale_hostile_plans(spark, registry):
             offenders[name] = "BroadcastNestedLoopJoin"
         elif "BatchEvalPython" in p and name not in PYTHON_ROW_OK:
             offenders[name] = "row-at-a-time Python in the hot path"
+        elif _has_global_window(p) and name not in GLOBAL_WINDOW_OK:
+            offenders[name] = "global (empty-partition) window sort"
     assert not offenders, offenders
