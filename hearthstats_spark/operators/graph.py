@@ -59,6 +59,15 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently-wrong labels are worse than a loud failure: a
+        # component with diameter > max_iter (chain-shaped near-dup
+        # clusters) would otherwise split into several components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (a component's diameter exceeds max_iter); "
+            "raise max_iter"
+        )
     return labels
 
 

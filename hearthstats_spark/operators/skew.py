@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame, functions as F
 _SALT = "__salt"
 
 
+def salt_expr(n_salts: int):
+    """Per-row nonce salt in [0, n_salts): monotonically_increasing_id
+    cycles salts round-robin WITHIN each partition, so even
+    byte-identical duplicate rows of a hot key (the common
+    dedup-workload shape — a whole-row HASH would send them all to
+    one salt) spread over all ``n_salts`` reducers. Retry-safe for
+    joins: which salt a row gets never affects the result, since the
+    build side replicates to every salt."""
+    return F.pmod(F.monotonically_increasing_id(),
+                  F.lit(n_salts)).cast("int")
+
+
 def salted_join(probe: DataFrame, build: DataFrame, on: Sequence[str],
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Join ``probe`` (large, possibly skewed) with ``build`` (small)
@@ -32,11 +44,7 @@ def salted_join(probe: DataFrame, build: DataFrame, on: Sequence[str],
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = list(on)
-    # deterministic scatter: hash of the whole probe row spreads even
-    # a single hot key; pmod keeps it in [0, n_salts)
-    probe_cols = probe.columns
-    p = probe.withColumn(
-        _SALT, F.pmod(F.xxhash64(*probe_cols), F.lit(n_salts)).cast("int"))
+    p = probe.withColumn(_SALT, salt_expr(n_salts))
     b = build.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = p.join(b, on + [_SALT], how)

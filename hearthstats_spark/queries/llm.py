@@ -233,19 +233,24 @@ def q52_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by tf·idf. Two hash aggs (tf, df) + a
     broadcast of the tiny df/n side + one window — no O(corpus²)
-    anywhere; df table is vocabulary-sized."""
+    anywhere; df table is vocabulary-sized. n_docs stays IN the plan
+    as a broadcast one-row aggregate cross-joined into the weight
+    expression (a 1-row broadcast NLJ — the scalar-subquery shape),
+    so the query is a single job instead of count()-then-plan."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; driver-side intentional (one number)
-    w = tf.join(F.broadcast(df), "term").select(
-        "doc_id", "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
-        .alias("weight"),
-    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    w = (tf.join(F.broadcast(df), "term")
+         .crossJoin(F.broadcast(nd))
+         .select(
+             "doc_id", "term",
+             F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 4)
+             .alias("weight"),
+         ))
     win = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), "term")
     return (
         w.withColumn("rk", F.row_number().over(win).cast("long"))

@@ -14,7 +14,10 @@ from __future__ import annotations
 from hearthstats_spark.plans import explain_str
 from tests.conftest import SF_MED
 
-NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid"}
+#: q53's entry is the 1-row broadcast scalar (n_docs) cross-joined
+#: into the weight expression — the scalar-subquery shape, not a
+#: pair-space nested loop.
+NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf"}
 PYTHON_ROW_OK = {"q44_udf_python"}
 # q28 pre-aggregates to one row per ORDER DAY before its global
 # cumulative window — the single sort task sees ~2.4k rows regardless

@@ -45,9 +45,26 @@ def test_salted_left_keeps_unmatched(spark):
 
 
 def test_salt_scatters_hot_key(spark):
+    from hearthstats_spark.operators.skew import salt_expr
+
     probe, _ = _skewed(spark)
-    salted = probe.withColumn(
-        "s", F.pmod(F.xxhash64(*probe.columns), F.lit(8)).cast("int"))
+    salted = probe.withColumn("s", salt_expr(8))
     n_buckets = (salted.filter(F.col("k") == 7)
                  .select("s").distinct().count())
     assert n_buckets == 8  # hot key spread across every salt bucket
+
+
+def test_salt_scatters_byte_identical_duplicate_rows(spark):
+    """Regression (ADVICE r01): the old whole-row-hash salt sent all
+    byte-identical duplicates of a hot key to ONE salt bucket — the
+    likely shape in dedup workloads. The nonce salt must spread
+    them."""
+    from hearthstats_spark.operators.skew import salt_expr, salted_join
+
+    dup = spark.range(8000).select(
+        F.lit(7).alias("k"), F.lit("same payload").alias("payload"))
+    n_buckets = (dup.withColumn("s", salt_expr(8))
+                 .select("s").distinct().count())
+    assert n_buckets == 8
+    build = spark.createDataFrame([(7, "dim7")], "k long, name string")
+    assert salted_join(dup, build, ["k"], n_salts=8).count() == 8000
