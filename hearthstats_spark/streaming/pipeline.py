@@ -13,13 +13,17 @@ Design:
   ``event_id % 5`` so event time arrives out of order across batches
   (a real replay, not a single sorted file).
 - ``Trigger.AvailableNow`` drains the source then stops — the batch
-  equivalence property (final state == batch answer) is exact.
-- s03 aggregates with ``update`` output + ``foreachBatch`` merging
-  into a driver-side dict — the pattern that scales is the same
-  foreachBatch upserting into a key-value sink; only the toy sink is
-  driver-local.
-- s04 exercises ``dropDuplicatesWithinWatermark`` (the streaming
-  dedup state store) against a source with every file written twice.
+  equivalence property (final state == batch answer) is exact; s07
+  runs the same pipeline under a ``ProcessingTime`` trigger (the
+  always-on production mode) and stops once the source drains.
+- No sink collects micro-batches to the driver (round-1's toy sinks
+  did): s03/s07 use the ``memory`` sink in ``complete`` mode on the
+  AGGREGATED stream (bounded: one row per window × key), s04/s06
+  write append-mode output straight to a parquet file sink, and s05
+  lands each micro-batch's state emissions in parquet via a
+  distributed ``foreachBatch`` write — the copy-safe production
+  patterns (memory → any serving store; foreachBatch → idempotent
+  upsert keyed on batch_id).
 
 Scale notes: watermark bounds the state store (buckets older than
 watermark are evicted); the shuffle per micro-batch carries one row
@@ -80,27 +84,18 @@ def write_replay_source(spark: SparkSession, sf_dir: str,
     return flat, ev
 
 
-def _run_stream(stream_df, batch_fn) -> None:
-    """Drain a stream with AvailableNow + foreachBatch, then stop."""
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .foreachBatch(batch_fn)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
+_MEM_SINK_SEQ = [0]  # memory-sink table names must be session-unique
 
 
-@register("s03_stream_pipeline", oracle=None)  # rows-only: no streaming oracle
-def s03_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q41 (hourly tumbling agg) as a real micro-batch stream:
-    readStream → withWatermark(2h) → window agg → foreachBatch upsert.
-    Returns the final state; equality with the batch q41 answer is
-    asserted in tests/test_streaming.py."""
-    src, ev = write_replay_source(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(ev.schema).parquet(src)
+def _mem_table_name(prefix: str) -> str:
+    _MEM_SINK_SEQ[0] += 1
+    return f"{prefix}_{os.getpid()}_{_MEM_SINK_SEQ[0]}"
+
+
+def _hourly_agg_stream(spark: SparkSession, src: str, schema):
+    """Shared s03/s07 pipeline: watermark → tumbling window agg."""
+    return (
+        spark.readStream.schema(schema).parquet(src)
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -113,19 +108,29 @@ def s03_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    state: dict[tuple, tuple] = {}
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.collect():  # toy sink; real one: kv-store upsert
-            state[(row["hour_start"], row["event_type"])] = (
-                row["n"], row["total_value"],
-            )
-
-    _run_stream(stream, upsert)
-    rows = [(h, t, n, v) for (h, t), (n, v) in sorted(state.items())]
-    return spark.createDataFrame(
-        rows, "hour_start string, event_type string, n long, total_value double"
+@register("s03_stream_pipeline", oracle=None)  # rows-only: no streaming oracle
+def s03_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41 (hourly tumbling agg) as a real micro-batch stream:
+    readStream → withWatermark(2h) → window agg → ``memory`` sink in
+    ``complete`` mode. The sink holds the full CURRENT result table
+    (bounded: one row per hour × event_type, independent of input
+    volume) — the upsert-semantics pattern that swaps for any serving
+    store in production; no micro-batch ever collects to the driver.
+    Returns the final state; equality with the batch q41 answer is
+    asserted in tests/test_streaming.py."""
+    src, ev = write_replay_source(spark, sf_dir)
+    name = _mem_table_name("s03_state")
+    q = (
+        _hourly_agg_stream(spark, src, ev.schema)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
     )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register("s06_stream_stream_join", oracle=None)  # rows-only: no streaming oracle
@@ -161,20 +166,19 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
 
-    pairs: set[tuple] = set()
-
-    def collect_pairs(batch_df: DataFrame, batch_id: int) -> None:
-        pairs.update((r["p_id"], r["v_id"])
-                     for r in batch_df.select("p_id", "v_id").collect())
-
+    # append-mode parquet FILE sink — the join output streams straight
+    # to storage, distributed, nothing on the driver
+    out = tempfile.mkdtemp(prefix="hs_s06_out_")
     q = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(collect_pairs)
+        joined.select("p_id", "v_id")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
         .start()
     )
     q.awaitTermination()
+    n_stream_pairs = spark.read.parquet(out).distinct().count()
 
     ev_b = ev
     batch_pairs = (
@@ -191,7 +195,7 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return spark.createDataFrame(
-        [(len(pairs), batch_pairs)],
+        [(n_stream_pairs, batch_pairs)],
         "n_stream_pairs long, n_batch_pairs long",
     )
 
@@ -239,16 +243,35 @@ def s05_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    latest: dict[int, tuple] = {}
+    # distributed foreachBatch sink: each micro-batch's state
+    # emissions land in parquet tagged with batch_id (the idempotent
+    # upsert key a real kv-store write would use); nothing collects
+    # to the driver
+    out = tempfile.mkdtemp(prefix="hs_s05_out_")
 
-    def keep_latest(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.collect():  # toy sink; real: kv-store upsert
-            latest[row["user_id"]] = (row["n_events"], row["total_value"])
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out))
 
-    _run_stream(stream, keep_latest)
-    rows = [(u, n, round(t, 4)) for u, (n, t) in sorted(latest.items())]
-    return spark.createDataFrame(
-        rows, "user_id long, n_events long, total_value double"
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # final state = each user's LAST emission (max batch_id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        spark.read.parquet(out)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events",
+                F.round("total_value", 4).alias("total_value"))
     )
 
 
@@ -266,21 +289,64 @@ def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
     )
 
-    seen: list[int] = []
-
-    def collect_ids(batch_df: DataFrame, batch_id: int) -> None:
-        seen.extend(r["event_id"] for r in batch_df.select("event_id").collect())
-
+    # deduped stream appends straight to a parquet file sink
+    out = tempfile.mkdtemp(prefix="hs_s04_out_")
     q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(collect_ids)
+        stream.select("event_id")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
         .start()
     )
     q.awaitTermination()
+    n_after = spark.read.parquet(out).distinct().count()
 
     return spark.createDataFrame(
-        [(2 * n_expected, len(set(seen)), n_expected)],
+        [(2 * n_expected, n_after, n_expected)],
         "n_delivered long, n_after_dedup long, n_expected long",
     )
+
+
+@register("s07_stream_processing_time", oracle=None)  # rows-only: no oracle
+def s07_stream_processing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s03's pipeline under a ``ProcessingTime`` trigger — the
+    always-on production mode (AvailableNow, used by s03-s06, is the
+    drain-and-stop mode). The query fires every 500 ms against the
+    same out-of-order replay source and is stopped once the source is
+    observed drained: two consecutive progress reports with zero
+    input rows. Final state arrives via the bounded ``memory``
+    complete-mode sink, exactly like s03, and must equal the batch
+    answer (tests/test_streaming.py mirrors s03's equivalence
+    assertion)."""
+    import time
+
+    src, ev = write_replay_source(spark, sf_dir)
+    name = _mem_table_name("s07_state")
+    q = (
+        _hourly_agg_stream(spark, src, ev.schema)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    # stop once drained: ProcessingTime runs forever by design, so
+    # "done" = two consecutive empty micro-batches after at least one
+    # non-empty one (the source is static — no new files can arrive)
+    deadline = time.monotonic() + 120
+    empty_streak, saw_data, last_batch = 0, False, -1
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] != last_batch:
+            last_batch = p["batchId"]  # count each micro-batch once
+            if p["numInputRows"] > 0:
+                saw_data, empty_streak = True, 0
+            else:
+                empty_streak += 1
+            if saw_data and empty_streak >= 2:
+                break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)

@@ -10,9 +10,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMALL
 
 
-def test_stream_final_state_equals_batch(spark, registry):
-    stream_out = registry["s03_stream_pipeline"].fn(spark, SF_SMALL)
-
+def _hourly_batch_answer(spark):
     from hearthstats_spark.io import load_table
     ev = load_table(spark, SF_SMALL, "events")
     batch = (
@@ -27,11 +25,36 @@ def test_stream_final_state_equals_batch(spark, registry):
             "event_type", "n", "total_value",
         )
     )
+    return {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in batch.collect()}
+
+
+def test_stream_final_state_equals_batch(spark, registry):
+    stream_out = registry["s03_stream_pipeline"].fn(spark, SF_SMALL)
     got = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
            for r in stream_out.collect()}
-    want = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
-            for r in batch.collect()}
-    assert got == want  # bit-exact: decimal sums are order-independent
+    assert got == _hourly_batch_answer(spark)  # bit-exact decimal sums
+
+
+def test_processing_time_trigger_equals_batch(spark, registry):
+    """s07: same pipeline as s03 but under the always-on
+    ProcessingTime trigger, stopped after the static source drains —
+    final memory-sink state must still equal the batch answer."""
+    out = registry["s07_stream_processing_time"].fn(spark, SF_SMALL)
+    got = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in out.collect()}
+    assert got == _hourly_batch_answer(spark)
+
+
+def test_no_driver_collect_in_streaming_sinks():
+    """Round-1's toy sinks collected micro-batches to the driver;
+    the converted sinks (memory/parquet/foreachBatch-parquet) must
+    keep the pipeline module free of .collect()."""
+    import inspect
+
+    from hearthstats_spark.streaming import pipeline
+
+    assert ".collect()" not in inspect.getsource(pipeline)
 
 
 def test_stream_stateful_counts_equal_batch(spark, registry):
