@@ -14,6 +14,7 @@ from hearthstats_spark.operators.dedup import (
     winnow_fingerprints,
 )
 from hearthstats_spark.operators.rangejoin import range_join
+from hearthstats_spark.operators.rankops import with_global_position
 from hearthstats_spark.operators.skew import salted_join
 from hearthstats_spark.operators.similarity import (
     blocked_threshold_pairs,
@@ -35,4 +36,5 @@ __all__ = [
     "shingles",
     "simhash",
     "winnow_fingerprints",
+    "with_global_position",
 ]

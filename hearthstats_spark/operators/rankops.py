@@ -1,0 +1,69 @@
+"""Scale-safe global ranking: exact position in a total order
+WITHOUT a global single-task sort.
+
+A ``Window.orderBy(...)`` with no partition spec plans as one task
+sorting the entire input — the classic 100 TB killer (and forbidden
+registry-wide by tests/test_plan_audit.py). This operator is the
+two-pass range-partitioned replacement used by q29 (distribution
+functions) and q75 (systematic sampling):
+
+1. ``approxQuantile`` picks ``n_buckets - 1`` range boundaries on the
+   leading order column (the driver receives a handful of scalars —
+   metadata, the same thing a range partitioner ships).
+2. One tiny aggregate computes EXACT per-bucket counts (≤ n_buckets
+   rows to the driver) → each bucket's global-rank offset, broadcast
+   back.
+3. A per-bucket window (partitionBy bucket) assigns local
+   row_number; global position = bucket offset + local rank.
+
+Rows with equal leading values always land in the same bucket
+(boundaries cut strictly between values), so bucket ranges respect
+the total order and the result is exact, not approximate —
+quantile-based boundaries only affect balance, never correctness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def with_global_position(
+    df: DataFrame,
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+    n_buckets: int = 32,
+    pos_col: str = "__pos",
+) -> tuple[DataFrame, int]:
+    """Append ``pos_col`` = exact 1-based position of each row in the
+    total order (``order_col``, then ``tiebreak``) — which must be unique
+    per row — and return ``(df_with_pos, total_row_count)``.
+
+    ``order_col`` must be numeric (range boundaries come from
+    ``approxQuantile``). Plan: one quantile sketch pass, one tiny
+    count aggregate, then a single per-bucket sort — every window
+    partitions by a real key."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    bucket = sum(
+        (F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+         for b in bounds),
+        start=F.lit(0),
+    ).alias("__b")
+    b = df.select("*", bucket)
+    counts = {r["__b"]: r["cnt"] for r in
+              b.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for bk in sorted(counts):
+        offsets.append((bk, acc))
+        acc += counts[bk]
+    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+    w = Window.partitionBy("__b").orderBy(order_col, *tiebreak)
+    out = (
+        b.join(F.broadcast(off), "__b")
+        .withColumn(pos_col, F.col("__off") + F.row_number().over(w))
+        .drop("__b", "__off")
+    )
+    return out, n

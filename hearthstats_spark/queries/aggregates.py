@@ -501,17 +501,21 @@ def q75_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% systematic sample (every 10th row by key
     order) + aggregate on the sample. `df.sample()` is the
     production path but its row set depends on partitioning, so the
-    cross-engine-checkable form is the key-ordered modulus. At scale
-    systematic-by-key sampling stays a window over a range-partitioned
-    sort; hash-mod on the key (`pmod(xxhash64(key), 10) = 0`) is the
-    shuffle-free variant when key order doesn't matter."""
-    from pyspark.sql import Window
+    cross-engine-checkable form is the key-ordered modulus. The
+    global key order comes from the two-pass range-partitioned
+    position operator (operators/rankops.py — shared with q29), not
+    a single-task global window; hash-mod on the key
+    (`pmod(xxhash64(key), 10) = 0`) is the shuffle-free variant when
+    key order doesn't matter."""
+    from hearthstats_spark.operators.rankops import with_global_position
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    pos_df, _ = with_global_position(
+        o.select("o_orderkey", "o_totalprice"), "o_orderkey",
+        pos_col="rn",
+    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") % 10 == 1)
+        pos_df.filter(F.col("rn") % 10 == 1)
         .agg(F.count(F.lit(1)).alias("n_sampled"),
              F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
              .cast("double").alias("sampled_revenue"))

@@ -206,40 +206,26 @@ def q29_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every window in the plan partitions by a real key; the sort is
     per-bucket and the bucket count scales with the data (boundaries
     are quantiles, so buckets stay balanced under value skew).
-    Hash-exact vs the single-window oracle."""
+    Hash-exact vs the single-window oracle.
+
+    Implementation: hearthstats_spark.operators.rankops
+    (with_global_position) — q75 shares the same two-pass kernel."""
+    from hearthstats_spark.operators.rankops import with_global_position
+
     o = load_table(spark, sf_dir, "orders")
-    n_buckets = 32
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(o.approxQuantile("o_totalprice", probs, 0.001)))
-    bucket = sum(
-        (F.when(F.col("o_totalprice") > F.lit(b), 1).otherwise(0)
-         for b in bounds),
-        start=F.lit(0),
-    ).alias("__b")
-    b = o.select("o_orderkey", "o_totalprice", bucket)
-    counts = {r["__b"]: r["cnt"] for r in
-              b.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    n = sum(counts.values())
-    offsets, acc = [], 0
-    for bk in sorted(counts):
-        offsets.append((bk, acc))
-        acc += counts[bk]
-    off = spark.createDataFrame(offsets, "__b int, __off long")
-    w = Window.partitionBy("__b").orderBy("o_totalprice", "o_orderkey")
-    pos = (F.col("__off") + F.row_number().over(w)).alias("__pos")
+    pos_df, n = with_global_position(
+        o.select("o_orderkey", "o_totalprice"),
+        "o_totalprice", tiebreak=["o_orderkey"],
+    )
     q4, r4 = divmod(n, 4)
     tile = F.when(
         F.col("__pos") <= r4 * (q4 + 1),
         F.ceil(F.col("__pos") / (q4 + 1)),
     ).otherwise(r4 + F.ceil((F.col("__pos") - r4 * (q4 + 1)) / F.lit(max(q4, 1))))
-    return (
-        b.join(F.broadcast(off), "__b")
-        .select("o_orderkey", pos)
-        .select(
-            "o_orderkey",
-            tile.cast("long").alias("quartile"),
-            F.round((F.col("__pos") - 1) / F.lit(max(n - 1, 1)), 6)
-            .alias("pct_rank"),
-            F.round(F.col("__pos") / F.lit(n), 6).alias("cume"),
-        )
+    return pos_df.select(
+        "o_orderkey",
+        tile.cast("long").alias("quartile"),
+        F.round((F.col("__pos") - 1) / F.lit(max(n - 1, 1)), 6)
+        .alias("pct_rank"),
+        F.round(F.col("__pos") / F.lit(n), 6).alias("cume"),
     )

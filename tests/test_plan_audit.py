@@ -29,23 +29,49 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative"}
 
 def _has_global_window(plan: str) -> bool:
     """True if any Window node in a formatted plan has an empty
-    partition spec. Formatted explain prints Window details as
-    ``Arguments: [exprs], [partition], [order]`` — a global window
-    has only TWO top-level bracket groups (no partition list)."""
+    partition spec. Each formatted-explain detail block is
+    ``(N) Window`` followed by Input/Arguments lines; the Arguments
+    line is ``[exprs], [partition], [order]`` — a global window has
+    only TWO top-level bracket groups (no partition list)."""
     import re
 
-    for m in re.finditer(r"\(\d+\) Window\s*\nArguments: (.+)", plan):
-        args, depth, groups = m.group(1), 0, 0
-        for ch in args:
-            if ch == "[":
-                if depth == 0:
-                    groups += 1
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-        if groups == 2:
-            return True
+    for block in plan.split("\n\n"):
+        if not re.match(r"\(\d+\) Window\b", block):
+            continue
+        for line in block.splitlines():
+            if not line.startswith("Arguments: "):
+                continue
+            depth, groups = 0, 0
+            for ch in line:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            if groups == 2:
+                return True
     return False
+
+
+def test_global_window_detector_positive():
+    """The detector must actually fire on a global window — round 2
+    initially shipped it with a regex that never matched (an Input
+    line sits between the node header and Arguments)."""
+    sample = (
+        "(9) Window\nInput [2]: [a#1, b#2]\n"
+        "Arguments: [sum(a#1) windowspecdefinition(b#2 ASC, "
+        "specifiedwindowframe(RowFrame, x$(), y$())) AS w#3], "
+        "[b#2 ASC]\n\n(10) Project\n"
+    )
+    partitioned = (
+        "(9) Window\nInput [2]: [a#1, b#2]\n"
+        "Arguments: [row_number() windowspecdefinition(k#0, b#2 ASC, "
+        "specifiedwindowframe(RowFrame, x$(), y$())) AS w#3], [k#0], "
+        "[b#2 ASC]\n\n(10) Project\n"
+    )
+    assert _has_global_window(sample)
+    assert not _has_global_window(partitioned)
 
 
 def test_no_scale_hostile_plans(spark, registry):
