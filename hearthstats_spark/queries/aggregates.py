@@ -520,3 +520,40 @@ def q75_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
              .cast("double").alias("sampled_revenue"))
     )
+
+
+@register(
+    "q76_correlated_min",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_order_day,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o1
+    WHERE o_orderdate = (SELECT MIN(o2.o_orderdate)
+                         FROM orders o2
+                         WHERE o2.o_custkey = o1.o_custkey)
+    """,
+)
+def q76_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped MIN-correlated equality subquery: each
+    customer's earliest order(s) — ``WHERE o_orderdate = (SELECT
+    MIN(...) correlated on custkey)``. Submitted as SQL (entry point
+    B) so Catalyst decorrelates it (RewriteCorrelatedScalarSubquery):
+    the physical plan computes per-customer minima ONCE as an
+    aggregate and joins — never a per-outer-row subquery (the
+    registry-wide plan audit would flag the nested-loop shape).
+    Complements q67's AVG-inequality form: the equality-on-MIN shape
+    is the one that keeps ties (a customer with two same-day earliest
+    orders returns both rows), which the oracle hash checks."""
+    from hearthstats_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS first_order_day,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders o1
+        WHERE o_orderdate = (SELECT MIN(o2.o_orderdate)
+                             FROM orders o2
+                             WHERE o2.o_custkey = o1.o_custkey)
+    """)

@@ -1,20 +1,21 @@
-"""The registry IS the driver contract (SURVEY.md §2): 55 original
-queries q01–q55 + 7 K-group additions q56–q75 + 6 side-effect ops
-s01–s06; 73 oracle-checked."""
+"""The registry IS the driver contract (SURVEY.md §2): 76 declared
+queries q01–q76 + 7 side-effect/streaming ops s01–s07; 74
+oracle-checked."""
 
 from __future__ import annotations
 
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 76)
-} | {"s01", "s02", "s03", "s04", "s05", "s06"}
+    f"q{i:02d}" for i in range(1, 77)
+} | {f"s{i:02d}" for i in range(1, 8)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
+    "s07_stream_processing_time",
 }
 
 
@@ -27,7 +28,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 73
+    assert len(with_oracle) == 74
 
 
 def test_names_well_formed(registry):
