@@ -523,6 +523,36 @@ def q75_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q79_percentile_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def q79_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event_type —
+    ``F.percentile`` (SQL PERCENTILE_CONT semantics) vs DuckDB's
+    quantile_cont, hash-exact after 4dp rounding. The exact form
+    buffers each group's values; at 100 TB the drop-in scale
+    substitute is ``approx_percentile`` (KLL-ish sketch, mergeable,
+    bounded memory) — the q22 exact-vs-approx trade, applied to
+    quantiles. Group count here is tiny (5 event types), so the
+    buffered exact form is the right default until group cardinality
+    × group size outgrows executor memory."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
     "q76_correlated_min",
     oracle="""
     SELECT o_custkey, o_orderkey,

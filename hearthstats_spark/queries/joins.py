@@ -425,3 +425,33 @@ def q70_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "q80_join_salted",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q80_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join — the pre-shuffle skew lever
+    (operators/skew.py) as a declared, oracle-checked query: the
+    probe side scatters each key over 16 per-row-nonce salts, the
+    dim side replicates ×16, and the join key becomes (key, salt) so
+    a hot customer's rows land on 16 reducers instead of one. The
+    result is row-identical to the plain join (hash-checked against
+    the unsalted oracle); AQE's skew split is the post-shuffle
+    complement, salting the pre-shuffle one. Cost model and how-many-
+    salts guidance in the operator docstring."""
+    from hearthstats_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return salted_join(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        ["o_custkey"], n_salts=16,
+    ).select("o_orderkey", "o_custkey",
+             F.col("o_totalprice").cast("double").alias("o_totalprice"),
+             "c_name")

@@ -192,6 +192,48 @@ def q51_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q77_dedup_embedding",
+    oracle=_COS_ORACLE_CTE + """
+    , dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    )
+    SELECT e.vec_id, e.label
+    FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+    WHERE dup.vec_id IS NULL
+    """,
+)
+def q77_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (the end-form q51's pair
+    finder feeds): a vector is dropped iff it has a same-label
+    lower-id neighbor with cosine ≥ 0.3 — the deterministic
+    keep-first-id rule, non-transitive so both engines agree exactly.
+
+    Plan: q51's blocked kernel emits (id_a < id_b) pairs with one
+    shuffle on the blocking key (label — IVF/LSH bucket at 100 TB);
+    the distinct id_b set is every dropped vector; a left-anti join
+    back to the table keeps survivors. Never materializes the O(n²)
+    pair space — only ≥-threshold pairs exist, and the anti join is
+    id-keyed. For TRANSITIVE dedup (cluster survivors) chain
+    operators/graph.dedup_clusters on the same pairs (rows-only —
+    iterative propagation has no SQL oracle)."""
+    from hearthstats_spark.operators.similarity import blocked_threshold_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dropped = (
+        blocked_threshold_pairs(e, "vec_id", "embedding", "label",
+                                min_sim=0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+@register(
     "q52_text_tokens",
     oracle="""
     SELECT term, COUNT(*) AS n

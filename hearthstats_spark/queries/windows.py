@@ -138,6 +138,42 @@ def q27_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q78_win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+               AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch(date_trunc('second', ts))
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q78_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user stats via a RANGE frame — the
+    time-interval sibling of q27's ROWS frame: the frame holds every
+    event within 3600 s of the current one, however many rows that
+    is. Ordered by whole epoch-seconds (ns vs µs precision rule,
+    SURVEY.md §1.3 note 1); RANGE frames include ALL ties of the
+    boundary value on both engines, so no tie-break column is needed
+    for determinism. Partitioned by user — per-partition sort, scales
+    like every other keyed window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@register(
     "q28_win_cumulative",
     oracle="""
     WITH daily AS (

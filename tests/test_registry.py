@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 76 declared
-queries q01–q76 + 7 side-effect/streaming ops s01–s07; 74
+"""The registry IS the driver contract (SURVEY.md §2): 80 declared
+queries q01–q80 + 7 side-effect/streaming ops s01–s07; 78
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 77)
+    f"q{i:02d}" for i in range(1, 81)
 } | {f"s{i:02d}" for i in range(1, 8)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -28,7 +28,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 74
+    assert len(with_oracle) == 78
 
 
 def test_names_well_formed(registry):
