@@ -83,3 +83,39 @@ def s02_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "fmt string, n_rows long, roundtrip_ok boolean",
     )
+
+
+@register("s08_orc_avro_roundtrip", oracle=None)  # rows-only: side-effect op
+def s08_orc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format round-trips beyond parquet: ORC (built into
+    Spark) written and read back with value equality verified; Avro
+    attempted and recorded (the spark-avro module is an external jar
+    not shipped offline, so the expected record is
+    'avro_unavailable' — the attempt keeps the gap visible rather
+    than silently untested). Reports per-format rows + match flag."""
+    nation = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="hs_orc_")
+    orc_dir = os.path.join(base, "orc")
+
+    nation.write.mode("overwrite").orc(orc_dir)
+    orc_back = spark.read.schema(nation.schema).orc(orc_dir)
+    orc_ok = (
+        orc_back.count() == nation.count()
+        and orc_back.exceptAll(nation).count() == 0
+        and nation.exceptAll(orc_back).count() == 0
+    )
+
+    avro_state = "avro_ok"
+    try:
+        avro_dir = os.path.join(base, "avro")
+        nation.write.mode("overwrite").format("avro").save(avro_dir)
+        a_back = spark.read.format("avro").load(avro_dir)
+        if a_back.count() != nation.count():
+            avro_state = "avro_mismatch"
+    except Exception:
+        avro_state = "avro_unavailable"  # external spark-avro jar absent
+
+    return spark.createDataFrame(
+        [("orc", nation.count(), bool(orc_ok), avro_state)],
+        "fmt string, n_rows long, roundtrip_ok boolean, avro string",
+    )

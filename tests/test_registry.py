@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 80 declared
-queries q01–q80 + 7 side-effect/streaming ops s01–s07; 78
+queries q01–q80 + 8 side-effect/streaming ops s01–s08; 78
 oracle-checked."""
 
 from __future__ import annotations
@@ -8,14 +8,14 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 81)
-} | {f"s{i:02d}" for i in range(1, 8)}
+} | {f"s{i:02d}" for i in range(1, 9)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
-    "s07_stream_processing_time",
+    "s07_stream_processing_time", "s08_orc_avro_roundtrip",
 }
 
 
