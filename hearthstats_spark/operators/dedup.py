@@ -187,16 +187,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
         F.col(id_col).alias("__id"),
         F.explode(F.split(text_col, " ")).alias("__t"),
     ).select("__id", h.alias("__h"))
-    votes = tok.groupBy("__id").agg(*[
-        F.sum(
-            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"__v{b}")
-        for b in range(bits)
-    ])
+    # branch-free votes: ones_b = Σ ((h >> b) & 1); bit b is set iff
+    # 2·ones_b ≥ n (⇔ Σ(±1) ≥ 0, the classic vote) — same integer
+    # arithmetic as the when/otherwise form but cheaper codegen
+    # (60 masked adds instead of 60 conditionals in the hot agg)
+    votes = tok.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1)))
+          .alias(f"__v{b}") for b in range(bits)],
+    )
     sig = sum(
         (
-            F.when(F.col(f"__v{b}") >= 0, F.lit(1).cast("long") * (1 << b))
+            F.when(2 * F.col(f"__v{b}") >= F.col("__n"),
+                   F.lit(1).cast("long") * (1 << b))
             .otherwise(F.lit(0).cast("long"))
             for b in range(bits)
         ),

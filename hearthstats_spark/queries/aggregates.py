@@ -409,13 +409,19 @@ def q68_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_date_range": (F.col("o_orderdate") < "1990-01-01")
         | (F.col("o_orderdate") > "2005-01-01"),
     }))
-    fk = spark.createDataFrame(
-        [("orders_orphan_custkey",
-          fk_violations(o, "o_custkey", c, "c_custkey").count()),
-         ("lineitem_orphan_orderkey",
-          fk_violations(li, "l_orderkey", o, "o_orderkey").count())],
-        "check string, n_violations long",
-    )
+    # referential checks stay IN the plan (one-row aggregates over the
+    # anti joins, unioned) — round 1 ran them as two eager driver-side
+    # count() jobs before the main job even started
+    def fk_count(name: str, child, ck, parent, pk):
+        return (
+            fk_violations(child, ck, parent, pk)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("check"), "n_violations")
+        )
+
+    fk = (fk_count("orders_orphan_custkey", o, "o_custkey", c, "c_custkey")
+          .unionByName(fk_count("lineitem_orphan_orderkey",
+                                li, "l_orderkey", o, "o_orderkey")))
     return row_rules.unionByName(fk)
 
 
