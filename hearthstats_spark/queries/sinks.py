@@ -119,3 +119,69 @@ def s08_orc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("orc", nation.count(), bool(orc_ok), avro_state)],
         "fmt string, n_rows long, roundtrip_ok boolean, avro string",
     )
+
+
+@register("s09_merge_upsert", oracle=None)  # rows-only: side-effect op
+def s09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD-1) over a plain-parquet table — the
+    incremental-load primitive every warehouse pipeline needs.
+    Without a transactional table format the pattern is
+    read-merge-rewrite: target ⟕ updates on the key, updates win
+    (``coalesce``), inserts union in, and the result atomically
+    replaces the target (write to a new dir + rename — here a fresh
+    dir per run; on Delta/Iceberg this whole op is a single
+    ``MERGE INTO`` and only touched files rewrite).
+
+    Scale notes: the merge is one broadcast-or-shuffle join on the
+    key + one union — linear, no driver data. The rewrite cost is
+    the real argument for transactional formats at 100 TB; partition
+    the target by a key prefix so only affected partitions rewrite.
+
+    Demo: customers with c_nationkey=1 get their acctbal zeroed
+    (updates) and 5 synthetic customers append (inserts). Returns
+    (n_target, n_updates, n_inserts, n_merged, n_zeroed_after,
+    n_inserted_after) — self-verifying counts."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    base = tempfile.mkdtemp(prefix="hs_merge_")
+    target_dir = os.path.join(base, "target")
+    c.write.mode("overwrite").parquet(target_dir)
+
+    target = spark.read.parquet(target_dir)
+    updates = (target.filter(F.col("c_nationkey") == 1)
+               .withColumn("c_acctbal", F.lit(0.0)))
+    max_key = target.agg(F.max("c_custkey")).collect()[0][0]
+    inserts = spark.createDataFrame(
+        [(max_key + i, f"NewCustomer#{i}", 1, 100.0 * i)
+         for i in range(1, 6)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double",
+    )
+
+    upd = updates.select(
+        F.col("c_custkey").alias("u_key"),
+        *[F.col(col).alias(f"u_{col}")
+          for col in ("c_name", "c_nationkey", "c_acctbal")])
+    merged = (
+        target.join(F.broadcast(upd),
+                    target["c_custkey"] == upd["u_key"], "left")
+        .select(
+            "c_custkey",
+            *[F.coalesce(f"u_{col}", col).alias(col)
+              for col in ("c_name", "c_nationkey", "c_acctbal")])
+        .unionByName(inserts)
+    )
+    merged_dir = os.path.join(base, "merged")
+    merged.write.mode("overwrite").parquet(merged_dir)
+
+    after = spark.read.parquet(merged_dir)
+    return spark.createDataFrame(
+        [(
+            target.count(), updates.count(), inserts.count(), after.count(),
+            after.filter((F.col("c_nationkey") == 1)
+                         & (F.col("c_acctbal") == 0.0)
+                         & ~F.col("c_name").startswith("NewCustomer")).count(),
+            after.filter(F.col("c_name").startswith("NewCustomer")).count(),
+        )],
+        "n_target long, n_updates long, n_inserts long, n_merged long, "
+        "n_zeroed_after long, n_inserted_after long",
+    )

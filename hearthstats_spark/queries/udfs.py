@@ -141,3 +141,43 @@ def q47_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.round("z_raw", 4).alias("z")
     )
+
+
+@register(
+    "q81_udtf_lateral",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, gs.part AS installment,
+           ROUND(n.n_nationkey * 10.0 / 4, 4) AS share
+    FROM nation n, generate_series(1, 4) AS gs(part)
+    """,
+)
+def q81_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 ``@udtf``) in a LATERAL join —
+    each nation row fans out to 4 installment rows with an equal
+    share. This is the table-function API surface (one→many row
+    transforms with per-row Python logic: parsers, exploders,
+    enrichers); the DuckDB oracle is the equivalent
+    ``generate_series`` lateral.
+
+    Scale notes: UDTFs run row-at-a-time through the Python worker —
+    the slow lane, same policy as q44's scalar UDF (plan-audit
+    allowlisted). For pure fan-out like this the JVM path is
+    ``explode(sequence(...))`` (q38); a UDTF earns its cost only when
+    the per-row logic is genuinely Python. The tiny nation dim keeps
+    the demo honest."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="installment int, share double")
+    class InstallmentPlan:
+        def eval(self, nationkey: int, n_parts: int):
+            for i in range(1, n_parts + 1):
+                yield i, round(nationkey * 10.0 / n_parts, 4)
+
+    spark.udtf.register("installment_plan", InstallmentPlan)
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation_v")
+    return spark.sql("""
+        SELECT n.n_nationkey, n.n_name, p.installment, p.share
+        FROM nation_v n,
+             LATERAL installment_plan(CAST(n.n_nationkey AS INT), 4) p
+    """)

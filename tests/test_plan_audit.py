@@ -18,7 +18,9 @@ from tests.conftest import SF_MED
 #: into the weight expression — the scalar-subquery shape, not a
 #: pair-space nested loop.
 NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf"}
-PYTHON_ROW_OK = {"q44_udf_python"}
+#: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
+#: documented slow lane, same policy as q44's scalar UDF.
+PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
 # q28 pre-aggregates to one row per ORDER DAY before its global
 # cumulative window — the single sort task sees ~2.4k rows regardless
 # of fact-table size, which is the documented safe use of an

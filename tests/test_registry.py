@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 80 declared
-queries q01–q80 + 8 side-effect/streaming ops s01–s08; 78
+"""The registry IS the driver contract (SURVEY.md §2): 81 declared
+queries q01–q81 + 9 side-effect/streaming ops s01–s09; 79
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,8 +7,8 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 81)
-} | {f"s{i:02d}" for i in range(1, 9)}
+    f"q{i:02d}" for i in range(1, 82)
+} | {f"s{i:02d}" for i in range(1, 10)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near",
@@ -16,6 +16,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
     "s07_stream_processing_time", "s08_orc_avro_roundtrip",
+    "s09_merge_upsert",
 }
 
 
@@ -28,7 +29,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 78
+    assert len(with_oracle) == 79
 
 
 def test_names_well_formed(registry):
