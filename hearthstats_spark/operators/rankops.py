@@ -45,7 +45,10 @@ def with_global_position(
     count aggregate, then a single per-bucket sort — every window
     partitions by a real key."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    # n_buckets=1 → no boundaries (approxQuantile NPEs on an empty
+    # probability list); everything lands in bucket 0
+    bounds = sorted(set(
+        df.approxQuantile(order_col, probs, 0.001))) if probs else []
     bucket = sum(
         (F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
          for b in bounds),

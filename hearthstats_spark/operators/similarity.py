@@ -88,10 +88,17 @@ def chunked_topk_pairs(df: DataFrame, id_col: str, vec_col: str,
                   .select("ca", "cb", "vec_id", "embedding",
                           F.lit(1).alias("__side")))
 
+    empty = pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                          "vec_id_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+
     def task_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         same = pdf["ca"].iat[0] == pdf["cb"].iat[0]
         a = pdf[pdf["__side"] == 0]
         b = a if same else pdf[pdf["__side"] == 1]
+        if not len(a) or not len(b):
+            # a hash chunk can be empty → one-sided task, no pairs
+            return empty
         ids_a = a["vec_id"].to_numpy()
         ids_b = b["vec_id"].to_numpy()
         ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)

@@ -74,3 +74,61 @@ def test_salted_join_always_equals_plain(spark, rows):
     got = sorted(map(tuple, salted_join(probe, build, ["k"]).collect()))
     want = sorted(map(tuple, probe.join(build, ["k"]).collect()))
     assert got == want
+
+
+_VALS = st.lists(
+    st.tuples(st.integers(0, 10_000),          # unique-ish id
+              st.floats(-1e6, 1e6, allow_nan=False, width=32)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_VALS, n_buckets=st.integers(1, 5))
+@_SETTINGS
+def test_global_position_matches_sorted_order(spark, rows, n_buckets):
+    """with_global_position must equal the plain sorted position for
+    ANY value distribution and bucket count — including duplicate
+    order values (tiebreak column), single-bucket, and more buckets
+    than rows."""
+    from hearthstats_spark.operators.rankops import with_global_position
+
+    df = spark.createDataFrame(rows, "id long, v double")
+    got_df, n = with_global_position(df, "v", tiebreak=["id"],
+                                     n_buckets=n_buckets)
+    got = {r["id"]: r["__pos"] for r in got_df.collect()}
+    want = {rid: i + 1
+            for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
+    assert n == len(rows)
+    assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.floats(0.125, 8.0, allow_nan=False),
+                       min_size=4, max_size=4)),
+    min_size=2, max_size=24, unique_by=lambda t: t[0],
+), chunk=st.integers(1, 8))
+@_SETTINGS
+def test_chunked_topk_matches_numpy_bruteforce(spark, rows, chunk):
+    """chunked_topk_pairs (the q50 kernel) must reproduce the exact
+    numpy all-pairs top-k for any chunking — single chunk, chunk
+    bigger than data, chunk=1 (every row its own task group)."""
+    import numpy as np
+
+    from hearthstats_spark.operators.similarity import chunked_topk_pairs
+
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    k = 5
+    got = [(r["id_a"], r["id_b"], r["sim"]) for r in
+           chunked_topk_pairs(df, "id", "emb", k=k,
+                              rows_per_chunk=chunk).collect()]
+
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 4)
+    pairs = [(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])),
+              float(sims[i, j]))
+             for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    want = sorted(pairs, key=lambda t: (-t[2], t[0], t[1]))[:k]
+    assert got == want
