@@ -35,20 +35,34 @@ def with_global_position(
     tiebreak: Sequence[str] = (),
     n_buckets: int = 32,
     pos_col: str = "__pos",
+    boundaries: str = "quantile",
 ) -> tuple[DataFrame, int]:
     """Append ``pos_col`` = exact 1-based position of each row in the
     total order (``order_col``, then ``tiebreak``) — which must be unique
     per row — and return ``(df_with_pos, total_row_count)``.
 
-    ``order_col`` must be numeric (range boundaries come from
-    ``approxQuantile``). Plan: one quantile sketch pass, one tiny
-    count aggregate, then a single per-bucket sort — every window
-    partitions by a real key."""
+    ``order_col`` must be numeric. ``boundaries`` picks the range
+    split: ``"quantile"`` (approxQuantile sketch — balanced under any
+    value skew, the default) or ``"uniform"`` (min/max + equal-width
+    cuts — a cheaper single min/max aggregate, ideal when the order
+    key is dense/uniform like a sequential id; under heavy value skew
+    it only costs balance, never correctness). Plan: one boundary
+    pass, one tiny count aggregate, then a single per-bucket sort —
+    every window partitions by a real key."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # n_buckets=1 → no boundaries (approxQuantile NPEs on an empty
     # probability list); everything lands in bucket 0
-    bounds = sorted(set(
-        df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    if not probs:
+        bounds = []
+    elif boundaries == "uniform":
+        lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+        if lo is None or hi == lo:
+            bounds = []
+        else:
+            step = (hi - lo) / n_buckets
+            bounds = sorted({lo + i * step for i in range(1, n_buckets)})
+    else:
+        bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
     bucket = sum(
         (F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
          for b in bounds),

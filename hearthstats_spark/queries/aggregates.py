@@ -519,6 +519,10 @@ def q75_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_df, _ = with_global_position(
         o.select("o_orderkey", "o_totalprice"), "o_orderkey",
         pos_col="rn",
+        # orderkeys are dense-sequential → equal-width cuts are both
+        # perfectly balanced and a cheaper pass than the quantile
+        # sketch (min/max agg vs per-row sketch updates)
+        boundaries="uniform",
     )
     return (
         pos_df.filter(F.col("rn") % 10 == 1)

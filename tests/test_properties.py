@@ -83,18 +83,21 @@ _VALS = st.lists(
 )
 
 
-@given(rows=_VALS, n_buckets=st.integers(1, 5))
+@given(rows=_VALS, n_buckets=st.integers(1, 5),
+       boundaries=st.sampled_from(["quantile", "uniform"]))
 @_SETTINGS
-def test_global_position_matches_sorted_order(spark, rows, n_buckets):
+def test_global_position_matches_sorted_order(spark, rows, n_buckets,
+                                              boundaries):
     """with_global_position must equal the plain sorted position for
-    ANY value distribution and bucket count — including duplicate
-    order values (tiebreak column), single-bucket, and more buckets
-    than rows."""
+    ANY value distribution, bucket count, and boundary strategy —
+    including duplicate order values (tiebreak column),
+    single-bucket, all-equal values, and more buckets than rows."""
     from hearthstats_spark.operators.rankops import with_global_position
 
     df = spark.createDataFrame(rows, "id long, v double")
     got_df, n = with_global_position(df, "v", tiebreak=["id"],
-                                     n_buckets=n_buckets)
+                                     n_buckets=n_buckets,
+                                     boundaries=boundaries)
     got = {r["id"]: r["__pos"] for r in got_df.collect()}
     want = {rid: i + 1
             for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
