@@ -64,7 +64,13 @@ def chunked_topk_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     spark = df.sparkSession
     n = df.count()  # scalar metadata action (sizes B), not a collect
-    n_chunks = max(1, math.ceil(n / rows_per_chunk))
+    # parallelism floor: even when everything fits one chunk, split to
+    # ~8 chunks (36 tasks) once there's enough data — a single
+    # applyInPandas task is a straggler magnet (measured 0.6–5 s
+    # jitter for the same one-task plan), while a few dozen small
+    # tasks run stably and keep the cores busy
+    n_chunks = max(1, math.ceil(n / rows_per_chunk),
+                   min(8, math.ceil(n / 256)))
 
     base = df.select(F.col(id_col).alias("vec_id"),
                      F.col(vec_col).alias("embedding"),
@@ -119,7 +125,15 @@ def chunked_topk_pairs(df: DataFrame, id_col: str, vec_col: str,
         })
 
     rows = side_a if side_b is None else side_a.unionByName(side_b)
-    cand = (rows.groupBy("ca", "cb")
+    # pre-partition to exactly the task count on the grouping keys:
+    # the groupBy's required distribution is then already satisfied,
+    # so the plan runs n_tasks real tasks instead of
+    # spark.sql.shuffle.partitions mostly-empty ones (each empty
+    # FlatMapGroupsInPandas task still acquires a Python worker —
+    # measured as multi-second jitter at 32 partitions / 1 task)
+    n_tasks = n_chunks * (n_chunks + 1) // 2
+    cand = (rows.repartition(n_tasks, "ca", "cb")
+            .groupBy("ca", "cb")
             .applyInPandas(task_topk,
                            "vec_id_a long, vec_id_b long, sim double"))
     return (cand.orderBy(F.col("sim").desc(), "vec_id_a", "vec_id_b")
