@@ -129,3 +129,58 @@ def q43_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("dur_sec").cast("double") / F.count(F.lit(1)), 4)
         .alias("avg_dur_sec"),
     )
+
+
+@register(
+    "q82_funnel_steps",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      epoch(date_trunc('second', ts)) AS sec
+               FROM events),
+         s1 AS (SELECT user_id, MIN(sec) AS t1
+                FROM e WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.sec) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.sec > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.sec) AS t3
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.sec > s2.t2
+                GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_after
+    """,
+)
+def q82_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users counted at a
+    stage only if that event happens strictly AFTER their first event
+    of the previous stage — the sequential-pattern query engines with
+    MATCH_RECOGNIZE express directly; Spark's formulation is staged
+    min-aggregates: t1 = min(view), t2 = min(click > t1),
+    t3 = min(purchase > t2).
+
+    Timestamps floor to whole epoch-seconds on both engines before
+    comparing (ns vs µs precision rule, SURVEY.md §1.3 note 1).
+
+    Scale notes: three hash aggregates + two joins, ALL keyed on
+    user_id — after the first shuffle every stage reuses the same
+    hash partitioning, so this is one wide shuffle plus co-located
+    narrow stages at any data size. One summary row out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec"))
+
+    def stage(event_type, prev, prev_col, out_col):
+        base = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            base = (base.join(prev, "user_id")
+                    .filter(F.col("sec") > F.col(prev_col)))
+        return base.groupBy("user_id").agg(F.min("sec").alias(out_col))
+
+    s1 = stage("view", None, None, "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    counts = [df.agg(F.count(F.lit(1)).alias(name))
+              for df, name in ((s1, "n_viewed"), (s2, "n_clicked_after"),
+                               (s3, "n_purchased_after"))]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])

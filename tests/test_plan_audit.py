@@ -14,10 +14,11 @@ from __future__ import annotations
 from hearthstats_spark.plans import explain_str
 from tests.conftest import SF_MED
 
-#: q53's entry is the 1-row broadcast scalar (n_docs) cross-joined
-#: into the weight expression — the scalar-subquery shape, not a
-#: pair-space nested loop.
-NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf"}
+#: q53 cross-joins a 1-row broadcast scalar (n_docs) into the weight
+#: expression and q82 combines three 1-row stage counts — the
+#: scalar-subquery shape, not a pair-space nested loop.
+NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
+                  "q82_funnel_steps"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
