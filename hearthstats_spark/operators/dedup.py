@@ -117,6 +117,82 @@ def minhash_near_dup_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity self-join via prefix filtering
+    (the AllPairs/PPJoin candidate-generation idea: Bayardo et al.
+    WWW'07, Xiao et al. WWW'08) — the exact complement of the MinHash
+    (approximate, possible false negatives) and SimHash sketches.
+
+    Guarantee: order every doc's shingles by a global canonical order
+    (ascending document frequency, shingle as tie-break) and index only
+    the first ``sz - ceil(t·sz) + 1`` of each ("prefix"). Any pair
+    with Jaccard ≥ t has overlap ≥ ceil(t·max(|A|,|B|)), so the
+    smallest common shingle under the canonical order must fall inside
+    BOTH prefixes — the prefix self-join misses nothing. Rare-first
+    ordering simultaneously minimizes the join fan-out: hot shingles
+    live in suffixes and never generate candidates.
+
+    Scale: shuffles are (1) shingle groupBy for df, (2) doc_id window
+    for rank/size, (3) prefix equi-self-join on shingle, (4) pair
+    groupBy — all linear in data + candidates, never all-pairs. The
+    per-shingle fan-out is bounded by the rarity ordering (and AQE
+    splits residual skew); the verify step is two equi joins + a
+    count, no arrays collected.
+
+    Threshold math is integer-only (``t_den·i ≥ t_num·union`` and the
+    prefix length via ceil-division ``(t_num·sz + t_den−1) div
+    t_den``), so results are hash-exact across engines — no float
+    literal drift (DuckDB parses ``0.6`` as DECIMAL; Spark as DOUBLE).
+
+    Returns (id_a, id_b, jaccard) for pairs with J ≥ t_num/t_den.
+    """
+    from pyspark.sql import Window
+
+    sh = df.select(F.col(id_col).alias("__id"),
+                   F.explode(shingles(text_col, k)).alias("__s"))
+    freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id")
+    plen = (F.col("__sz")
+            - F.expr(f"({t_num} * __sz + {t_den - 1}) div {t_den}") + 1)
+    ranked = (
+        sh.join(freq, "__s")
+        .withColumn("__rk", F.row_number().over(w.orderBy("__df", "__s")))
+        .withColumn("__sz", F.count(F.lit(1)).over(w))
+    )
+    prefix = ranked.filter(F.col("__rk") <= plen)
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.__s") == F.col("b.__s"))
+              & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                F.col("a.__sz").alias("sz_a"), F.col("b.__sz").alias("sz_b"))
+        .distinct()
+    )
+    inter = (
+        cand
+        .join(sh.select(F.col("__id").alias("id_a"), "__s"), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), "__s"), ["id_b", "__s"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("__i")
+    return (
+        inter
+        .filter(t_den * F.col("__i") >= t_num * union)
+        .select("id_a", "id_b",
+                F.round(F.col("__i").cast("double") / union.cast("double"),
+                        4).alias("jaccard"))
+    )
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str,
                         text_col: str = "text", k: int = 8,
                         w: int = 4) -> DataFrame:

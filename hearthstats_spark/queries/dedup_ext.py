@@ -51,6 +51,59 @@ def _oracle() -> str:
     """
 
 
+_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+       FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+       WHERE i <= greatest(len(t) - 3, 0)),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+ranked AS (
+    SELECT sh.doc_id, sh.s,
+           row_number() OVER (PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS rk,
+           count(*)    OVER (PARTITION BY sh.doc_id) AS sz
+    FROM sh JOIN freq f USING (s)),
+prefix AS (SELECT * FROM ranked WHERE rk <= sz - (3*sz + 4) // 5 + 1),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sz AS sz_a, b.sz AS sz_b
+    FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, count(*) AS i
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sz_a + sz_b - i), 4) AS jaccard
+FROM inter
+WHERE 5*i >= 3*(sz_a + sz_b - i)
+"""
+
+
+@register("q83_dedup_jaccard_exact", oracle=_JACCARD_ORACLE)
+def q83_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs at J ≥ 3/5 via
+    prefix-filtered set-similarity self-join (AllPairs/PPJoin
+    candidate generation) — no LSH recall loss, no all-pairs blow-up.
+
+    Unlike q49 (MinHash banding: approximate candidate recall) and
+    q60 (SimHash sketch), this is the exact formulation a dedup
+    pipeline runs when false negatives are unacceptable; the prefix
+    filter keeps it linear-ish at 100 TB (see
+    operators/dedup.prefix_filtered_jaccard_pairs for the guarantee
+    and shuffle budget). Oracle: same algorithm in DuckDB SQL —
+    integer-only threshold math, so the match is hash-exact; the
+    prefix-filter output is additionally brute-force-verified in
+    tests/test_operators.py."""
+    from hearthstats_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", k=3, t_num=3, t_den=5)
+
+
 @register("q60_dedup_simhash", oracle=_oracle())
 def q60_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (see module docstring).

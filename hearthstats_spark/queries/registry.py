@@ -70,6 +70,7 @@ QUERY_MODULES = (
     "hearthstats_spark.queries.dedup_ext",
     "hearthstats_spark.queries.ann",
     "hearthstats_spark.queries.multimodal",
+    "hearthstats_spark.queries.sketches",
     "hearthstats_spark.queries.sinks",
     "hearthstats_spark.streaming.pipeline",
 )

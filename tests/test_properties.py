@@ -135,3 +135,42 @@ def test_chunked_topk_matches_numpy_bruteforce(spark, rows, chunk):
              for i in range(len(ids)) for j in range(i + 1, len(ids))]
     want = sorted(pairs, key=lambda t: (-t[2], t[0], t[1]))[:k]
     assert got == want
+
+
+@given(docs=st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                              min_size=1, max_size=6),
+                     min_size=0, max_size=8))
+@_SETTINGS
+def test_prefix_jaccard_matches_bruteforce(spark, docs):
+    """prefix_filtered_jaccard_pairs (the q83 kernel) must equal the
+    all-pairs exact Jaccard for ANY corpus — the prefix filter is a
+    candidate-pruning step that may never drop a qualifying pair.
+    Tiny vocab forces heavy shingle sharing (hot-shingle suffixes),
+    short docs hit the truncated-shingle (n < k) path."""
+    from hearthstats_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    k, tn, td = 2, 1, 2
+
+    def shingle_set(tokens):
+        return {" ".join(tokens[i:i + k])
+                for i in range(max(len(tokens) - k, 0) + 1)}
+
+    sets = [shingle_set(d) for d in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            un = len(sets[i] | sets[j])
+            if td * inter >= tn * un:
+                want[(i, j)] = round(inter / un, 4)
+
+    schema = "doc_id long, text string"
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = (spark.createDataFrame(rows, schema) if rows
+          else spark.createDataFrame([], schema))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filtered_jaccard_pairs(
+               df, "doc_id", "text", k=k, t_num=tn, t_den=td).collect()}
+    assert got == want

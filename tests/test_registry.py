@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 82 declared
-queries q01–q82 + 9 side-effect/streaming ops s01–s09; 80
+"""The registry IS the driver contract (SURVEY.md §2): 84 declared
+queries q01–q84 + 10 side-effect/streaming ops s01–s10; 81
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,16 +7,16 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 83)
-} | {f"s{i:02d}" for i in range(1, 10)}
+    f"q{i:02d}" for i in range(1, 85)
+} | {f"s{i:02d}" for i in range(1, 11)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
-    "q22_agg_approx", "q49_dedup_near",
+    "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
     "s07_stream_processing_time", "s08_orc_avro_roundtrip",
-    "s09_merge_upsert",
+    "s09_merge_upsert", "s10_partitioned_layout",
 }
 
 
@@ -29,7 +29,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 80
+    assert len(with_oracle) == 81
 
 
 def test_names_well_formed(registry):
