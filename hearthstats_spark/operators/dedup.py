@@ -140,11 +140,14 @@ def prefix_filtered_jaccard_pairs(
     live in suffixes and never generate candidates.
 
     Scale: shuffles are (1) shingle groupBy for df, (2) doc_id window
-    for rank/size, (3) prefix equi-self-join on shingle, (4) pair
-    groupBy — all linear in data + candidates, never all-pairs. The
-    per-shingle fan-out is bounded by the rarity ordering (and AQE
-    splits residual skew); the verify step is two equi joins + a
-    count, no arrays collected.
+    for the rank, (3) prefix equi-self-join on shingle, (4) two id
+    equi-joins for the verify — all linear in data + candidates,
+    never all-pairs. The per-shingle fan-out is bounded by the rarity
+    ordering (and AQE splits residual skew); the verify is per-pair
+    ``array_intersect`` on the cached shingle arrays — no pair-key
+    shuffle. The shingle-array frame is cached for the same measured
+    reason as MinHash above: three DAG branches read it and Spark
+    does not reuse the subplan (at cluster scale: checkpoint).
 
     Threshold math is integer-only (``t_den·i ≥ t_num·union`` and the
     prefix length via ceil-division ``(t_num·sz + t_den−1) div
@@ -155,40 +158,37 @@ def prefix_filtered_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = df.select(F.col(id_col).alias("__id"),
-                   F.explode(shingles(text_col, k)).alias("__s"))
+    sets = df.select(F.col(id_col).alias("__id"),
+                     shingles(text_col, k).alias("__arr")).cache()
+    sh = sets.select("__id", F.size("__arr").alias("__sz"),
+                     F.explode("__arr").alias("__s"))
     freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy("__id")
     plen = (F.col("__sz")
             - F.expr(f"({t_num} * __sz + {t_den - 1}) div {t_den}") + 1)
-    ranked = (
-        sh.join(freq, "__s")
-        .withColumn("__rk", F.row_number().over(w.orderBy("__df", "__s")))
-        .withColumn("__sz", F.count(F.lit(1)).over(w))
-    )
+    ranked = sh.join(freq, "__s").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy("__df", "__s")))
     prefix = ranked.filter(F.col("__rk") <= plen)
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.__s") == F.col("b.__s"))
               & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                F.col("a.__sz").alias("sz_a"), F.col("b.__sz").alias("sz_b"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    inter = (
-        cand
-        .join(sh.select(F.col("__id").alias("id_a"), "__s"), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), "__s"), ["id_b", "__s"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    union = F.col("sz_a") + F.col("sz_b") - F.col("__i")
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.size("arr_a") + F.size("arr_b") - inter
     return (
-        inter
-        .filter(t_den * F.col("__i") >= t_num * union)
+        cand
+        .join(sets.select(F.col("__id").alias("id_a"),
+                          F.col("__arr").alias("arr_a")), "id_a")
+        .join(sets.select(F.col("__id").alias("id_b"),
+                          F.col("__arr").alias("arr_b")), "id_b")
+        .filter(t_den * inter >= t_num * union)
         .select("id_a", "id_b",
-                F.round(F.col("__i").cast("double") / union.cast("double"),
+                F.round(inter.cast("double") / union.cast("double"),
                         4).alias("jaccard"))
     )
 
