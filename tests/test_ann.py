@@ -1,0 +1,95 @@
+"""q85 random-hyperplane LSH: verified against an independent numpy
+reimplementation (planes, buckets, candidates, top-k), plus the two
+structural properties that make multi-table LSH worth running —
+OR-ed tables never recall less than one table, and the candidate set
+stays a small fraction of n. Absolute recall is NOT pinned: the
+synthetic embeddings are near-uniform random, so true neighbors are
+barely closer than random and any bucketing scheme's recall is noise
+(same finding as round 1's MinHashLSH measurement on this data)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"select vec_id, embedding from "
+        f"read_parquet('{SF}/embeddings.parquet') order by vec_id"
+    ).fetchdf()
+    mat = np.stack(df["embedding"].values).astype(np.float64)
+    return df["vec_id"].values, mat
+
+
+def _numpy_lsh(mat):
+    from hearthstats_spark.queries.ann import (
+        _LSH_BITS, _LSH_PLANES, _LSH_TABLES,
+    )
+
+    buckets = {}
+    for t in range(_LSH_TABLES):
+        planes = np.stack([_LSH_PLANES[(t, b)] for b in range(_LSH_BITS)])
+        bits = (mat @ planes.T >= 0).astype(int)
+        buckets[t] = (bits * (1 << np.arange(_LSH_BITS))).sum(axis=1)
+    return buckets
+
+
+def test_lsh_matches_numpy_reference(spark, registry, emb):
+    ids, mat = emb
+    buckets = _numpy_lsh(mat)
+    nrm = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 4)
+
+    want = set()
+    for q in range(10):
+        cand = {i for t in buckets for i in range(len(ids))
+                if buckets[t][i] == buckets[t][q] and i != q}
+        ranked = sorted(cand, key=lambda i: (-sims[q, i], ids[i]))[:5]
+        for rk, i in enumerate(ranked, start=1):
+            want.add((int(ids[q]), int(ids[i]), float(sims[q, i]), rk))
+
+    got = {(r["query_id"], r["neighbor_id"], r["sim"], r["rk"])
+           for r in registry["q85_ann_lsh"].fn(spark, SF).collect()}
+    assert got == want
+
+
+def test_lsh_union_recalls_at_least_single_table(emb):
+    ids, mat = emb
+    buckets = _numpy_lsh(mat)
+    nrm = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(sims, -np.inf)
+    true_top = {q: set(np.argsort(-sims[q])[:5]) for q in range(10)}
+
+    def recall(cands_by_q):
+        hits = 0
+        for q, cand in cands_by_q.items():
+            top = set(sorted(cand, key=lambda i: -sims[q, i])[:5])
+            hits += len(top & true_top[q])
+        return hits / (5 * len(cands_by_q))
+
+    single = {q: {i for i in range(len(ids))
+                  if buckets[0][i] == buckets[0][q] and i != q}
+              for q in range(10)}
+    union = {q: single[q] | {i for i in range(len(ids))
+                             if buckets[1][i] == buckets[1][q] and i != q}
+             for q in range(10)}
+    assert recall(union) >= recall(single)
+
+
+def test_lsh_candidate_fraction_small(emb):
+    ids, mat = emb
+    buckets = _numpy_lsh(mat)
+    total = sum(
+        len({i for t in buckets for i in range(len(ids))
+             if buckets[t][i] == buckets[t][q] and i != q})
+        for q in range(10))
+    # the whole point: candidates ≪ n (2 tables × 64 buckets here)
+    assert total / 10 < 0.10 * (len(ids) - 1)
