@@ -597,3 +597,59 @@ def q76_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                              FROM orders o2
                              WHERE o2.o_custkey = o1.o_custkey)
     """)
+
+
+@register(
+    "q86_sample_stratified",
+    oracle="""
+    WITH rated AS (
+        SELECT event_type, value,
+               CASE event_type WHEN 'view' THEN 20
+                               WHEN 'click' THEN 5
+                               ELSE 1 END AS rate,
+               event_id
+        FROM events
+    )
+    SELECT event_type, CAST(rate AS BIGINT) AS rate,
+           CAST(COUNT(*) FILTER (WHERE event_id % rate = 0) AS BIGINT)
+               AS n_sampled,
+           CAST(COUNT(*) FILTER (WHERE event_id % rate = 0) * rate
+                AS BIGINT) AS est_total,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           ROUND(SUM(value) FILTER (WHERE event_id % rate = 0) * rate, 4)
+               AS est_value_sum
+    FROM rated
+    GROUP BY event_type, rate
+    """,
+)
+def q86_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic sampling: each event_type stratum keeps
+    a different deterministic fraction (views 1/20, clicks 1/5,
+    purchases all — the usual downsample-the-majority-class shape in
+    training-data pipelines), via key-modulus so the row set is
+    partitioning-independent and cross-engine checkable. Estimates
+    are Horvitz–Thompson (sampled × rate) next to the true counts.
+
+    Scale: no pre-shuffle — the sample predicate is a map-side
+    filter fused into the scan stage, then ONE aggregation computes
+    sampled and true measures together via conditional aggregates
+    (no second pass over the fact table). `df.sampleBy` is the
+    production variant when determinism across engines isn't
+    required."""
+    e = load_table(spark, sf_dir, "events")
+    rate = (F.when(F.col("event_type") == "view", F.lit(20))
+            .when(F.col("event_type") == "click", F.lit(5))
+            .otherwise(F.lit(1)))
+    in_sample = F.col("event_id") % F.col("rate") == 0
+    return (
+        e.withColumn("rate", rate)
+        .groupBy("event_type", F.col("rate").cast("long").alias("rate"))
+        .agg(
+            F.count(F.when(in_sample, 1)).alias("n_sampled"),
+            (F.count(F.when(in_sample, 1)) * F.first("rate"))
+            .cast("long").alias("est_total"),
+            F.count(F.lit(1)).alias("n_true"),
+            F.round(F.sum(F.when(in_sample, F.col("value")))
+                    * F.first("rate"), 4).alias("est_value_sum"),
+        )
+    )

@@ -216,3 +216,88 @@ def q85_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _TOP_K)
     )
+
+
+# ---- q87: IVF with multiprobe ---------------------------------------
+#
+# Single-probe IVF (q61) only recalls neighbors in the query's OWN
+# quantizer cell. Multiprobe visits the nearest other cells too; for
+# a sign-bit quantizer those are exactly the Hamming-1 cells (one
+# flipped bit = one crossed hyperplane). Each query explodes into
+# 1 + 8 probe bucket ids, the join stays a plain equi join on the
+# bucket id, and — because a candidate lives in exactly ONE cell —
+# the probe list never produces duplicate (query, candidate) pairs,
+# so no dedup pass is needed. Candidate volume grows 9×, recall
+# strictly dominates q61 (superset; pinned in tests/test_ann.py),
+# and the plan shape stays bucket-join + windowed top-k.
+
+
+@register(
+    "q87_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               {_BUCKET_SQL} AS bucket,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, v, nrm,
+               CASE WHEN i = 0 THEN bucket
+                    ELSE xor(bucket, (1 << (i - 1))) END AS pbucket
+        FROM e CROSS JOIN generate_series(0, 8) g(i)
+        WHERE vec_id < {_N_QUERIES}
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+        FROM probes q JOIN e c
+          ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
+    WHERE rk <= {_TOP_K}
+    """,
+)
+def q87_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q61's IVF probe with Hamming-1 multiprobe (9 cells/query; see
+    comment block above). Same output contract as q61/q85."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            for i in range(8)
+        ),
+        start=F.lit(0),
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    base = e.select("vec_id", bucket.alias("bucket"),
+                    v.alias("v"), nrm.alias("nrm"))
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)])
+    q = (base.filter(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.explode(probe_buckets).alias("pbucket"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (
+        F.broadcast(q).join(base, F.col("pbucket") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(dot / (F.col("qn") * F.col("nrm")), 4).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _TOP_K)
+    )

@@ -93,3 +93,22 @@ def test_lsh_candidate_fraction_small(emb):
         for q in range(10))
     # the whole point: candidates ≪ n (2 tables × 64 buckets here)
     assert total / 10 < 0.10 * (len(ids) - 1)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, registry, emb):
+    """q87's Hamming-1 probe set is a strict superset of q61's own
+    cell, so for every query the multiprobe top-5 must be at least
+    as similar, element-wise, as the single-probe top-5."""
+    def topk(name):
+        out = {}
+        for r in registry[name].fn(spark, SF).collect():
+            out.setdefault(r["query_id"], []).append(r["sim"])
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    single, multi = topk("q61_ann_ivf"), topk("q87_ann_ivf_multiprobe")
+    assert set(single) <= set(multi)  # multiprobe may serve MORE queries
+    for q, sims in single.items():
+        m = multi[q]
+        assert len(m) >= len(sims)
+        for got, base in zip(m, sims):
+            assert got >= base
