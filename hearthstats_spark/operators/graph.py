@@ -13,9 +13,11 @@ itself and its neighbors) expressed in DataFrame ops:
   otherwise stack lineage until planning time explodes (the classic
   iterative-Spark trap; GraphX/GraphFrames do the same internally).
 
-Rows-only op: transitive closure is not practically expressible in
-DuckDB's recursive CTEs with aggregation, so correctness comes from
-unit tests (known graphs + q49 integration) rather than the oracle.
+Oracle-checked via q88: transitive closure IS expressible in DuckDB
+as a recursive CTE over reachability pairs (UNION dedups, so it
+terminates; the min-per-vertex aggregate runs outside the recursion,
+which is the part recursive SQL restricts) — on top of the known-
+graph unit tests here.
 """
 
 from __future__ import annotations

@@ -1,11 +1,12 @@
-"""Scale-safe global ranking: exact position in a total order
-WITHOUT a global single-task sort.
+"""Scale-safe global ordered computation: exact position / prefix
+sum in a total order WITHOUT a global single-task sort.
 
 A ``Window.orderBy(...)`` with no partition spec plans as one task
 sorting the entire input — the classic 100 TB killer (and forbidden
-registry-wide by tests/test_plan_audit.py). This operator is the
+registry-wide by tests/test_plan_audit.py). These operators are the
 two-pass range-partitioned replacement used by q29 (distribution
-functions) and q75 (systematic sampling):
+functions), q75 (systematic sampling) and q89 (token-budget shard
+packing):
 
 1. ``approxQuantile`` picks ``n_buckets - 1`` range boundaries on the
    leading order column (the driver receives a handful of scalars —
@@ -49,6 +50,70 @@ def with_global_position(
     it only costs balance, never correctness). Plan: one boundary
     pass, one tiny count aggregate, then a single per-bucket sort —
     every window partitions by a real key."""
+    b = _range_bucketed(df, order_col, n_buckets, boundaries)
+    counts = {r["__b"]: r["cnt"] for r in
+              b.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for bk in sorted(counts):
+        offsets.append((bk, acc))
+        acc += counts[bk]
+    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+    w = Window.partitionBy("__b").orderBy(order_col, *tiebreak)
+    out = (
+        b.join(F.broadcast(off), "__b")
+        .withColumn(pos_col, F.col("__off") + F.row_number().over(w))
+        .drop("__b", "__off")
+    )
+    return out, n
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    measure: str,
+    tiebreak: Sequence[str] = (),
+    n_buckets: int = 32,
+    cum_col: str = "__cum",
+    boundaries: str = "quantile",
+) -> tuple[DataFrame, int]:
+    """Append ``cum_col`` = EXACT inclusive prefix sum of ``measure``
+    over the total order (``order_col``, then ``tiebreak`` — unique
+    per row) and return ``(df_with_cum, grand_total)``.
+
+    Same two-pass range-partitioned shape as
+    :func:`with_global_position`, with the tiny per-bucket aggregate
+    computing ``SUM(measure)`` instead of ``COUNT(*)``: driver
+    traffic is ≤ ``n_buckets`` scalars each way, and the only window
+    partitions by the range bucket — no global single-task sort.
+    This is the distributed prefix-sum a 100 TB pipeline uses for
+    token-budget shard packing (q89), byte-offset assignment, or
+    quota-fill sampling."""
+    b = _range_bucketed(df, order_col, n_buckets, boundaries)
+    sums = {r["__b"]: r["s"] for r in
+            b.groupBy("__b").agg(F.sum(measure).alias("s")).collect()}
+    total = sum(sums.values())
+    offsets, acc = [], 0
+    for bk in sorted(sums):
+        offsets.append((bk, acc))
+        acc += sums[bk]
+    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+    w = (Window.partitionBy("__b").orderBy(order_col, *tiebreak)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (
+        b.join(F.broadcast(off), "__b")
+        .withColumn(cum_col, F.col("__off") + F.sum(measure).over(w))
+        .drop("__b", "__off")
+    )
+    return out, total
+
+
+def _range_bucketed(df: DataFrame, order_col: str, n_buckets: int,
+                    boundaries: str) -> DataFrame:
+    """Append ``__b`` = range-bucket id over ``order_col``. Rows with
+    equal order values always share a bucket (boundaries cut strictly
+    between values), so bucket ranges respect the total order —
+    boundary placement only affects balance, never correctness."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # n_buckets=1 → no boundaries (approxQuantile NPEs on an empty
     # probability list); everything lands in bucket 0
@@ -68,19 +133,4 @@ def with_global_position(
          for b in bounds),
         start=F.lit(0),
     ).alias("__b")
-    b = df.select("*", bucket)
-    counts = {r["__b"]: r["cnt"] for r in
-              b.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    n = sum(counts.values())
-    offsets, acc = [], 0
-    for bk in sorted(counts):
-        offsets.append((bk, acc))
-        acc += counts[bk]
-    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
-    w = Window.partitionBy("__b").orderBy(order_col, *tiebreak)
-    out = (
-        b.join(F.broadcast(off), "__b")
-        .withColumn(pos_col, F.col("__off") + F.row_number().over(w))
-        .drop("__b", "__off")
-    )
-    return out, n
+    return df.select("*", bucket)

@@ -114,3 +114,53 @@ def q60_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=_BITS)
+
+
+# ---- q88: near-dup pairs -> dedup CLUSTERS -------------------------
+#
+# q83 emits near-dup PAIRS; an actual dedup pass needs CLUSTERS —
+# the transitive closure of the pair graph, one canonical survivor
+# per component (A~B and B~C must collapse to ONE kept doc even when
+# A~C was never emitted as a pair). Spark side: iterative min-label
+# propagation (operators/graph.connected_components — two joins + a
+# groupBy min per round, localCheckpoint lineage cuts, loud failure
+# on non-convergence). Oracle side: transitive closure IS
+# expressible in DuckDB — a recursive CTE expands reachability pairs
+# (UNION dedups, so it terminates) and the min-per-vertex aggregate
+# happens OUTSIDE the recursion, which is the part recursive SQL
+# restricts.
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+)
+SELECT CAST(a AS BIGINT) AS member,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS canonical
+FROM reach GROUP BY a
+"""
+
+
+@register("q88_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def q88_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse q83's exact-Jaccard near-dup pairs into dedup
+    clusters: (member, canonical) for every clustered doc, canonical
+    being the component's min doc_id — the survivor the dedup pass
+    keeps (see comment block above; scale notes in SCALE.md §dedup).
+    """
+    from hearthstats_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+    from hearthstats_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", k=3, t_num=3, t_den=5)
+    return dedup_clusters(pairs.select("id_a", "id_b"))

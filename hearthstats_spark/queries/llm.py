@@ -358,3 +358,63 @@ def q55_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vector.embedding").cast("int").alias("dim"),
         F.col("text_meta.n_chars").alias("n_chars"),
     )
+
+
+# ---- q89: token-budget shard packing --------------------------------
+#
+# The last step of a training-data pipeline: pack documents into
+# ~equal-token shards (sequential fill in a canonical order, cut a
+# new shard every TARGET tokens). The naive formulation is a GLOBAL
+# running sum — a no-partition window, i.e. one task sorting 100 TB.
+# The scale-safe form is the classic distributed prefix sum
+# (operators/rankops.with_global_prefix_sum): range-bucket on the
+# order key, per-bucket token totals (≤ n_buckets scalars to the
+# driver), broadcast exclusive offsets back, per-bucket window
+# cumsum. shard_id = exclusive_prefix // TARGET is then a pure
+# map-side expression.
+
+_SHARD_TARGET = 4096  # tokens per training shard
+
+
+@register(
+    "q89_shard_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {_SHARD_TARGET} AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def q89_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {_SHARD_TARGET}-token training shards by
+    whitespace-token count in doc_id order (see comment block above —
+    distributed prefix sum, no global window; the oracle states the
+    same thing as the naive global running sum, which DuckDB can
+    afford single-node)."""
+    from hearthstats_spark.operators.rankops import (
+        with_global_prefix_sum,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    cum, _total = with_global_prefix_sum(
+        t, "doc_id", "n_tokens", n_buckets=32, boundaries="uniform")
+    prev = F.col("__cum") - F.col("n_tokens")  # exclusive prefix
+    return cum.select(
+        "doc_id", "n_tokens",
+        prev.alias("start_offset"),
+        F.floor(prev / F.lit(_SHARD_TARGET)).cast("bigint")
+        .alias("shard_id"),
+    )

@@ -106,6 +106,33 @@ def test_global_position_matches_sorted_order(spark, rows, n_buckets,
 
 
 @given(rows=st.lists(
+    st.tuples(st.integers(0, 10_000),           # unique order key
+              st.integers(0, 1_000)),           # integer measure
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+), n_buckets=st.integers(1, 5),
+    boundaries=st.sampled_from(["quantile", "uniform"]))
+@_SETTINGS
+def test_global_prefix_sum_matches_sequential(spark, rows, n_buckets,
+                                              boundaries):
+    """with_global_prefix_sum must equal the sequential running sum
+    for ANY distribution, bucket count, and boundary strategy —
+    including single-bucket, all-equal keys' measures, and more
+    buckets than rows (integer measures: sums must be EXACT)."""
+    from hearthstats_spark.operators.rankops import with_global_prefix_sum
+
+    df = spark.createDataFrame(rows, "id long, m long")
+    got_df, total = with_global_prefix_sum(
+        df, "id", "m", n_buckets=n_buckets, boundaries=boundaries)
+    got = {r["id"]: r["__cum"] for r in got_df.collect()}
+    want, acc = {}, 0
+    for rid, m in sorted(rows):
+        acc += m
+        want[rid] = acc
+    assert total == acc
+    assert got == want
+
+
+@given(rows=st.lists(
     st.tuples(st.integers(0, 10_000),
               st.lists(st.floats(0.125, 8.0, allow_nan=False),
                        min_size=4, max_size=4)),
