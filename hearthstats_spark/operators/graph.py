@@ -42,23 +42,22 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # keep old + new side by side so the convergence check is a
+        # filter on the checkpointed frame, not an extra join+job
+        stepped = (
             labels.join(neighbor_min, "vertex", "left")
             .select(
                 "vertex",
+                F.col("component").alias("__old"),
                 F.least("component", F.coalesce("nbr_component",
                                                 "component"))
                 .alias("component"),
             )
             .localCheckpoint()  # cut lineage: iterative-plan blowup
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = (stepped.filter(F.col("component") != F.col("__old"))
+                   .limit(1).count())
+        labels = stepped.drop("__old")
         if changed == 0:
             break
     else:
