@@ -17,17 +17,23 @@ from tests.conftest import SF_MED
 #: q53 cross-joins a 1-row broadcast scalar (n_docs) into the weight
 #: expression and q82 combines three 1-row stage counts — the
 #: scalar-subquery shape, not a pair-space nested loop.
+#: (q92 cross-joins its 1-row N/avgdl stats frame the same way.)
 NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
-                  "q82_funnel_steps"}
+                  "q82_funnel_steps", "q92_bm25_topk"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
 # q28 pre-aggregates to one row per ORDER DAY before its global
 # cumulative window — the single sort task sees ~2.4k rows regardless
 # of fact-table size, which is the documented safe use of an
-# empty-partition window. Nothing else may have one (q29's two-pass
-# formulation replaced the last raw-table global window in round 2).
-GLOBAL_WINDOW_OK = {"q28_win_cumulative"}
+# empty-partition window. q92/q94 take their top-k via orderBy+LIMIT
+# (TakeOrderedAndProject — per-partition heaps) and only then rank
+# the ≤ k surviving rows, so their global window input is bounded by
+# the preceding limit at any scale. Nothing else may have one (q29's
+# two-pass formulation replaced the last raw-table global window in
+# round 2).
+GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
+                    "q94_item_cooccur"}
 
 
 def _has_global_window(plan: str) -> bool:
