@@ -407,3 +407,101 @@ def q94_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
            .limit(_CO_TOPN))
     w = Window.orderBy(F.col("co").desc(), "item_a", "item_b")
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+_SEQ_CAP = 50   # max events kept per user sequence
+
+
+@register(
+    "q95_user_sequence",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           array_to_string(list_slice(seq, 1, {_SEQ_CAP}), '>') AS seq
+    FROM s
+    """,
+)
+def q95_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence assembly for sequence-model training data:
+    each user's first {_SEQ_CAP} event types in (ts, event_id) order
+    as one '>'-joined string, plus the total event count.
+
+    Plan: ONE hash agg — collect_list of (ts, event_id, type)
+    structs per user, sorted/truncated/projected with array HOFs
+    entirely map-side after the agg (struct order = lexicographic =
+    the SQL ORDER BY; event_id is the unique tiebreak). No window,
+    no second shuffle. At 100 TB the cap bounds state per key the
+    same way the slice does here; heavy users winsorize (q94's
+    note applies)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sort_array(F.collect_list(F.struct("ts", "event_id",
+                                                 "event_type"))).alias("s"),
+        )
+        .select(
+            "user_id", "n_events",
+            F.array_join(
+                F.transform(F.slice("s", 1, _SEQ_CAP),
+                            lambda x: x["event_type"]), ">").alias("seq"),
+        )
+    )
+
+
+@register(
+    "q96_scd2_history",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               LAG(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        FROM o
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q96_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build — the warehouse pattern s09's SCD-1 merge
+    doesn't cover: collapse each customer's order-status timeline
+    into change rows with (valid_from, valid_to, version), valid_to
+    NULL on the open row.
+
+    Plan: two windows, both partitioned by custkey (the natural
+    dimension key — bounded rows per partition), over the SAME
+    (custkey, date, orderkey) sort order, so Catalyst plans one
+    shuffle + one sort reused by lag, lead and row_number. This is
+    the batch path a Delta/Iceberg SCD-2 MERGE runs at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
