@@ -169,7 +169,12 @@ def prefix_filtered_jaccard_pairs(
         "__rk",
         F.row_number().over(
             Window.partitionBy("__id").orderBy("__df", "__s")))
-    prefix = ranked.filter(F.col("__rk") <= plen)
+    # cache the pruned prefix index: BOTH sides of the self-join read
+    # it and Spark does not reuse the duplicated subplan — without
+    # this the explode→freq-join→rank chain runs twice (measured ~2×
+    # the candidate-gen cost at sf0.1)
+    prefix = (ranked.filter(F.col("__rk") <= plen)
+              .select("__id", "__s").cache())
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),

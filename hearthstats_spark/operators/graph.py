@@ -29,8 +29,14 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iter: int = 20) -> DataFrame:
     """Return (vertex, component) where component is the min vertex
     id reachable from ``vertex`` over undirected ``edges``."""
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the (possibly expensive) upstream pair pipeline
+    # ONCE before the union references it twice — Spark does not
+    # reuse the duplicated subplan, so without this the edge source
+    # (e.g. q83's prefix join) runs twice (measured 2× at sf0.1)
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .localCheckpoint())
+    und = (e0.union(e0.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
            .distinct()
            .localCheckpoint())
     labels = (und.select(F.col("a").alias("vertex"))

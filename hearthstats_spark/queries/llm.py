@@ -405,10 +405,14 @@ def q89_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # materialize the 16-byte/row (doc_id, n_tokens) projection once:
+    # the prefix sum runs three actions (boundaries, bucket sums,
+    # output) and would otherwise re-scan + re-split the text column
+    # each time (measured 3× the scan cost at sf0.1)
     t = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     cum, _total = with_global_prefix_sum(
         t, "doc_id", "n_tokens", n_buckets=32, boundaries="uniform")
     prev = F.col("__cum") - F.col("n_tokens")  # exclusive prefix
