@@ -108,6 +108,48 @@ def with_global_prefix_sum(
     return out, total
 
 
+def with_global_running_max(
+    df: DataFrame,
+    order_col: str,
+    measure: str,
+    n_buckets: int = 32,
+    out_col: str = "__runmax",
+    strict: bool = True,
+) -> DataFrame:
+    """Append ``out_col`` = EXACT running max of ``measure`` over the
+    total order of ``order_col`` — by default over STRICTLY smaller
+    order values (``strict=True``: rows sharing an order value see
+    only earlier values' max, NULL when nothing precedes), which is
+    the dominance test a skyline/Pareto scan needs.
+
+    ``order_col`` must have unique values per row (pre-aggregate to
+    one row per distinct order value first — q99 does). Same two-pass
+    range-partitioned shape as :func:`with_global_position`: per-bucket
+    window max + a ≤ ``n_buckets``-row bucket-max frame whose prefix
+    max broadcasts back. No global single-task sort."""
+    b = _range_bucketed(df, order_col, n_buckets, "quantile")
+    bucket_max = {r["__b"]: r["m"] for r in
+                  b.groupBy("__b").agg(F.max(measure).alias("m")).collect()}
+    prefixes, acc = [], None
+    for bk in sorted(bucket_max):
+        prefixes.append((bk, acc))
+        acc = bucket_max[bk] if acc is None else max(acc, bucket_max[bk])
+    mtype = df.schema[measure].dataType.simpleString()
+    off = df.sparkSession.createDataFrame(
+        prefixes, f"__b int, __pmax {mtype}")
+    upper = -1 if strict else Window.currentRow
+    w = (Window.partitionBy("__b").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, upper))
+    return (
+        b.join(F.broadcast(off), "__b")
+        .withColumn(out_col,
+                    # greatest() skips NULLs (null iff both are):
+                    # first row of first bucket → NULL, as documented
+                    F.greatest(F.max(measure).over(w), F.col("__pmax")))
+        .drop("__b", "__pmax")
+    )
+
+
 def _range_bucketed(df: DataFrame, order_col: str, n_buckets: int,
                     boundaries: str) -> DataFrame:
     """Append ``__b`` = range-bucket id over ``order_col``. Rows with

@@ -220,3 +220,26 @@ def test_prefix_jaccard_known_pairs(spark):
     assert 0.3 < got[(1, 3)] < 1.0
     assert got[(1, 3)] == got[(2, 3)]
     assert not any(4 in pair for pair in got)
+
+
+def test_skyline_dominance_and_ties(spark):
+    """q99's formulation on a hand-built frontier: strictly dominated
+    points drop, equal-on-both-axes points survive together, and the
+    cheapest point always survives."""
+    from hearthstats_spark.operators.rankops import with_global_running_max
+    from pyspark.sql import functions as F
+
+    # (id, price, size): frontier is {1, 2, 5, 6} — 3 is dominated by
+    # 2 (same price, smaller size), 4 by 2 (pricier, same size),
+    # 5/6 are an exact tie pair (both survive), 7 dominated by 5.
+    rows = [(1, 1.0, 3), (2, 2.0, 7), (3, 2.0, 5), (4, 3.0, 7),
+            (5, 4.0, 9), (6, 4.0, 9), (7, 5.0, 8)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    per_price = df.groupBy("price").agg(F.max("size").alias("gmax"))
+    fp = with_global_running_max(per_price, "price", "gmax",
+                                 out_col="sm")
+    got = sorted(
+        r["id"] for r in df.join(fp, "price").filter(
+            (F.col("sm").isNull() | (F.col("sm") < F.col("size")))
+            & (F.col("size") == F.col("gmax"))).collect())
+    assert got == [1, 2, 5, 6]

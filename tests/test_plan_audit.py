@@ -18,8 +18,14 @@ from tests.conftest import SF_MED
 #: expression and q82 combines three 1-row stage counts — the
 #: scalar-subquery shape, not a pair-space nested loop.
 #: (q92 cross-joins its 1-row N/avgdl stats frame the same way.)
+#: q97 cross-joins the exploded hour spine with the distinct
+#: event-type dimension — both metadata-sized at any data scale;
+#: q98 cross-joins three single-row summary aggregates (q82's shape);
+#: q101 broadcasts the k=8 centroid rows against every vector (the
+#: k-fan-out IS the k-means assignment step).
 NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
-                  "q82_funnel_steps", "q92_bm25_topk"}
+                  "q82_funnel_steps", "q92_bm25_topk", "q97_gap_fill",
+                  "q98_triangle_count", "q101_kmeans_assign"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}

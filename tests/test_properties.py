@@ -133,6 +133,35 @@ def test_global_prefix_sum_matches_sequential(spark, rows, n_buckets,
 
 
 @given(rows=st.lists(
+    st.tuples(st.integers(0, 10_000),           # unique order key
+              st.integers(-50, 50)),            # integer measure
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+), n_buckets=st.integers(1, 5), strict=st.booleans())
+@_SETTINGS
+def test_global_running_max_matches_sequential(spark, rows, n_buckets,
+                                               strict):
+    """with_global_running_max must equal the sequential running max
+    for ANY distribution and bucket count — including single-bucket,
+    more buckets than rows, and both strict (exclusive, NULL first
+    row) and inclusive modes."""
+    from hearthstats_spark.operators.rankops import with_global_running_max
+
+    df = spark.createDataFrame(rows, "id long, m long")
+    got_df = with_global_running_max(df, "id", "m", n_buckets=n_buckets,
+                                     out_col="rm", strict=strict)
+    got = {r["id"]: r["rm"] for r in got_df.collect()}
+    want, acc = {}, None
+    for rid, m in sorted(rows):
+        if strict:
+            want[rid] = acc
+            acc = m if acc is None else max(acc, m)
+        else:
+            acc = m if acc is None else max(acc, m)
+            want[rid] = acc
+    assert got == want
+
+
+@given(rows=st.lists(
     st.tuples(st.integers(0, 10_000),
               st.lists(st.floats(0.125, 8.0, allow_nan=False),
                        min_size=4, max_size=4)),

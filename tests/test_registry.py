@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 96 declared
-queries q01–q96 + 10 side-effect/streaming ops s01–s10; 93
+"""The registry IS the driver contract (SURVEY.md §2): 101 declared
+queries q01–q101 + 10 side-effect/streaming ops s01–s10; 96
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 97)
+    f"q{i:02d}" for i in range(1, 102)
 } | {f"s{i:02d}" for i in range(1, 11)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -29,12 +29,12 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 93
+    assert len(with_oracle) == 98
 
 
 def test_names_well_formed(registry):
     for name in registry:
-        assert re.fullmatch(r"[qs]\d{2}_[a-z0-9_]+", name), name
+        assert re.fullmatch(r"[qs]\d{2,3}_[a-z0-9_]+", name), name
 
 
 def test_entry_module_exports(registry):
