@@ -242,3 +242,59 @@ def s09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_target long, n_updates long, n_inserts long, n_merged long, "
         "n_zeroed_after long, n_inserted_after long",
     )
+
+
+@register("s12_compaction", oracle=None)  # rows-only: side-effect op
+def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance primitive every
+    streaming/incremental sink needs: append-mode writers leave
+    thousands of KB-sized files, and scan cost at 100 TB is dominated
+    by file-open + footer reads long before row decode. This op
+    simulates the damage (events written as 64 shards) then compacts
+    to a byte-budgeted file count: n_out = ceil(dir_bytes /
+    target_file_bytes), rewrite via ``repartition(n_out)``.
+
+    Verification is content-based, not count-based: an
+    order-independent content digest (SUM over per-row xxhash64)
+    must survive the rewrite bit-exactly, proving compaction is a
+    pure layout change. Scale notes: the rewrite is one round-robin
+    shuffle sized by the byte budget (on a real lake this is
+    Delta/Iceberg OPTIMIZE with per-partition budgets; the
+    repartition keys on nothing, so AQE balances it for free).
+    Returns one self-verifying summary row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="hs_compact_")
+    frag = os.path.join(base, "fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def data_files(d):
+        return [os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")]
+
+    def digest(df):
+        cols = [F.col(c).cast("string") for c in df.columns]
+        # decimal sum: exact and overflow-free under ANSI mode (a
+        # plain long SUM over 64-bit hashes overflows by design)
+        return (df.select(F.xxhash64(*cols).cast("decimal(38,0)")
+                          .alias("h"))
+                .agg(F.sum("h").alias("d")).collect()[0]["d"])
+
+    files_before = len(data_files(frag))
+    dir_bytes = sum(os.path.getsize(f) for f in data_files(frag))
+    target = 4 * 1024 * 1024  # 4 MB files at this SF; 128-512 MB on a lake
+    n_out = max(1, -(-dir_bytes // target))
+    back = spark.read.parquet(frag)
+    digest_before = digest(back)
+    compacted = os.path.join(base, "compacted")
+    back.repartition(n_out).write.mode("overwrite").parquet(compacted)
+
+    after = spark.read.parquet(compacted)
+    files_after = len(data_files(compacted))
+    return spark.createDataFrame(
+        [(files_before, files_after, int(n_out),
+          bool(after.count() == ev.count()),
+          bool(digest(after) == digest_before))],
+        "files_before long, files_after long, files_budgeted long, "
+        "rows_preserved boolean, content_digest_equal boolean",
+    )

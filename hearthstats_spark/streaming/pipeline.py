@@ -350,3 +350,46 @@ def s07_stream_processing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("s11_stream_static_join", oracle=None)  # rows-only: no streaming oracle
+def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern
+    every streaming pipeline runs: the purchase event stream joins
+    the STATIC customer table (re-planned per micro-batch, broadcast
+    because dims are small), then aggregates revenue per nation in
+    ``complete`` mode to a bounded ``memory`` sink (one row per
+    nation).
+
+    Unlike the s06 stream-stream join there is no state store and no
+    watermark requirement for the join itself: the static side is a
+    snapshot, so each micro-batch is a plain broadcast hash join —
+    at scale the static side refresh cadence (not size) is the design
+    question, and the answer at 100 TB is a broadcast-able pre-agg or
+    a bucketed map-side join. Batch equivalence (final state == the
+    same join+agg run as one batch) is asserted in
+    tests/test_streaming.py."""
+    src, ev = write_replay_source(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey")
+    name = _mem_table_name("s11_state")
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            .alias("revenue"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

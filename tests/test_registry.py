@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 101 declared
-queries q01–q101 + 10 side-effect/streaming ops s01–s10; 96
+queries q01–q101 + 12 side-effect/streaming ops s01–s12; 98
 oracle-checked."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 102)
-} | {f"s{i:02d}" for i in range(1, 11)}
+} | {f"s{i:02d}" for i in range(1, 13)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -17,6 +17,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s05_stream_stateful", "s06_stream_stream_join",
     "s07_stream_processing_time", "s08_orc_avro_roundtrip",
     "s09_merge_upsert", "s10_partitioned_layout",
+    "s11_stream_static_join", "s12_compaction",
 }
 
 

@@ -50,3 +50,12 @@ def test_partitioned_layout_sink(spark, registry):
     assert row["n_f_zeroed"] == row["n_f"]
     assert row["other_partitions_untouched"]
     assert row["total_preserved"]
+
+
+def test_compaction_preserves_content(spark, registry):
+    """s12: compaction must be a pure layout change — fewer files,
+    same rows, identical order-independent content digest."""
+    row = registry["s12_compaction"].fn(spark, SF).collect()[0]
+    assert row["files_before"] > row["files_after"]
+    assert row["files_after"] == row["files_budgeted"]
+    assert row["rows_preserved"] and row["content_digest_equal"]

@@ -88,3 +88,27 @@ def test_stream_dedup_collapses_double_delivery(spark, registry):
     row = registry["s04_stream_dedup"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_delivered"] == 2 * row["n_expected"]
     assert row["n_after_dedup"] == row["n_expected"]
+
+
+def test_stream_static_join_equals_batch(spark, registry):
+    """s11: stream-static dimension join — final complete-mode state
+    must equal the identical batch join+agg, bit-exact (decimal
+    revenue sums)."""
+    from hearthstats_spark.io import load_table
+
+    out = registry["s11_stream_static_join"].fn(spark, SF_SMALL)
+    got = {r["c_nationkey"]: (r["n_purchases"], r["revenue"])
+           for r in out.collect()}
+    ev = load_table(spark, SF_SMALL, "events")
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey")
+    batch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+             .alias("rev"))
+    )
+    want = {r["c_nationkey"]: (r["n"], r["rev"]) for r in batch.collect()}
+    assert got == want
