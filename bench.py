@@ -20,7 +20,7 @@ full plan executes (count() alone would let Catalyst prune every
 column of a projection query); timing excludes JVM startup (one
 warm-up action runs first) but includes planning + execution.
 
-Side-effect/streaming smoke ops (s01–s04) are excluded: they time
+Side-effect/streaming smoke ops (s01–s12) are excluded: they time
 file-system round-trips, not query execution.
 """
 
@@ -71,8 +71,8 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):
-        if name.startswith("s0"):
-            continue
+        if not name.startswith("q"):
+            continue  # side-effect/streaming smoke ops (s01..) time IO, not queries
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)

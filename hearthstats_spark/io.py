@@ -2,11 +2,14 @@
 
 The driver's testdata lives at ``/root/testdata/sf{0.001,0.01,0.1}/``
 as one Parquet file per table. All tables read cleanly except
-``events``: its ``ts`` column is TIMESTAMP(NANOS) which Spark 4.x
+``events``: the driver has shipped its ``ts`` column in two physical
+forms across regenerations — TIMESTAMP(NANOS), which Spark 4.x
 rejects ([PARQUET_TYPE_ILLEGAL]) unless
-``spark.sql.legacy.parquet.nanosAsLong=true``; with the flag the
-column arrives as bigint nanoseconds and is converted here — once,
-at load — to a microsecond timestamp via integer division.
+``spark.sql.legacy.parquet.nanosAsLong=true`` hands it over as bigint
+nanoseconds, and TIMESTAMP(isAdjustedToUTC=false), which Spark reads
+as TIMESTAMP_NTZ. ``load_table`` normalizes both — once, at load — to
+a plain microsecond TIMESTAMP under the engine's pinned UTC session
+timezone, so every downstream query sees one stable type.
 
 At 100 TB these would be directory-partitioned datasets (orders and
 lineitem partitioned by month of their date column, events by day)
@@ -44,9 +47,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos_as_long(spark)
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer div (not /1000-then-cast): keeps µs exact
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # driver regenerations have also shipped ts as
+            # TIMESTAMP(isAdjustedToUTC=false) → Spark reads TIMESTAMP_NTZ.
+            # Session tz is pinned UTC (session.py), so this cast is a
+            # wall-clock-preserving relabel to the TIMESTAMP type the
+            # event-time queries/watermarks expect — same instants the
+            # bigint-ns path produced.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
