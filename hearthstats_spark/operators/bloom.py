@@ -1,0 +1,107 @@
+"""In-plan Bloom filter build + probe, pure DataFrame ops.
+
+Spark's cost-based runtime bloom filter (``spark.sql.optimizer.
+runtime.bloomFilter.enabled``) only fires when the optimizer's
+statistics justify it, and its building blocks (``bloom_filter_agg``/
+``might_contain``) are not registered as public SQL functions in
+Spark 4.1 ([UNRESOLVED_ROUTINE], verified live). This module gives
+the engine an explicit, always-available runtime-filter operator with
+the same shape Spark uses internally — but built from public
+DataFrame primitives only, so the whole thing stays inside Catalyst:
+
+- **build** (one aggregation): distinct build keys -> k hash
+  positions each (``xxhash64(key, seed)`` per seed, mod m) ->
+  (word, bit) pairs -> ``bit_or`` per 64-bit word -> ONE row holding
+  the sparse bitmap as a ``map<int,bigint>``. ``bit_or`` is
+  associative/commutative, so partial aggregation makes the sketch
+  mergeable for free — the same property a distributed bloom build
+  needs on a 1000-executor cluster.
+- **probe** (zero shuffle): broadcast the 1-row bitmap, cross-join it
+  onto the probe side (1-row broadcast NLJ, the engine's established
+  scalar-subquery shape), and evaluate ALL k membership bits with a
+  ``forall`` over the probe key's positions — whole-stage-codegen
+  JVM expression, no Python, no extra shuffle, no driver collect.
+
+False positives are possible (that is the point: the exact join that
+follows removes them); false negatives are not — ``tests/test_bloom.py``
+pins both properties. At 100 TB the probe-side filter runs at scan
+speed and cuts the shuffle volume of the join that follows by the
+build side's selectivity, which is exactly what a runtime filter is
+for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default sketch geometry: m = 2^17 bits (16 KiB), k = 5 hashes.
+#: For n distinct build keys the FPR is ~(1 - e^{-kn/m})^k; at the
+#: n≈1.5k keys of the sf0.01 build side that is << 1%. Callers size m
+#: up for bigger build sides (the bitmap stays one broadcast row).
+DEFAULT_M_BITS = 1 << 17
+DEFAULT_K = 5
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """Array of k bit positions for a key (xxhash64 seeded 0..k-1)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def build_bloom(
+    build: DataFrame,
+    key: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One-row DataFrame ``{__bloom: map<int,bigint>}`` over build[key].
+
+    Distinct-then-explode keeps the fan-out at k rows per *distinct*
+    key; the bit_or aggregation is partial+final (mergeable), and the
+    result is at most m_bits/64 map entries — broadcastable at any
+    build-side row count that a bloom filter makes sense for.
+    """
+    pos = (
+        build.select(F.col(key).alias("__k"))
+        .distinct()
+        .select(F.explode(_positions(F.col("__k"), m_bits, k)).alias("__p"))
+        .select(
+            (F.col("__p") / 64).cast("int").alias("__w"),
+            # PySpark's F.shiftleft only takes a literal shift count;
+            # the SQL function accepts a column.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__m"),
+        )
+    )
+    words = pos.groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__bloom")
+    )
+
+
+def probe_bloom(
+    probe: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Filter probe to rows whose key MAY be in the build side.
+
+    All k bits must be set: ``forall(positions, p -> bitmap word has
+    bit)``. Missing map entries coalesce to 0 (bit unset -> definite
+    miss). The bloom row rides in on a broadcast cross join; the
+    filter itself is map-side.
+    """
+    hit = F.expr(
+        "forall(__pos, p -> (coalesce(element_at(__bloom,"
+        " CAST(p DIV 64 AS INT)), CAST(0 AS BIGINT))"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+    )
+    return (
+        probe.withColumn("__pos", _positions(F.col(key), m_bits, k))
+        .crossJoin(F.broadcast(bloom))
+        .filter(hit)
+        .drop("__bloom", "__pos")
+    )

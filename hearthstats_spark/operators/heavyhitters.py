@@ -1,0 +1,59 @@
+"""Exact distributed heavy hitters via local-prune + verify.
+
+The classic two-phase exact frequent-items plan (the distributed
+form of Misra–Gries / SpaceSaving candidate generation, but with a
+deterministic pigeonhole rule instead of a decrement counter):
+
+1. **Candidate pass** — count items *within each input partition*
+   and keep those with ``local_count >= s * local_rows``. Soundness
+   by pigeonhole: if an item's global frequency is ≥ s·N, it cannot
+   be < s·n_p in *every* partition (summing those strict bounds over
+   partitions would give < s·N). So the candidate set provably
+   contains every true heavy hitter no matter how rows are
+   partitioned; partitioning only affects how many false candidates
+   survive to the verify pass.
+2. **Verify pass** — exact global counts for candidates only
+   (semi-join prune before the global aggregation), then the exact
+   ``count >= s * N`` filter with N delivered as a broadcast one-row
+   aggregate (the engine's scalar-subquery shape — no driver action).
+
+Both passes are plain hash aggregations; the verify shuffle carries
+only candidate rows. At 100 TB with a sane support threshold the
+candidate set is tiny (≤ 1/s items per partition by construction),
+so phase 2 is shuffle-light regardless of input skew. Output is
+EXACT — the oracle is a plain GROUP BY/HAVING — while the plan shape
+is the one a sketch-based engine would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(items: DataFrame, cols: list[str], support: float) -> DataFrame:
+    """Exact items (by ``cols``) with frequency >= support * N.
+
+    Returns columns ``cols + [cnt, frac]`` (frac rounded to 4dp).
+    """
+    local = (
+        items.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", *cols)
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    part_rows = local.groupBy("__pid").agg(F.sum("__lc").alias("__np"))
+    candidates = (
+        local.join(part_rows, "__pid")
+        .filter(F.col("__lc") >= F.lit(support) * F.col("__np"))
+        .select(*cols)
+        .distinct()
+    )
+    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        items.join(F.broadcast(candidates), cols, "left_semi")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(support) * F.col("__n"))
+        .select(*cols, "cnt", F.round(F.col("cnt") / F.col("__n"), 4).alias("frac"))
+    )

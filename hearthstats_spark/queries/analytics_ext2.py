@@ -1,0 +1,364 @@
+"""Group M extensions — runtime-filtered join (q102), cohort
+retention (q103), rolling z-score anomalies (q104), token entropy
+(q105), blocked edit-distance join (q106), exact heavy hitters
+(q107).
+
+Six more shapes a production analytics/training-data engine runs
+daily that the registry did not yet cover:
+
+- **q102**: an explicit Bloom runtime filter ahead of a fact-dim
+  join — the shuffle-volume reducer every 100 TB star join wants
+  (Spark's own cost-based version only fires on statistics; ours is
+  an always-available operator, `operators/bloom.py`).
+- **q103**: signup-cohort weekly retention — THE product-analytics
+  query (cohort × week-offset matrix of distinct active users).
+- **q104**: per-series rolling mean/std + z-score anomaly flags —
+  monitoring/outlier detection over event-time aggregates.
+- **q105**: per-document Shannon entropy of the token distribution —
+  the text-quality signal that catches boilerplate/low-information
+  docs before they enter a training mix.
+- **q106**: string-similarity self-join under a Levenshtein budget
+  with natural-key blocking — entity-resolution's workhorse.
+- **q107**: exact heavy hitters via the two-phase local-prune +
+  verify plan (the distributed Misra–Gries shape with an exact
+  verify pass, `operators/heavyhitters.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hearthstats_spark.functions import dsum, fsum_sql
+from hearthstats_spark.functions.numeric import DEC
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+
+@register(
+    "q102_join_bloom_prune",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           {fsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q102_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly urgent-1997 revenue, with the lineitem scan pre-pruned
+    by an in-plan Bloom filter built from the filtered orders keys.
+
+    The bloom is semantically transparent (false positives die in the
+    exact join that follows), so the oracle is the plain join — what
+    the filter buys is scan-side row reduction BEFORE the join
+    shuffle: at 100 TB the urgent-1997 predicate keeps ~3% of orders,
+    and probe rows that would shuffle only to miss are dropped at the
+    parquet scan instead (same motivation as Catalyst's runtime
+    bloom, which PySpark 4.1 cannot request explicitly). Build side
+    is one mergeable bit_or aggregation; probe is a broadcast 1-row
+    cross join + codegen'd forall — zero extra shuffles end to end.
+    """
+    from hearthstats_spark.operators.bloom import build_bloom, probe_bloom
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = build_bloom(o, "o_orderkey")
+    pruned = probe_bloom(li, "l_orderkey", bloom)
+    return (
+        pruned.join(
+            o.select("o_orderkey", "o_orderdate"),
+            pruned.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "q103_cohort_retention",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id,
+               MIN(ts) AS fts,
+               date_trunc('week', MIN(ts)) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cw,
+               date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+                   AS week_offset
+        FROM events e JOIN first_signup f ON e.user_id = f.user_id
+        WHERE e.ts >= f.fts
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cw, week_offset
+    """,
+)
+def q103_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort weekly retention matrix: users grouped by the
+    week of their FIRST signup event; each later week in which the
+    user produced any event (at/after that first signup) counts them
+    as retained for that (cohort, offset) cell.
+
+    Plan: one filtered agg for first-signup (user-keyed), one
+    shuffle join back to events on user_id, distinct on the cell key,
+    final count agg. user_id is the natural partition key throughout
+    — at 100 TB every stage shuffles on it once and the cohort matrix
+    itself is tiny (weeks × offsets). No window functions needed."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+        .withColumn("cw", F.date_trunc("week", "fts"))
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("fts"))
+        .select(
+            "user_id",
+            "cw",
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cw")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        cells.groupBy("cw", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q104_rolling_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               {fsum_sql("value", "day_sum")}
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, d, day_sum,
+               CAST(SUM(CAST(day_sum AS DECIMAL(28,4))) OVER win
+                    AS DOUBLE) AS s,
+               CAST(SUM(CAST(day_sum * day_sum AS DECIMAL(28,4))) OVER win
+                    AS DOUBLE) AS ssq,
+               COUNT(*) OVER win AS n
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           ROUND(day_sum, 4) AS day_sum,
+           CASE WHEN n = 7 AND (ssq - s*s/n) / (n-1) > 1e-9
+                THEN ROUND((day_sum - s/n)
+                           / sqrt((ssq - s*s/n) / (n-1)), 4)
+           END AS zscore,
+           (n = 7 AND (ssq - s*s/n) / (n-1) > 1e-9
+              AND abs((day_sum - s/n)
+                      / sqrt((ssq - s*s/n) / (n-1))) > 2.0) AS is_anomaly
+    FROM w
+    """,
+)
+def q104_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score anomaly flags over per-type daily value
+    sums (monitoring / outlier detection on an event-time series).
+
+    Float discipline: the daily sums are exact decimal sums, and the
+    rolling mean/std are derived from DECIMAL windowed sums of
+    day_sum and day_sum² — every float op downstream sees identical
+    inputs in both engines, and sqrt/division are IEEE-deterministic,
+    so the 4-dp z-scores match bit-for-bit. Scale: the window runs
+    AFTER aggregation, over one row per (type, day) — a ~365-row
+    partition per series regardless of raw event volume, so the
+    small per-type partition count is irrelevant at 100 TB (the heavy
+    lifting is the leading distributed agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(dsum("value", "day_sum"))
+    win = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    )
+    ds = F.col("day_sum")
+    s = F.sum(ds.cast(DEC)).over(win).cast("double")
+    ssq = F.sum((ds * ds).cast(DEC)).over(win).cast("double")
+    n = F.count(F.lit(1)).over(win)
+    var = (ssq - s * s / n) / (n - 1)
+    z = (ds - s / n) / F.sqrt(var)
+    ok = (n == 7) & (var > 1e-9)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(ds, 4).alias("day_sum"),
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        (ok & (F.abs(z) > 2.0)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q105_doc_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 SUM(c * log2(c)) AS clog
+          FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 4)
+               AS entropy
+    FROM d
+    """,
+)
+def q105_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    low-information/boilerplate detector in data-quality scoring
+    (H = log2(N) - Σ c·log2(c) / N over term counts c).
+
+    That algebraic form needs only per-term counts and one log2 per
+    DISTINCT term — no per-token float work — and the Σ c·log2(c)
+    double sum is over ≤ a-few-hundred small terms, so the 4-dp
+    rounding absorbs summation-order drift (q92's rounded-score
+    discipline). Two hash aggs, both keyed by doc_id — one shuffle
+    at scale since the second agg is partial-aggregated on the same
+    key."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("clog") / F.col("n_tokens"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "q106_join_editdist",
+    oracle="""
+    WITH p AS (
+        SELECT a.c_nationkey AS nationkey,
+               levenshtein(a.c_name, b.c_name) AS lev
+        FROM customer a
+        JOIN customer b ON a.c_nationkey = b.c_nationkey
+                       AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN lev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lev1,
+           CAST(MIN(lev) AS INT) AS min_lev
+    FROM p GROUP BY nationkey
+    """,
+)
+def q106_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity self-join: near-duplicate customer
+    names (Levenshtein ≤ 2) within each nation, aggregated per
+    nation — the entity-resolution candidate-pair shape.
+
+    The equi key (nation) does the blocking: the join stays hash-
+    partitioned and the quadratic edit-distance work is confined to
+    each block (ER practice; an unblocked pair space is O(n²) no
+    matter the engine). The distance predicate itself is a JVM
+    builtin evaluated join-side, post-equi-match — never a cartesian.
+    At 100 TB you'd block on a higher-cardinality key (name prefix +
+    length band, same plan shape). Semantics declare the block
+    explicitly, so the oracle applies the identical blocked pair
+    space and both engines agree exactly (integer distances)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+    )
+    lev = F.levenshtein("na", "nb")
+    pairs = (
+        a.join(b, "nationkey")
+        .filter((F.col("ka") < F.col("kb")) & (lev <= 2))
+        .select("nationkey", lev.alias("lev"))
+    )
+    return pairs.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("lev") == 1, 1).otherwise(0)).alias("n_lev1"),
+        F.min("lev").cast("int").alias("min_lev"),
+    )
+
+
+@register(
+    "q107_heavy_hitters",
+    oracle="""
+    WITH items AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM items)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 4)
+               AS frac
+    FROM items GROUP BY item
+    HAVING COUNT(*) >= 0.0105 * (SELECT n FROM tot)
+    """,
+)
+def q107_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items (support ≥ 1.05%) over the event payload
+    key, via the two-phase local-prune + verify plan in
+    `operators/heavyhitters.py` (distributed Misra–Gries candidate
+    shape, pigeonhole-sound, exact verify pass).
+
+    The oracle is the plain GROUP BY/HAVING — the two-phase plan is
+    an execution strategy, not a semantics change. At 100 TB the
+    win is that the verify shuffle carries only candidate items
+    (≤ 1/s per partition by construction) instead of the full
+    item-frequency table."""
+    from hearthstats_spark.operators.heavyhitters import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item")
+    )
+    return heavy_hitters(items, ["item"], support=0.0105)

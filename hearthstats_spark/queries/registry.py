@@ -69,6 +69,7 @@ QUERY_MODULES = (
     "hearthstats_spark.queries.textops",
     "hearthstats_spark.queries.dedup_ext",
     "hearthstats_spark.queries.analytics_ext",
+    "hearthstats_spark.queries.analytics_ext2",
     "hearthstats_spark.queries.pipeline_ext",
     "hearthstats_spark.queries.ann",
     "hearthstats_spark.queries.multimodal",

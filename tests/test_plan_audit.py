@@ -23,9 +23,14 @@ from tests.conftest import SF_MED
 #: q98 cross-joins three single-row summary aggregates (q82's shape);
 #: q101 broadcasts the k=8 centroid rows against every vector (the
 #: k-fan-out IS the k-means assignment step).
+#: q102 rides its 1-row Bloom bitmap onto the probe scan with a
+#: broadcast cross join (the runtime-filter materialization itself);
+#: q107 does the same for its 1-row total-count frame (q53's
+#: scalar-subquery shape).
 NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q82_funnel_steps", "q92_bm25_topk", "q97_gap_fill",
-                  "q98_triangle_count", "q101_kmeans_assign"}
+                  "q98_triangle_count", "q101_kmeans_assign",
+                  "q102_join_bloom_prune", "q107_heavy_hitters"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
