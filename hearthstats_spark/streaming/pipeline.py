@@ -393,3 +393,155 @@ def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("s13_watermark_late_drop", oracle=None)  # rows-only: no oracle
+def s13_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP, observed from the engine's own
+    metrics: the time-ordered replay is followed by one deliberately
+    LATE file that re-delivers the 200 earliest-ts rows after the
+    watermark has advanced ~25 days past them. The hourly aggregation
+    runs in UPDATE mode (complete mode never drops — it keeps all
+    state), one file per micro-batch so the watermark actually
+    advances between deliveries; the state store rejects the late
+    rows and reports them as ``numRowsDroppedByWatermark``.
+
+    Sink is the s05 pattern: each micro-batch's UPDATED rows land in
+    parquet keyed by batch_id (distributed, nothing on the driver);
+    the final state is the last update per (hour, type) key. Returned
+    frame = final state + the drop accounting as literal columns;
+    tests/test_streaming.py asserts the drop count is exactly the
+    late delivery and that the final state equals the batch answer
+    over the on-time rows.
+
+    Metric subtlety (verified live): ``numRowsDroppedByWatermark``
+    ticks at the STATE-STORE input, which sits after partial
+    aggregation — it counts dropped (window × type) PARTIAL rows,
+    not raw events (the 200 late events arrive as their ~174
+    distinct hour×type partials). The op therefore also reports the
+    expected count at that same granularity
+    (``late_partial_groups``)."""
+    import time
+
+    src, ev = write_replay_source(spark, sf_dir, time_ordered=True)
+    late = ev.orderBy("ts", "event_id").limit(200)
+    late_groups = (
+        late.select(F.window("ts", "1 hour"), "event_type")
+        .distinct().count()
+    )
+    late_dir = tempfile.mkdtemp(prefix="hs_late_")
+    late.coalesce(1).write.mode("overwrite").parquet(late_dir)
+    newest = max(os.path.getmtime(os.path.join(src, f))
+                 for f in os.listdir(src))
+    for f in os.listdir(late_dir):
+        if f.endswith(".parquet"):
+            dst = os.path.join(src, "z_late.parquet")
+            os.link(os.path.join(late_dir, f), dst)
+            # file source orders by mtime: guarantee the late file is
+            # the LAST micro-batch, after every watermark advance
+            os.utime(dst, (time.time() + 10, newest + 10))
+
+    out = tempfile.mkdtemp(prefix="hs_s13_out_")
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")  # one file = one batch
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out))
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        int(p["stateOperators"][0]["numRowsDroppedByWatermark"])
+        for p in q.recentProgress if p.get("stateOperators")
+    )
+
+    upd = spark.read.parquet(out)
+    from pyspark.sql import Window as W
+    last = (
+        upd.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("hour_start", "event_type")
+                .orderBy(F.col("batch_id").desc())),
+        )
+        .filter(F.col("rn") == 1)
+        .select("hour_start", "event_type", "n", "total_value")
+    )
+    return (
+        last.withColumn("late_input_rows", F.lit(200))
+        .withColumn("late_partial_groups", F.lit(late_groups))
+        .withColumn("late_dropped", F.lit(dropped))
+    )
+
+
+@register("s14_checkpoint_restart", oracle=None)  # rows-only: no oracle
+def s14_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery + exactly-once file-source offsets: the
+    hourly aggregation runs to completion over the FIRST THREE replay
+    files, stops, two more files arrive, and a NEW query object
+    restarts from the SAME checkpoint. The restarted run must (a)
+    restore the state store (counts from phase 1 survive the stop)
+    and (b) process ONLY the two new files — the offset log makes
+    re-delivery impossible. Complete-mode foreachBatch overwrites a
+    parquet dir with the full current table each micro-batch, so
+    after the final batch the dir IS the recovered answer.
+
+    The returned frame is the final state plus phase-2 input-row
+    accounting; tests assert phase2 rows == rows of the two late
+    files and final state == the batch answer over ALL files."""
+    src, ev = write_replay_source(spark, sf_dir, time_ordered=True)
+    staged = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet"))
+    hold_back = staged[3:]  # phase 2 delivers these
+    pen = tempfile.mkdtemp(prefix="hs_s14_pen_")
+    for f in hold_back:
+        os.rename(os.path.join(src, f), os.path.join(pen, f))
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    out = tempfile.mkdtemp(prefix="hs_s14_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    def run_phase() -> int:
+        q = (
+            _hourly_agg_stream(spark, src, ev.schema)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    run_phase()
+    for f in hold_back:  # the two new files arrive after the stop
+        os.rename(os.path.join(pen, f), os.path.join(src, f))
+    phase2_rows = run_phase()
+
+    return (
+        spark.read.parquet(out)
+        .withColumn("phase2_input_rows", F.lit(phase2_rows))
+    )

@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 107 declared
-queries q01–q107 + 12 side-effect/streaming ops s01–s12; 104
+queries q01–q107 + 14 side-effect/streaming ops s01–s14; 104
 oracle-checked."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 108)
-} | {f"s{i:02d}" for i in range(1, 13)}
+} | {f"s{i:02d}" for i in range(1, 15)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -18,6 +18,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s07_stream_processing_time", "s08_orc_avro_roundtrip",
     "s09_merge_upsert", "s10_partitioned_layout",
     "s11_stream_static_join", "s12_compaction",
+    "s13_watermark_late_drop", "s14_checkpoint_restart",
 }
 
 

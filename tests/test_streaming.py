@@ -112,3 +112,39 @@ def test_stream_static_join_equals_batch(spark, registry):
     )
     want = {r["c_nationkey"]: (r["n"], r["rev"]) for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_rows(spark, registry):
+    """s13: the engine's own numRowsDroppedByWatermark metric must
+    equal the 200-row late re-delivery, and the final state must
+    equal the batch answer over the ON-TIME rows (the drops leave no
+    trace in the aggregates)."""
+    rows = registry["s13_watermark_late_drop"].fn(spark, SF_SMALL).collect()
+    assert rows, "s13 produced no state"
+    # the metric ticks per dropped PARTIAL row (window×type group),
+    # so expected == the late delivery's distinct group count
+    assert all(r["late_dropped"] == r["late_partial_groups"] for r in rows)
+    assert all(r["late_dropped"] > 0 for r in rows)
+    got = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in rows}
+    assert got == _hourly_batch_answer(spark)
+
+
+def test_checkpoint_restart_exactly_once(spark, registry):
+    """s14: a query restarted from the same checkpoint must restore
+    phase-1 state (final answer == batch over ALL files) while its
+    phase-2 input is ONLY the two newly-arrived files — the offset
+    log forbids re-delivery."""
+    from hearthstats_spark.io import load_table
+
+    out = registry["s14_checkpoint_restart"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows, "s14 produced no state"
+    got = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in rows}
+    assert got == _hourly_batch_answer(spark)
+
+    ev = load_table(spark, SF_SMALL, "events")
+    late_files_rows = ev.filter(
+        ((F.dayofmonth("ts") - 1) / 6).cast("int") >= 3).count()
+    assert rows[0]["phase2_input_rows"] == late_files_rows
