@@ -362,3 +362,135 @@ def q107_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("item")
     )
     return heavy_hitters(items, ["item"], support=0.0105)
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE body."""
+    return f"""
+    r{i} AS (
+        SELECT u.dst AS node,
+               CAST(0.15 AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(SUM(CAST(r.rank / deg.d AS DECIMAL(28,12)))
+                        AS DOUBLE) AS rank
+        FROM u
+        JOIN r{i - 1} r ON u.src = r.node
+        JOIN deg ON deg.src = u.src
+        GROUP BY u.dst
+    )"""
+
+
+@register(
+    "q108_pagerank",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+    ),
+    u AS (SELECT a AS src, b AS dst FROM e
+          UNION ALL SELECT b AS src, a AS dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM u GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, 5))
+    + """
+    SELECT node, ROUND(rank, 4) AS rank4
+    FROM r4 ORDER BY rank4 DESC, node LIMIT 20
+    """,
+)
+def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 4 iterations, unnormalized 1.0 init)
+    over the parts-co-ordered graph; top-20 hub parts.
+
+    The iterative-algorithm representative: rank_{i+1}(v) = 0.15 +
+    0.85·Σ rank_i(u)/deg(u) over in-edges. Each iteration is one
+    keyed join (ranks ⋈ edges on src) + one hash agg on dst — the
+    exact computational shape of Pregel-style PageRank on any engine.
+    Cross-engine exactness: per-edge contributions are cast to
+    DECIMAL(28,12) before summing (order-independent), and the
+    remaining float ops (one division, one multiply-add per node per
+    iteration) are identical IEEE operations on identical inputs, so
+    ranks match bit-for-bit after any fixed iteration count; the
+    oracle unrolls the same 4 iterations as chained CTEs (recursive
+    SQL forbids the per-iteration aggregate). Ranking uses the
+    ROUNDED value (q61 discipline).
+
+    Scale: the edge frame is localCheckpoint'ed (every iteration
+    reads it; Spark has no subplan reuse) and at cluster scale you
+    would bucket `u` by src so the per-iteration join is
+    shuffle-free on the edge side — the rank side alone moves
+    (documented, SCALE.md)."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    e = (
+        po.alias("x").join(po.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    u = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+         .unionAll(e.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"))))
+    deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ud = u.join(deg, "src").localCheckpoint()  # edges+degree, reused 4×
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1.0).alias("rank"))
+    for i in range(4):
+        contrib = ud.join(ranks, ud.src == ranks.node).select(
+            "dst",
+            (F.col("rank") / F.col("d")).cast("decimal(28,12)").alias("c"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double"))
+            .alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+        if i == 1:
+            ranks = ranks.localCheckpoint()  # cut mid-loop lineage
+    return (
+        ranks.select("node", F.round("rank", 4).alias("rank4"))
+        .orderBy(F.col("rank4").desc(), "node").limit(20)
+    )
+
+
+@register(
+    "q109_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M') AS purchase_min,
+           CASE WHEN s.ts >= p.ts - INTERVAL 48 HOUR
+                THEN strftime(s.ts, '%Y-%m-%d %H:%M') END AS signup_min
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q109_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join with a staleness bound: q13's latest-prior-signup
+    match, but a match older than 48 hours is rejected (NULL) — the
+    bounded-staleness lookup feature stores and quote-joins need
+    (a too-old reference row is worse than none).
+
+    Because the as-of match is the LATEST prior row, 'latest prior
+    within the window' == 'latest prior, then nullified if outside
+    the window' — so the tolerance is a post-filter on the matched
+    timestamp, adding zero shuffles to the operator (same single
+    union+window pass as q13; DuckDB mirrors with CASE over its
+    native ASOF)."""
+    from hearthstats_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts")
+    joined = asof_join(purchases, signups, on=["user_id"], left_ts="ts")
+    within = F.col("ts_asof") >= F.col("ts") - F.expr("INTERVAL 48 HOURS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("purchase_min"),
+        F.when(within, F.date_format("ts_asof", "yyyy-MM-dd HH:mm"))
+        .alias("signup_min"),
+    )
