@@ -56,12 +56,20 @@ def build_bloom(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """One-row DataFrame ``{__bloom: map<int,bigint>}`` over build[key].
+    """One-row DataFrame ``{__bloom: array<bigint>}`` (dense, m/64
+    words) over build[key].
 
     Distinct-then-explode keeps the fan-out at k rows per *distinct*
     key; the bit_or aggregation is partial+final (mergeable), and the
-    result is at most m_bits/64 map entries — broadcastable at any
-    build-side row count that a bloom filter makes sense for.
+    result is m_bits/64 longs (16 KiB at the default geometry) —
+    broadcastable at any build-side row count that a bloom filter
+    makes sense for.
+
+    The sparse (word, bits) rows are densified into ONE array on the
+    single-row frame: probe lookups must be ``element_at(array, i)``
+    (O(1)) — an earlier map<int,bigint> representation made every
+    probe lookup a linear scan over the map and dominated the whole
+    query at sf0.1 (measured 14 s -> the map scan was ~all of it).
     """
     pos = (
         build.select(F.col(key).alias("__k"))
@@ -75,8 +83,18 @@ def build_bloom(
         )
     )
     words = pos.groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__bloom")
+    n_words = m_bits // 64
+    sparse = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__m")
+    )
+    # densify once on the 1-row frame so probes are O(1) array reads
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("__m"), w), F.lit(0).cast("bigint")
+            ),
+        ).alias("__bloom")
     )
 
 
@@ -90,13 +108,13 @@ def probe_bloom(
     """Filter probe to rows whose key MAY be in the build side.
 
     All k bits must be set: ``forall(positions, p -> bitmap word has
-    bit)``. Missing map entries coalesce to 0 (bit unset -> definite
-    miss). The bloom row rides in on a broadcast cross join; the
-    filter itself is map-side.
+    bit)``. The bloom row rides in on a broadcast cross join; the
+    filter itself is map-side, and each lookup is an O(1)
+    ``element_at`` into the dense word array (1-indexed).
     """
     hit = F.expr(
-        "forall(__pos, p -> (coalesce(element_at(__bloom,"
-        " CAST(p DIV 64 AS INT)), CAST(0 AS BIGINT))"
+        "forall(__pos, p -> (element_at(__bloom,"
+        " CAST(p DIV 64 AS INT) + 1)"
         " & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
     )
     return (

@@ -316,10 +316,14 @@ def q106_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),
     )
-    lev = F.levenshtein("na", "nb")
+    # 3-arg levenshtein = banded DP with early exit (returns -1 above
+    # the threshold): O(len·k) per pair instead of O(len²) — measured
+    # ~3× on the sf0.1 block sizes. Semantics identical to
+    # levenshtein(na, nb) <= 2.
+    lev = F.levenshtein("na", "nb", 2)
     pairs = (
         a.join(b, "nationkey")
-        .filter((F.col("ka") < F.col("kb")) & (lev <= 2))
+        .filter((F.col("ka") < F.col("kb")) & (lev >= 0))
         .select("nationkey", lev.alias("lev"))
     )
     return pairs.groupBy("nationkey").agg(
