@@ -498,3 +498,130 @@ def q109_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.date_format("ts_asof", "yyyy-MM-dd HH:mm"))
         .alias("signup_min"),
     )
+
+
+@register(
+    "q110_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                   AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               ANY_VALUE(med) AS med,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)
+                   AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(m.med, 4) AS med,
+           ROUND(m.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * CAST(1.4826 AS DOUBLE)
+                                          * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)
+def q110_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event series: median / MAD (median
+    absolute deviation) with the 1.4826 normal-consistency constant —
+    the outlier detector that, unlike q104's z-score, is itself immune
+    to the outliers it hunts.
+
+    Two grouped EXACT percentiles (value, then |value − median|) with
+    a broadcast-sized median frame joined back between them (the
+    group key has dimension cardinality — the join is a broadcast at
+    any fact scale). Interpolated exact percentiles match DuckDB's
+    percentile_cont bit-for-bit on identical inputs (q23 precedent);
+    everything else is counting."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    thresh = F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(F.col("adev") > thresh, 1).otherwise(0))
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers", "n",
+        )
+    )
+
+
+@register(
+    "q111_conversion_lag",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS fv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id,
+               (epoch_us(MIN(e.ts)) - epoch_us(f.fv)) // 1000000
+                   AS lag_s
+        FROM fv f JOIN events e
+          ON e.user_id = f.user_id
+         AND e.event_type = 'purchase' AND e.ts >= f.fv
+        GROUP BY f.user_id, f.fv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_s), 4)
+               AS p50_lag_s,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_s), 4)
+               AS p90_lag_s
+    FROM conv
+    """,
+)
+def q111_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user, seconds from
+    FIRST view to the first purchase at/after it; report converted
+    users + exact p50/p90 of the lag — the funnel-latency metric
+    product analytics pairs with q82's ordered funnel.
+
+    Lags are integer seconds (µs epoch difference, integer division)
+    so the only float op is the final interpolated percentile (q23
+    precedent). Plan: one filtered user-keyed agg, one user-keyed
+    join + min agg, one global percentile over ≤ one row per user —
+    the global agg's input is user-dimension-sized, not fact-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("fv")))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id", "fv")
+        .agg(F.min("ts").alias("fp"))
+        .select(
+            ((F.unix_micros("fp") - F.unix_micros("fv"))
+             / F.lit(1000000)).cast("long").alias("lag_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_lag_s"),
+    )

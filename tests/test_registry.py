@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 109 declared
-queries q01–q109 + 14 side-effect/streaming ops s01–s14; 106
+"""The registry IS the driver contract (SURVEY.md §2): 111 declared
+queries q01–q111 + 14 side-effect/streaming ops s01–s14; 108
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 110)
+    f"q{i:02d}" for i in range(1, 112)
 } | {f"s{i:02d}" for i in range(1, 15)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -31,7 +31,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 106
+    assert len(with_oracle) == 108
 
 
 def test_names_well_formed(registry):
