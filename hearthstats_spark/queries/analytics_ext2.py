@@ -625,3 +625,74 @@ def q111_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_lag_s"),
         F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_lag_s"),
     )
+
+
+@register(
+    "q112_sessionize_lag",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                         // 1000000 > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+               AS duration_s,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q112_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, the lag+cumsum formulation: a new
+    session starts after >30 min of user inactivity; emit per-session
+    event count, duration, purchase count. This is the assignment
+    form of q43's `session_window` aggregate — it hands every event
+    its session id, which downstream feature pipelines need (q43's
+    windowed agg only emits the collapsed session row).
+
+    Both windows (the lag mark and the running sum) are user_id-
+    partitioned over the same (ts, event_id) sort, so Catalyst plans
+    ONE shuffle + one sort and evaluates both window functions in a
+    single Window node — sessionization at 100 TB is exactly one
+    user-keyed exchange. Duration math is integer seconds from µs
+    epochs. Both windows carry the same full tiebreak (ts, event_id)
+    — a ROWS cumsum over a tie-ambiguous sort would be
+    engine-dependent for a user whose first two events share a
+    timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1000000
+    marked = ev.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull()
+               | (gap_s.cast("long") > 1800), 1).otherwise(0),
+    )
+    wsum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sess = marked.withColumn("session_no", F.sum("is_start").over(wsum))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+             / F.lit(1000000)).cast("long").alias("duration_s"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0)).alias("n_purchases"),
+        )
+        .select("user_id", F.col("session_no").cast("long").alias("session_no"),
+                "n_events", "duration_s", "n_purchases")
+    )

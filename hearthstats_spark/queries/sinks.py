@@ -298,3 +298,42 @@ def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_before long, files_after long, files_budgeted long, "
         "rows_preserved boolean, content_digest_equal boolean",
     )
+
+
+@register("s15_schema_evolution", oracle=None)  # rows-only: side-effect op
+def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution — the lake reality at 100 TB: a
+    dataset written over months where a column was ADDED mid-stream
+    must still read as ONE table. Write nation twice: v1 without a
+    column, v2 with an added ``n_comment_len`` column; read the
+    directory with ``mergeSchema`` and verify (a) the union schema
+    appears, (b) v1 rows surface NULL for the added column, (c) row
+    count is the concatenation.
+
+    ``mergeSchema`` unions footers at planning time (an O(n_files)
+    driver cost — at real scale you pin the evolved schema in a
+    catalog/metastore instead of re-merging footers per query, and
+    this op demonstrates why: the schema comes from the FILES here).
+    Returns a 1-row summary the test asserts on."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="hs_s15_")
+    v1 = nation.select("n_nationkey", "n_name", "n_regionkey")
+    v1.write.mode("overwrite").parquet(f"{base}/v=1")
+    v2 = nation.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.length("n_name").cast("long").alias("n_comment_len"),
+    )
+    v2.write.mode("overwrite").parquet(f"{base}/v=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    has_col = "n_comment_len" in merged.columns
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(has_col).alias("evolved_col_present"),
+        F.sum(F.when(F.col("n_comment_len").isNull(), 1).otherwise(0))
+        .alias("n_old_schema_rows"),
+        F.sum(F.when(F.col("n_comment_len").isNotNull(), 1).otherwise(0))
+        .alias("n_new_schema_rows"),
+    )

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 111 declared
-queries q01–q111 + 14 side-effect/streaming ops s01–s14; 108
+"""The registry IS the driver contract (SURVEY.md §2): 112 declared
+queries q01–q112 + 15 side-effect/streaming ops s01–s15; 109
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,8 +7,8 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 112)
-} | {f"s{i:02d}" for i in range(1, 15)}
+    f"q{i:02d}" for i in range(1, 113)
+} | {f"s{i:02d}" for i in range(1, 16)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -19,6 +19,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s09_merge_upsert", "s10_partitioned_layout",
     "s11_stream_static_join", "s12_compaction",
     "s13_watermark_late_drop", "s14_checkpoint_restart",
+    "s15_schema_evolution",
 }
 
 
@@ -31,7 +32,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 108
+    assert len(with_oracle) == 109
 
 
 def test_names_well_formed(registry):

@@ -51,3 +51,15 @@ def test_sql_sees_normalized_events_ts(spark):
     row = df.collect()[0]
     assert str(row["lo"]).startswith("2024-01-01")
     assert dict(df.dtypes)["lo"] == "timestamp"
+
+
+def test_s15_schema_evolution(spark, registry):
+    """mergeSchema must surface the union schema, NULL-fill the old
+    files, and keep every row."""
+    from tests.conftest import SF_SMALL
+
+    row = registry["s15_schema_evolution"].fn(spark, SF_SMALL).collect()[0]
+    assert row["evolved_col_present"]
+    assert row["n_rows"] == 50          # 25 nations × 2 versions
+    assert row["n_old_schema_rows"] == 25
+    assert row["n_new_schema_rows"] == 25
