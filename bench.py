@@ -82,6 +82,11 @@ def main() -> int:
             print(f"[bench] FAIL {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
             timings[name] = -1.0
+        # drop caches a query left behind (dedup kernels cache their
+        # shingle frames): with 100+ queries in one session the
+        # accumulated blocks cause GC-pressure variance in LATER
+        # queries — each timing should be cold and independent
+        spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # the headline set is FIXED (BASELINE.md anchors) so `value` stays
