@@ -696,3 +696,183 @@ def q112_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("session_no").cast("long").alias("session_no"),
                 "n_events", "duration_s", "n_purchases")
     )
+
+
+@register(
+    "q113_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+               {fsum_sql("o.o_totalprice", "nation_rev")}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT regionkey, nationkey,
+           ROUND(nation_rev, 4) AS nation_rev,
+           ROUND(nation_rev /
+                 CAST(SUM(CAST(nation_rev AS DECIMAL(28,4))) OVER
+                      (PARTITION BY regionkey) AS DOUBLE), 4)
+               AS region_share,
+           CAST(RANK() OVER (PARTITION BY regionkey
+                             ORDER BY ROUND(nation_rev, 4) DESC,
+                                      nationkey) AS INT)
+               AS rank_in_region
+    FROM rev
+    """,
+)
+def q113_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total within a hierarchy (ratio_to_report): each
+    nation's revenue as a fraction of its region's, plus the intra-
+    region rank — the percent-of-parent pattern every BI rollup has.
+
+    One fact aggregation down to dimension granularity, then BOTH
+    window functions (share denominator, rank) ride the same
+    region-partitioned window — dimension-sized input, one exchange.
+    The share denominator is a decimal windowed sum of the already-
+    decimal-exact nation revenues, and the rank orders by the
+    ROUNDED revenue (q61 discipline), so both engines agree
+    bit-for-bit."""
+    from hearthstats_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    rev = (
+        t["orders"]
+        .join(t["customer"],
+              t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("regionkey"),
+                 F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("o_totalprice", "nation_rev"))
+    )
+    wreg = Window.partitionBy("regionkey")
+    denom = F.sum(F.col("nation_rev").cast(DEC)).over(wreg).cast("double")
+    rnd = F.round("nation_rev", 4)
+    wrank = Window.partitionBy("regionkey").orderBy(
+        rnd.desc(), "nationkey")
+    return rev.select(
+        "regionkey", "nationkey",
+        rnd.alias("nation_rev"),
+        F.round(F.col("nation_rev") / denom, 4).alias("region_share"),
+        F.rank().over(wrank).cast("int").alias("rank_in_region"),
+    )
+
+
+@register(
+    "q114_attribution_linear",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT p.pid, e.event_type
+        FROM p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type IN ('view', 'click')
+         AND e.ts <= p.pts
+         AND e.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    credit AS (
+        SELECT pid, event_type,
+               CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY pid) AS c
+        FROM touch GROUP BY pid, event_type
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(c AS DECIMAL(28,10))) AS DOUBLE)
+               AS total_credit,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases_touched
+    FROM credit GROUP BY event_type
+    """,
+)
+def q114_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 7 days
+    before a purchase shares that purchase's credit equally; total
+    credit per touch channel — marketing analytics' default model.
+
+    The touch join is q66's bounded event-time range join shape
+    (user-keyed equi join + time-range residual — never a cross
+    product); per-purchase credit normalization is a pid-partitioned
+    window over the per-(purchase, channel) counts (purchase-
+    dimension input). Credits are exact p/q rationals with q ≤ the
+    7-day touch count, so the decimal(28,10) cast is deterministic
+    and the final sum order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pid"), "user_id",
+                 F.col("ts").alias("pts")))
+    touch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(p, "user_id")
+        .filter((F.col("ts") <= F.col("pts"))
+                & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")))
+        .select("pid", "event_type")
+    )
+    per = touch.groupBy("pid", "event_type").agg(
+        F.count(F.lit(1)).alias("k"))
+    wp = Window.partitionBy("pid")
+    credit = per.select(
+        "pid", "event_type",
+        (F.col("k").cast("double") / F.sum("k").over(wp)).alias("c"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.sum(F.col("c").cast("decimal(28,10)")).cast("double")
+        .alias("total_credit"),
+        F.countDistinct("pid").alias("n_purchases_touched"),
+    )
+
+
+@register(
+    "q115_waiting_orders",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_late_exclusive
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_shipdate < o.o_orderdate + INTERVAL 10 DAY)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q115_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS + NOT-EXISTS composition: finished
+    orders that had some lineitem ship ≥60 days after ordering AND no
+    lineitem ship within the first 10 days, counted per customer
+    segment — the 'every path was slow' multi-correlated predicate.
+
+    Spark shape: the two correlated subqueries become one left-semi
+    and one left-anti join against differently-filtered projections
+    of the SAME lineitem scan, both equi-keyed on orderkey — Catalyst
+    plans two hash joins, no per-row subquery execution, and the
+    orders/lineitem shuffles are key-partitioned (AQE handles skew).
+    The semi/anti pair is how every decorrelated EXISTS lands at
+    100 TB."""
+    from hearthstats_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "lineitem"))
+    o = t["orders"].filter(F.col("o_orderstatus") == "F")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li, (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    exclusive = late.join(
+        li, (li.l_orderkey == late.o_orderkey)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")),
+        "left_anti",
+    )
+    return (
+        exclusive.join(t["customer"],
+                       exclusive.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_late_exclusive"))
+    )
