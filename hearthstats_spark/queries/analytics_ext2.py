@@ -425,15 +425,9 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     would bucket `u` by src so the per-iteration join is
     shuffle-free on the edge side — the rank side alone moves
     (documented, SCALE.md)."""
-    po = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    e = (
-        po.alias("x").join(po.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(F.col("x.l_partkey").alias("a"),
-                F.col("y.l_partkey").alias("b"))
-        .distinct()
-    )
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+
+    e = co_order_edges(spark, sf_dir)
     u = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
          .unionAll(e.select(F.col("b").alias("src"),
                             F.col("a").alias("dst"))))
