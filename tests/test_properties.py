@@ -230,3 +230,100 @@ def test_prefix_jaccard_matches_bruteforce(spark, docs):
            for r in prefix_filtered_jaccard_pairs(
                df, "doc_id", "text", k=k, t_num=tn, t_den=td).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.sets(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=40))
+def test_pagerank_iterations_match_numpy(spark, edges):
+    """The Spark PageRank loop (decimal-summed contributions) must
+    match a dense numpy reference to float tolerance on arbitrary
+    small graphs — same damping, same 1.0 init, same 4 iterations."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    e = spark.createDataFrame(sorted(und), "a int, b int")
+    u = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+         .unionAll(e.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"))))
+    deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ud = u.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1.0).alias("rank"))
+    for _ in range(4):
+        contrib = ud.join(ranks, ud.src == ranks.node).select(
+            "dst",
+            (F.col("rank") / F.col("d")).cast("decimal(28,12)").alias("c"))
+        ranks = (contrib.groupBy("dst")
+                 .agg((F.lit(0.15) + F.lit(0.85)
+                       * F.sum("c").cast("double")).alias("rank"))
+                 .select(F.col("dst").alias("node"), "rank"))
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+
+    nodes = sorted({n for p in und for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in und:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    d = adj.sum(axis=1)
+    r = np.ones(n)
+    for _ in range(4):
+        r = 0.15 + 0.85 * adj.T @ (r / d)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-6, (node, got[node],
+                                                      r[idx[node]])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2),        # user
+              st.integers(0, 50_000)),  # offset seconds
+    min_size=1, max_size=60, unique=True))
+def test_sessionize_lag_matches_sequential(spark, rows):
+    """Lag+cumsum sessionization must agree with a sequential sweep:
+    same 30-min gap rule, same per-session event counts."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(i, u, base + dt.timedelta(seconds=s))
+            for i, (u, s) in enumerate(sorted(rows))]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (F.unix_micros("ts")
+             - F.unix_micros(F.lag("ts").over(w))) / 1000000
+    marked = df.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull()
+               | (gap_s.cast("long") > 1800), 1).otherwise(0))
+    wsum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sess = marked.withColumn("session_no", F.sum("is_start").over(wsum))
+    got = {
+        (r["user_id"], r["session_no"]): r["n"]
+        for r in sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    expect: dict[tuple[int, int], int] = {}
+    by_user: dict[int, list[dt.datetime]] = {}
+    for _, u, ts in data:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        sno, prev = 0, None
+        for ts in tss:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sno += 1
+            expect[(u, sno)] = expect.get((u, sno), 0) + 1
+            prev = ts
+    assert got == expect
