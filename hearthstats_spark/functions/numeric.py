@@ -39,10 +39,32 @@ def dcumsum(col: Column | str, window, alias: str) -> Column:
 
 
 def davg(col: Column | str, alias: str, ndigits: int = 4) -> Column:
-    """Hash-stable mean: exact decimal sum / count, rounded."""
+    """Hash-stable mean: exact decimal sum / count, rounded to
+    ``ndigits`` by EXACT INTEGER half-up division — never a float
+    ROUND.
+
+    Why not ``round(sum_double / n, 4)``: when the true mean
+    terminates exactly one digit past the rounding point (e.g.
+    1512.12 / 32 = 47.25375) the two engines disagree — Java's
+    round() rounds the SHORTEST decimal representation of the
+    quotient (-> 47.2538) while DuckDB rounds the binary double
+    (-> 47.2537). Found live at sf0.1 (q97, 4 cells of 3600).
+
+    Exact formulation: with p = sum·10^d (an integer-valued decimal)
+    and n = count, the half-up-rounded mean is
+    ``(p div n) + [2·(p mod n) >= n]``, all in exact decimal/integer
+    arithmetic, then one deterministic double division by 10^d.
+    ``(p - r)/n`` is exactly divisible, so the decimal division is
+    exact and floor is safe. Assumes non-negative inputs (half-up ==
+    half-away; every averaged measure in the schema is >= 0)."""
     c = F.col(col) if isinstance(col, str) else col
-    exact_sum = F.sum(c.cast(DEC)).cast("double")
-    return F.round(exact_sum / F.count(c), ndigits).alias(alias)
+    scale = 10 ** ndigits
+    p = F.sum(c.cast(DEC)) * scale
+    n = F.count(c)
+    r = F.pmod(p, n)
+    qf = F.floor((p - r) / n)
+    bump = F.when(F.lit(2) * r >= n, 1).otherwise(0)
+    return ((qf + bump).cast("double") / scale).alias(alias)
 
 
 def round4(col: Column | str, alias: str | None = None) -> Column:
@@ -59,6 +81,16 @@ def fsum_sql(expr: str, alias: str) -> str:
 
 
 def favg_sql(expr: str, alias: str, ndigits: int = 4) -> str:
-    """Oracle twin of davg()."""
-    return (f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
-            f" / COUNT({expr}), {ndigits}) AS {alias}")
+    """Oracle twin of davg(): the same exact integer half-up mean.
+    HUGEINT arithmetic (the decimal sum times 10^d is integer-valued,
+    so the cast is exact); one deterministic double division at the
+    end."""
+    scale = 10 ** ndigits
+    p = (f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) * {scale}"
+         f" AS HUGEINT)")
+    n = f"COUNT({expr})"
+    return (
+        f"CAST(({p} // {n})"
+        f" + CASE WHEN 2 * ({p} % {n}) >= {n} THEN 1 ELSE 0 END"
+        f" AS DOUBLE) / {scale} AS {alias}"
+    )
