@@ -870,3 +870,149 @@ def q115_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_late_exclusive"))
     )
+
+
+@register(
+    "q116_decile_lift",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               {fsum_sql("o_totalprice", "spend")}
+        FROM orders GROUP BY o_custkey
+    ),
+    pos AS (
+        SELECT spend,
+               ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS p,
+               COUNT(*) OVER () AS n
+        FROM spend
+    ),
+    dec AS (SELECT ((p - 1) * 10) // n + 1 AS decile, spend FROM pos),
+    agg AS (
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {fsum_sql("spend", "decile_rev")}
+        FROM dec GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(CAST(decile_rev AS DECIMAL(28,4)))
+                        AS DOUBLE) AS t FROM agg)
+    SELECT decile, n_customers,
+           ROUND(decile_rev, 4) AS decile_rev,
+           ROUND(decile_rev / t, 4) AS rev_share,
+           ROUND(CAST(SUM(CAST(decile_rev AS DECIMAL(28,4))) OVER
+                      (ORDER BY decile DESC
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t, 4)
+               AS cum_share_from_top
+    FROM agg, tot
+    """,
+)
+def q116_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile lift table: customers ranked by total
+    spend, cut into 10 equal-depth buckets, each decile's revenue
+    share and the cumulative share captured from the top down — the
+    propensity/churn model evaluation table.
+
+    The global ranking uses the two-pass range-partitioned kernel
+    (`with_global_position` — no single-task sort at any scale); the
+    decile cut is exact integer math on the position. The only
+    whole-frame window runs AFTER aggregation to 10 rows (allowlisted
+    like q92's post-limit rank), and the total rides a broadcast
+    1-row cross join (q53 shape)."""
+    from hearthstats_spark.operators.rankops import with_global_position
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))
+    posed, n = with_global_position(
+        spend, "spend", tiebreak=("o_custkey",), pos_col="__pos")
+    dec = posed.select(
+        F.expr(f"CAST(((__pos - 1) * 10) DIV {n} AS INT) + 1")
+        .alias("decile"),
+        "spend",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("spend", "decile_rev"),
+    )
+    tot = agg.agg(
+        F.sum(F.col("decile_rev").cast(DEC)).cast("double").alias("t"))
+    wcum = (Window.orderBy(F.col("decile").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers",
+            F.round("decile_rev", 4).alias("decile_rev"),
+            F.round(F.col("decile_rev") / F.col("t"), 4)
+            .alias("rev_share"),
+            F.round(
+                F.sum(F.col("decile_rev").cast(DEC)).over(wcum)
+                .cast("double") / F.col("t"), 4)
+            .alias("cum_share_from_top"),
+        )
+    )
+
+
+@register(
+    "q117_order_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderkey,
+               date_trunc('day', o.o_orderdate) AS s,
+               date_trunc('day', MAX(l.l_shipdate)) + INTERVAL 1 DAY
+                   AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+        FROM (SELECT s AS day, 1 AS d FROM iv
+              UNION ALL SELECT e AS day, -1 AS d FROM iv)
+        GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrent
+    FROM deltas
+    """,
+)
+def q117_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting by sweep line: how many orders are
+    'open' (ordered but not fully shipped) at each change point — the
+    occupancy/concurrency curve (active sessions, hotel nights, WIP
+    inventory all share this shape).
+
+    The naive form is a per-day interval self-join (quadratic-ish and
+    shuffle-heavy); the sweep line is linear: every interval becomes
+    a +1 at its start day and a −1 the day after its end, one hash
+    agg collapses deltas per day, and the running total is the EXACT
+    distributed prefix sum (`with_global_prefix_sum` — range-bucketed
+    two-pass, no global single-task window; negative deltas
+    accumulate fine). Only change-point days are emitted (the curve
+    is constant between them)."""
+    from hearthstats_spark.operators.rankops import with_global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("s"),
+            (F.date_trunc("day", "last_ship")
+             + F.expr("INTERVAL 1 DAY")).alias("e"),
+        )
+    )
+    deltas = (
+        iv.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(iv.select(F.col("e").alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day").agg(F.sum("d").alias("delta"))
+        .withColumn("__ord", F.col("day").cast("long"))
+    )
+    cum, _total = with_global_prefix_sum(
+        deltas, "__ord", "delta", cum_col="concurrent")
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "delta",
+        F.col("concurrent").cast("long").alias("concurrent"),
+    )

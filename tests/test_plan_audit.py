@@ -30,7 +30,8 @@ from tests.conftest import SF_MED
 NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q82_funnel_steps", "q92_bm25_topk", "q97_gap_fill",
                   "q98_triangle_count", "q101_kmeans_assign",
-                  "q102_join_bloom_prune", "q107_heavy_hitters"}
+                  "q102_join_bloom_prune", "q107_heavy_hitters",
+                  "q116_decile_lift"}  # 1-row grand-total frame
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
@@ -44,7 +45,10 @@ PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
 # two-pass formulation replaced the last raw-table global window in
 # round 2).
 GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
-                    "q94_item_cooccur"}
+                    "q94_item_cooccur",
+                    # q116's cumulative share runs AFTER aggregation
+                    # to exactly 10 decile rows (q28's safe shape)
+                    "q116_decile_lift"}
 
 
 def _has_global_window(plan: str) -> bool:
@@ -124,7 +128,7 @@ def test_global_window_detector_positive():
 def test_no_scale_hostile_plans(spark, registry):
     offenders: dict[str, str] = {}
     for name, q in sorted(registry.items()):
-        if name.startswith("s0"):
+        if not name.startswith("q"):
             continue  # side-effect ops execute eagerly; covered elsewhere
         p = explain_str(q.fn(spark, SF_MED))
         if "CartesianProduct" in p:

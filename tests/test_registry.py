@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 115 declared
-queries q01–q115 + 15 side-effect/streaming ops s01–s15; 112
+"""The registry IS the driver contract (SURVEY.md §2): 117 declared
+queries q01–q117 + 15 side-effect/streaming ops s01–s15; 114
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 116)
+    f"q{i:02d}" for i in range(1, 118)
 } | {f"s{i:02d}" for i in range(1, 16)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -32,7 +32,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 112
+    assert len(with_oracle) == 114
 
 
 def test_names_well_formed(registry):
