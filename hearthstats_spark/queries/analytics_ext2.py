@@ -296,33 +296,63 @@ def q106_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     names (Levenshtein ≤ 2) within each nation, aggregated per
     nation — the entity-resolution candidate-pair shape.
 
-    The equi key (nation) does the blocking: the join stays hash-
-    partitioned and the quadratic edit-distance work is confined to
-    each block (ER practice; an unblocked pair space is O(n²) no
-    matter the engine). The distance predicate itself is a JVM
-    builtin evaluated join-side, post-equi-match — never a cartesian.
-    At 100 TB you'd block on a higher-cardinality key (name prefix +
-    length band, same plan shape). Semantics declare the block
-    explicitly, so the oracle applies the identical blocked pair
-    space and both engines agree exactly (integer distances)."""
+    Blocking key is COMPOSITE: (nation, length-band). Edit distance
+    is bounded below by the length difference, so with band width 3
+    any pair at lev ≤ 2 sits in the same or an adjacent band — the
+    probe side replicates each row to bands {b-1, b, b+1} (3×, a
+    constant) and the equi join on (nationkey, band) recovers the
+    full nation-blocked pair space exactly. Losslessness is why the
+    oracle can stay the plain nation-blocked SQL: identical rows,
+    hash-exact. Unlike blocking on nation alone (25 keys forever),
+    key cardinality now grows with the data's length diversity, and
+    per-block pair work is O((n/blocks)²), not O((n/25)²).
+
+    The physical plan is pinned deliberately: (1) shuffle_hash —
+    at 100 TB both sides of an ER self-join are fact-sized, broadcast
+    is not an option, the plan must shuffle on the block key; (2)
+    EXPLICIT repartition on the composite key rather than the join's
+    own ENSURE_REQUIREMENTS exchange — AQE's byte-based partition
+    coalescing sees a few hundred KB of names and merges the shuffle
+    to ~1 task, blind to the O(block²) CPU behind each row (measured:
+    6.5 s single-threaded lev work = the whole round-2 8.5 s cold
+    time; REPARTITION_BY_COL is exempt from coalescing and the same
+    work runs in ~1.4 s across the blocks). A CPU-bound non-equi
+    join is the one place byte-proportional AQE heuristics mislead.
+
+    The distance predicate is a JVM builtin evaluated join-side,
+    post-equi-match — never a cartesian. A pathological mega-block
+    (one nation × one band dominating) would be salted like q80;
+    not needed while blocks stay ~thousands of rows."""
     c = load_table(spark, sf_dir, "customer")
+    band_w = 3  # > lev threshold 2, so |Δlen| ≤ 2 ⇒ |Δband| ≤ 1
     a = c.select(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_custkey").alias("ka"),
         F.col("c_name").alias("na"),
+        F.expr(f"length(c_name) div {band_w}").alias("band"),
     )
     b = c.select(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),
+        F.explode(
+            F.array(
+                F.expr(f"length(c_name) div {band_w} - 1"),
+                F.expr(f"length(c_name) div {band_w}"),
+                F.expr(f"length(c_name) div {band_w} + 1"),
+            )
+        ).alias("band"),
     )
     # 3-arg levenshtein = banded DP with early exit (returns -1 above
     # the threshold): O(len·k) per pair instead of O(len²) — measured
     # ~3× on the sf0.1 block sizes. Semantics identical to
     # levenshtein(na, nb) <= 2.
     lev = F.levenshtein("na", "nb", 2)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (
-        a.join(b, "nationkey")
+        a.repartition(n_part, "nationkey", "band")
+        .hint("shuffle_hash")
+        .join(b.repartition(n_part, "nationkey", "band"), ["nationkey", "band"])
         .filter((F.col("ka") < F.col("kb")) & (lev >= 0))
         .select("nationkey", lev.alias("lev"))
     )
