@@ -99,20 +99,33 @@ def q97_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Declared heavy-basket cap for the co-order graph: each order
+#: contributes pairs among its BASKET_CAP smallest distinct parts
+#: only. Part of the graph's semantics (both engines apply it), so
+#: a single pathological mega-order (a returns feed, bot traffic, a
+#: catalog-wide test order) contributes at most CAP·(CAP-1)/2 pairs
+#: instead of basket² — the fan-out bound that keeps the expansion
+#: linear-ish at 100 TB. TPC-H-shaped baskets hold ≤ 7 lines, so the
+#: cap never binds on this corpus (edge set identical with/without).
+BASKET_CAP = 64
+
+
+def co_order_edges(spark: SparkSession, sf_dir: str,
+                   basket_cap: int = BASKET_CAP) -> DataFrame:
     """Distinct undirected (a < b) part pairs co-occurring in some
     order — the shared edge builder for the graph queries (q98
     triangles, q108 PageRank).
 
-    Formulation: per-order basket (`collect_set`) then map-side HOF
-    pair expansion — ONE aggregation shuffle plus the pair distinct,
+    Formulation: per-order basket (`collect_set`), deterministic
+    winsorization to the `basket_cap` smallest parts (sorted-slice —
+    declared semantics, see BASKET_CAP), then map-side HOF pair
+    expansion — ONE aggregation shuffle plus the pair distinct,
     instead of the lineitem self-join's join shuffle (measured ~2×:
-    6.9 s → 3.8 s at sf0.1, identical 1.196M-edge output). Per-order
-    fan-out is basket-size²; at 100 TB winsorize pathological baskets
-    before expansion (the same Σk² bound q94 documents)."""
+    6.9 s → 3.8 s at sf0.1, identical 1.196M-edge output)."""
     basket = (load_table(spark, sf_dir, "lineitem")
               .groupBy("l_orderkey")
-              .agg(F.collect_set("l_partkey").alias("ps")))
+              .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
+                           1, basket_cap).alias("ps")))
     return (
         basket.select(
             F.explode(F.expr(
@@ -129,7 +142,17 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q98_triangle_count",
     oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH po0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- declared heavy-basket cap: pairs among each order's 64
+    -- smallest distinct parts only (BASKET_CAP, both engines)
+    po AS (
+        SELECT l_orderkey, l_partkey
+        FROM (SELECT l_orderkey, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_partkey) AS rn
+              FROM po0)
+        WHERE rn <= 64
+    ),
     e AS (
         SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         FROM po x JOIN po y
@@ -162,8 +185,9 @@ def q98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, global clustering coefficient (3·triangles / wedges).
 
     Spark shape: edges come from the shared basket-expansion builder
-    (`co_order_edges` — per-order fan-out is bounded by basket size,
-    so the pair count stays linear-ish in orders); the triangle count
+    (`co_order_edges` — per-order fan-out is bounded by the declared
+    BASKET_CAP winsorization, so one mega-order cannot go quadratic
+    and the pair count stays linear-ish in orders); the triangle count
     is the canonical a<b<c two-equi-join enumeration — every join
     keyed, no theta join, AQE handles hub-part skew. Degrees reuse
     the edge frame. One summary row out via broadcast-able

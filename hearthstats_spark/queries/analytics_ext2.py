@@ -417,7 +417,16 @@ def _pr_iter_sql(i: int) -> str:
 @register(
     "q108_pagerank",
     oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH po0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- declared heavy-basket cap (BASKET_CAP = 64, both engines)
+    po AS (
+        SELECT l_orderkey, l_partkey
+        FROM (SELECT l_orderkey, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_partkey) AS rn
+              FROM po0)
+        WHERE rn <= 64
+    ),
     e AS (
         SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey

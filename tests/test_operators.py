@@ -243,3 +243,32 @@ def test_skyline_dominance_and_ties(spark):
             (F.col("sm").isNull() | (F.col("sm") < F.col("size")))
             & (F.col("size") == F.col("gmax"))).collect())
     assert got == [1, 2, 5, 6]
+
+
+def test_co_order_edges_heavy_basket_cap(spark, tmp_path):
+    """One synthetic mega-order (200 distinct parts) must contribute
+    at most cap·(cap−1)/2 pairs, taken deterministically from the
+    order's SMALLEST partkeys — the declared winsorization that
+    bounds the basket² fan-out at scale (q98/q108 edge builder)."""
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+
+    rows = [(1, p) for p in range(200)]        # the mega-order
+    rows += [(2, 10), (2, 500), (3, 500)]      # normal baskets
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    capped = co_order_edges(spark, sf_dir, basket_cap=5)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    # order 1: pairs among its 5 smallest parts {0..4} only
+    mega = {p for p in got if p[0] < 200 and p[1] < 200 and p != (10, 500)}
+    assert mega == {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert (10, 500) in got                    # order 2 untouched
+    assert len(got) == 10 + 1
+
+    # default cap (64): 200-part basket emits exactly 64·63/2 pairs
+    # over parts {0..63}; no pair touches a part ≥ 64
+    dflt = co_order_edges(spark, sf_dir)
+    mega_dflt = {p for p in dflt.collect() if (p["a"], p["b"]) != (10, 500)}
+    assert len(mega_dflt) == 64 * 63 // 2
+    assert all(r["a"] < 64 and r["b"] < 64 for r in mega_dflt)
