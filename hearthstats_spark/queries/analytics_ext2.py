@@ -460,10 +460,12 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED value (q61 discipline).
 
     Scale: the edge frame is localCheckpoint'ed (every iteration
-    reads it; Spark has no subplan reuse) and at cluster scale you
-    would bucket `u` by src so the per-iteration join is
-    shuffle-free on the edge side — the rank side alone moves
-    (documented, SCALE.md)."""
+    reads it; Spark has no subplan reuse); the bucketed-edge lane —
+    `ud` persisted bucketed+sorted by src so the per-iteration join
+    is shuffle-free on the edge side and only the rank frame moves —
+    is `pagerank_loop` over a `sources/layout.write_bucketed` table,
+    plan-pinned in tests/test_layout.py and measured at sf0.1
+    (see SCALE.md §pagerank)."""
     from hearthstats_spark.queries.analytics_ext import co_order_edges
 
     e = co_order_edges(spark, sf_dir)
@@ -472,10 +474,33 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("a").alias("dst"))))
     deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ud = u.join(deg, "src").localCheckpoint()  # edges+degree, reused 4×
-    ranks = deg.select(F.col("src").alias("node"),
-                       F.lit(1.0).alias("rank"))
-    for i in range(4):
-        contrib = ud.join(ranks, ud.src == ranks.node).select(
+    # derive the node set from the CHECKPOINTED frame — deg's own
+    # lineage would re-run the whole edge pipeline a second time just
+    # to initialize ranks (measured ~3.5 s at sf0.1)
+    nodes = ud.select(F.col("src").alias("node")).distinct()
+    ranks = pagerank_loop(ud, nodes)
+    return (
+        ranks.select("node", F.round("rank", 4).alias("rank4"))
+        .orderBy(F.col("rank4").desc(), "node").limit(20)
+    )
+
+
+def pagerank_loop(ud: DataFrame, nodes: DataFrame,
+                  iterations: int = 4) -> DataFrame:
+    """The q108 iteration kernel over any (src, dst, d) edge frame:
+    rank_{i+1}(v) = 0.15 + 0.85·Σ rank_i(u)/deg(u), DECIMAL(28,12)
+    contribution sums (order-independent), 1.0 init on ``nodes``.
+
+    ``ud`` is whatever materialization the caller owns: q108 passes a
+    localCheckpoint; the cluster-scale lane passes a catalog table
+    written by ``sources.layout.write_bucketed(..., ['src'])``, which
+    makes the per-iteration rank⋈edge join shuffle-free on the edge
+    side — the dominant per-iteration exchange (edge-sized) vanishes
+    and only the node-sized rank frame moves (plan-pinned in
+    tests/test_layout.py)."""
+    ranks = nodes.select(F.col("node"), F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        contrib = ud.join(ranks, ud["src"] == ranks["node"]).select(
             "dst",
             (F.col("rank") / F.col("d")).cast("decimal(28,12)").alias("c"),
         )
@@ -483,12 +508,9 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double"))
             .alias("rank")
         ).select(F.col("dst").alias("node"), "rank")
-        if i == 1:
+        if i == 1 and iterations > 2:
             ranks = ranks.localCheckpoint()  # cut mid-loop lineage
-    return (
-        ranks.select("node", F.round("rank", 4).alias("rank4"))
-        .orderBy(F.col("rank4").desc(), "node").limit(20)
-    )
+    return ranks
 
 
 @register(

@@ -90,3 +90,49 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_pagerank_iteration_edge_side_shuffle_free(spark):
+    """The q108 docstring's cluster lane, proven: with the (src, dst,
+    d) edge frame persisted bucketed+sorted by src, each PageRank
+    iteration's rank⋈edge join reads the edge side straight from
+    buckets — the only Exchange left in the join is the node-sized
+    rank frame, and ranks match the checkpoint-lane kernel exactly."""
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+    from hearthstats_spark.queries.analytics_ext2 import pagerank_loop
+
+    e = co_order_edges(spark, SF_SMALL)
+    u = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+         .unionAll(e.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"))))
+    deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ud = u.join(deg, "src")
+    # materialize the node frame so the join plan below shows only
+    # the per-iteration work, not the edge-builder lineage
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+
+    write_bucketed(ud, "t_edges_b", ["src"], 8, sort_cols=["src"])
+    try:
+        udb = spark.table("t_edges_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+            joined = udb.join(ranks, udb["src"] == ranks["node"])
+            p = explain_str(joined, "simple")
+            assert "SelectedBucketsCount: 8 out of 8" in p
+            # exactly ONE exchange: the rank side. The edge side must
+            # read from buckets with no shuffle above its scan.
+            assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            assert "t_edges_b" in p
+
+            got = {(r["node"], round(r["rank"], 4))
+                   for r in pagerank_loop(udb, nodes, 2).collect()}
+            want = {(r["node"], round(r["rank"], 4))
+                    for r in pagerank_loop(ud.localCheckpoint(),
+                                           nodes, 2).collect()}
+            assert got == want and len(got) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(32 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
