@@ -27,7 +27,9 @@ is the one a sketch-based engine would use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,22 +37,39 @@ def heavy_hitters(items: DataFrame, cols: list[str], support: float) -> DataFram
     """Exact items (by ``cols``) with frequency >= support * N.
 
     Returns columns ``cols + [cnt, frac]`` (frac rounded to 4dp).
+
+    Two soundness details pinned by tests:
+
+    - ``__lc`` and ``__np`` come from ONE evaluation of one frame
+      (a window over the local counts), never from two branches that
+      each re-run ``spark_partition_id()`` on their own scan — a
+      non-deterministic upstream (round-robin retry, AQE replan,
+      sampled input) could otherwise pair counts from DIFFERENT
+      partitionings and break the pigeonhole bound.
+    - The verify semi-join is NULL-SAFE: a NULL group key is a group
+      like any other under GROUP BY semantics (and under the DuckDB
+      oracle), so a heavy NULL item must survive the candidate prune.
     """
     local = (
         items.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid", *cols)
         .agg(F.count(F.lit(1)).alias("__lc"))
     )
-    part_rows = local.groupBy("__pid").agg(F.sum("__lc").alias("__np"))
     candidates = (
-        local.join(part_rows, "__pid")
+        local.withColumn(
+            "__np", F.sum("__lc").over(Window.partitionBy("__pid")))
         .filter(F.col("__lc") >= F.lit(support) * F.col("__np"))
         .select(*cols)
         .distinct()
     )
     total = items.agg(F.count(F.lit(1)).alias("__n"))
+    cand = F.broadcast(candidates.select(
+        *[F.col(c).alias(f"__cand_{c}") for c in cols]))
+    null_safe_on = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__cand_{c}")) for c in cols])
     return (
-        items.join(F.broadcast(candidates), cols, "left_semi")
+        items.join(cand, null_safe_on, "left_semi")
         .groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))

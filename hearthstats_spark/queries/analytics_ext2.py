@@ -1,10 +1,5 @@
-"""Group M extensions — runtime-filtered join (q102), cohort
-retention (q103), rolling z-score anomalies (q104), token entropy
-(q105), blocked edit-distance join (q106), exact heavy hitters
-(q107).
-
-Six more shapes a production analytics/training-data engine runs
-daily that the registry did not yet cover:
+"""Group M extensions — sixteen shapes a production analytics /
+training-data engine runs daily (q102–q117):
 
 - **q102**: an explicit Bloom runtime filter ahead of a fact-dim
   join — the shuffle-volume reducer every 100 TB star join wants
@@ -18,10 +13,31 @@ daily that the registry did not yet cover:
   the text-quality signal that catches boilerplate/low-information
   docs before they enter a training mix.
 - **q106**: string-similarity self-join under a Levenshtein budget
-  with natural-key blocking — entity-resolution's workhorse.
+  with composite (nation, length-band) blocking — entity-
+  resolution's workhorse.
 - **q107**: exact heavy hitters via the two-phase local-prune +
   verify plan (the distributed Misra–Gries shape with an exact
   verify pass, `operators/heavyhitters.py`).
+- **q108**: iterative PageRank over the co-order part graph
+  (decimal-exact contributions; bucketed-edge lane in
+  `pagerank_loop`).
+- **q109**: ASOF join with a 48 h staleness bound (feature-store
+  lookup semantics).
+- **q110**: median/MAD robust outlier counts per event type.
+- **q111**: funnel time-to-convert (first view → first purchase
+  lag percentiles).
+- **q112**: gap-based sessionization assigning a session id to
+  every event (one user-keyed exchange, single Window node).
+- **q113**: share-of-region revenue + intra-region rank
+  (percent-of-parent BI rollup).
+- **q114**: linear multi-touch attribution over a bounded
+  7-day range join.
+- **q115**: EXISTS + NOT EXISTS composition (TPC-H Q21 shape) as
+  one semi + one anti hash join.
+- **q116**: equal-depth customer spend deciles via the two-pass
+  global-position kernel + cumulative lift shares.
+- **q117**: interval-overlap sweep line (open-order concurrency)
+  with an exact distributed prefix sum.
 """
 
 from __future__ import annotations
@@ -367,7 +383,11 @@ def q106_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q107_heavy_hitters",
     oracle="""
     WITH items AS (
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        -- TRY_CAST, matching Spark's null-on-malformed cast: a
+        -- non-numeric payload key becomes a NULL group on BOTH
+        -- engines (and the operator's verify join is null-safe)
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            AS item
         FROM events
     ),
     tot AS (SELECT COUNT(*) AS n FROM items)

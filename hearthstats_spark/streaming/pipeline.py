@@ -87,6 +87,30 @@ def write_replay_source(spark: SparkSession, sf_dir: str,
 _MEM_SINK_SEQ = [0]  # memory-sink table names must be session-unique
 
 
+def _full_progress(q, spark: SparkSession) -> list:
+    """``q.recentProgress`` with a LOUD truncation guard.
+
+    recentProgress retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    100); with maxFilesPerTrigger=1 a replay source that ever stages
+    more files than that would silently drop the oldest batches from
+    any metric sum (s13's watermark-drop count, s14's input-row
+    accounting). Fail loudly at the cliff instead of undercounting —
+    the production-scale alternative is a StreamingQueryListener,
+    which has no retention cap."""
+    limit = int(spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"))
+    progress = q.recentProgress
+    if len(progress) >= limit:
+        raise RuntimeError(
+            f"streaming query produced {len(progress)} progress updates, "
+            f">= the recentProgress retention limit ({limit}): metric "
+            "sums would silently undercount. Raise "
+            "spark.sql.streaming.numRecentProgressUpdates or switch to "
+            "a StreamingQueryListener.")
+    return progress
+
+
 def _mem_table_name(prefix: str) -> str:
     _MEM_SINK_SEQ[0] += 1
     return f"{prefix}_{os.getpid()}_{_MEM_SINK_SEQ[0]}"
@@ -473,7 +497,7 @@ def s13_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     dropped = sum(
         int(p["stateOperators"][0]["numRowsDroppedByWatermark"])
-        for p in q.recentProgress if p.get("stateOperators")
+        for p in _full_progress(q, spark) if p.get("stateOperators")
     )
 
     upd = spark.read.parquet(out)
@@ -534,7 +558,8 @@ def s14_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+        return sum(int(p["numInputRows"])
+                   for p in _full_progress(q, spark))
 
     run_phase()
     for f in hold_back:  # the two new files arrive after the stop

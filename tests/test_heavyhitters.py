@@ -50,3 +50,15 @@ def test_hot_key_spread_across_partitions(spark):
 def test_empty_result_when_uniform(spark):
     df = spark.range(1000).select((F.col("id") % 500).alias("item"))
     assert heavy_hitters(df, ["item"], support=0.01).count() == 0
+
+
+def test_null_group_key_is_a_heavy_hitter(spark):
+    """A NULL item above support is a group like any other (GROUP BY
+    semantics, and what the DuckDB oracle computes): the candidate
+    prune's semi-join must be null-safe or the NULL group vanishes."""
+    rows = [None] * 100 + [int(i % 200 + 1000) for i in range(900)]
+    df = spark.createDataFrame(
+        [(r,) for r in rows], "item long").repartition(8)
+    got = {r["item"]: r["cnt"]
+           for r in heavy_hitters(df, ["item"], support=0.05).collect()}
+    assert got == {None: 100}
