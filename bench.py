@@ -18,7 +18,11 @@ echoed on stderr.
 Each query is materialized through the ``noop`` write format so the
 full plan executes (count() alone would let Catalyst prune every
 column of a projection query); timing excludes JVM startup (one
-warm-up action runs first) but includes planning + execution.
+warm-up action runs first) but includes planning + execution. Every
+query is timed twice — cold (first execution; the headline metric,
+comparable across rounds) and warm (immediate re-run with codegen
+JIT'ed and footers cached; the steady-state a long-lived cluster
+sees) — both recorded per query in BENCH_DETAIL.json.
 
 Side-effect/streaming smoke ops (s01–s12) are excluded: they time
 file-system round-trips, not query execution.
@@ -70,6 +74,7 @@ def main() -> int:
      .mapInPandas(lambda it: it, "id long").selectExpr("sum(id)").collect())
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, q in sorted(registry.items()):
         if not name.startswith("q"):
             continue  # side-effect/streaming smoke ops (s01..) time IO, not queries
@@ -87,6 +92,19 @@ def main() -> int:
         # accumulated blocks cause GC-pressure variance in LATER
         # queries — each timing should be cold and independent
         spark.catalog.clearCache()
+        # warm steady-state: the same query again with its codegen
+        # classes JIT'ed and file footers in page cache — the number
+        # a long-lived cluster sees. Headline metric stays COLD for
+        # cross-round comparability; warm goes to BENCH_DETAIL only.
+        if timings[name] >= 0:
+            t0 = time.perf_counter()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                warm[name] = -1.0
+            spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # the headline set is FIXED (BASELINE.md anchors) so `value` stays
@@ -99,8 +117,11 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "headline": {k: timings.get(k) for k in HEADLINE},
-        "queries": timings,
+        "queries": {k: {"cold": v, "warm": warm.get(k)}
+                    for k, v in timings.items()},
         "total_all_queries": round(sum(ok.values()), 3),
+        "total_all_queries_warm": round(
+            sum(v for v in warm.values() if v >= 0), 3),
         "n_queries": len(ok),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

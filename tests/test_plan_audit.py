@@ -140,3 +140,44 @@ def test_no_scale_hostile_plans(spark, registry):
         elif _has_global_window(p) and name not in GLOBAL_WINDOW_OK:
             offenders[name] = "global (empty-partition) window sort"
     assert not offenders, offenders
+
+
+def test_no_driver_materialization_in_sources():
+    """Source-level sweep: no query/operator module may call
+    .collect()/.toPandas() outside the three audited lanes —
+
+    - operators/rankops.py: the two-pass range-partition kernels
+      collect ONE ≤ n_buckets-row aggregate (the same boundary
+      metadata a RangePartitioner ships to the driver);
+    - operators/similarity.py: the brute-force top-k fast path
+      builds its broadcast matrix via toPandas BEHIND an explicit
+      row-count guard that reroutes big inputs to the chunked
+      kernel (plus that one count() scalar);
+    - queries/sinks.py: s01's recorded sqlite3 fallback (no JDBC
+      jar offline) and s09/s12's single-scalar self-verification
+      (max key / content digest) — side-effect ops, not query lanes.
+
+    Anything else is a new driver-side materialization and must be
+    justified here before it lands."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "hearthstats_spark"
+    allowed = {  # file -> max permitted call sites
+        "operators/rankops.py": 4,
+        "operators/similarity.py": 1,
+        "queries/sinks.py": 3,
+    }
+    pat = re.compile(r"\.(collect|toPandas)\(\)")
+    offenders: dict[str, int] = {}
+    for sub in ("queries", "operators", "functions", "sources", "streaming"):
+        for py in sorted((root / sub).glob("*.py")):
+            n = len(pat.findall(py.read_text()))
+            if n == 0:
+                continue
+            rel = f"{sub}/{py.name}"
+            if n > allowed.get(rel, 0):
+                offenders[rel] = n
+    assert not offenders, (
+        f"driver-side materialization outside the audited lanes: "
+        f"{offenders}")
