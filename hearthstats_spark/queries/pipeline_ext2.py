@@ -1,0 +1,295 @@
+"""Round-3 training-data-pipeline extensions (q118–q121):
+
+- **q118**: deterministic MinHash near-dup candidates — the
+  oracle-checked complement of q49's pyspark.ml MinHashLSH lane
+  (whose sketch is library-random and therefore rows-only). With
+  the hash family fixed (md5-derived), signatures, banding, and the
+  collision estimate are pure integer/float-exact arithmetic, so
+  DuckDB replays the identical algorithm and the driver hash-checks
+  the WHOLE MinHash pipeline end to end.
+- **q119**: deterministic train/val/test split assignment —
+  hash-mod bucketing on the document key (the split recipe every
+  training corpus needs to be reproducible across engines/runs).
+- **q120**: bigram language-model counts with conditional
+  probability P(w2|w1) — the n-gram statistics pass of a data
+  pipeline (quality filters, contamination n-grams, LM baselines).
+- **q121**: cumulative distinct users by day via the first-seen
+  trick — the growth curve computed WITHOUT a distinct-over-window
+  (which Spark cannot express and no engine can run cheaply): each
+  user collapses to their first-seen day (one hash agg), then a
+  running sum over the ≤31-row daily frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+# ---- q118: deterministic MinHash ------------------------------------
+#
+# K = 16 hash functions h_j(s) = int64(md5(j ':' s)[:15 hex]); the
+# signature is (min_j over the doc's distinct word-3-shingles) for
+# each j. Banding: 8 bands x 2 rows — a pair is a CANDIDATE iff some
+# band's 2 signature slots agree on both docs (P = 1-(1-J^2)^8, ~97%
+# at J=0.6). The declared output is the candidate pairs with their
+# full-signature match count and the standard collision estimate
+# n_match/16 — recall loss is part of the declared semantics, and
+# the oracle replays the identical banding, so there is no sketch
+# tolerance to hide behind (contrast q49).
+
+_MH_K = 16
+_MH_BANDS = 8
+_MH_ROWS = 2  # per band
+
+
+def _mh_hash_sql(j: int, s: str) -> str:
+    return (f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{j}:', {s})), 1, 15))"
+            f" AS BIGINT)")
+
+
+def _mh_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN({_mh_hash_sql(j, 's')}) AS m{j}" for j in range(_MH_K))
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"m{b * _MH_ROWS + r} AS k{r}" for r in range(_MH_ROWS))
+        + " FROM sig"
+        for b in range(_MH_BANDS))
+    band_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(_MH_ROWS))
+    n_match = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(_MH_K))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+           FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+           WHERE i <= greatest(len(t) - 3, 0)),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST({n_match} AS INT) AS n_match,
+           ROUND(CAST({n_match} AS DOUBLE) / {_MH_K}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    """
+
+
+@register("q118_dedup_minhash_exact", oracle=_mh_oracle())
+def q118_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash LSH candidates over word-3-shingles (see
+    module comment block): (id_a, id_b, n_match, est_jaccard) for
+    every pair sharing at least one 2-row band of the 16-slot
+    signature.
+
+    Plan: one shingle explode + ONE 16-min hash agg per doc (the
+    partial/final agg pair carries 16 longs — mergeable, skew-free),
+    a band explode (x8, constant) + equi self-join on the band key,
+    pair distinct, then two id-keyed joins back to the cached
+    signature frame for the match count. Never all-pairs; the only
+    quadratic surface is within a band bucket, which the banding
+    keys keep tiny (the same bound q49's library LSH relies on)."""
+    from hearthstats_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.select(F.col("doc_id").alias("id"),
+                   shingles("text", 3).alias("arr"))
+          .select("id", F.explode("arr").alias("s")))
+
+    def h(j: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary")),
+                1, 15),
+            16, 10,
+        ).cast("long")
+
+    # cached: the band explode AND both pair-side joins read it, and
+    # Spark does not reuse the duplicated subplan (q83's precedent)
+    sig = (sh.groupBy("id")
+           .agg(*[F.min(h(j)).alias(f"m{j}") for j in range(_MH_K)])
+           .cache())
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"m{b * _MH_ROWS + r}").alias(f"k{r}")
+                  for r in range(_MH_ROWS)],
+            )
+            for b in range(_MH_BANDS)
+        ])).alias("bk"),
+    ).select("id", "bk.*")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              [F.col("a.band") == F.col("b.band"),
+               *[F.col(f"a.k{r}") == F.col(f"b.k{r}")
+                 for r in range(_MH_ROWS)],
+               F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MH_K)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MH_K)])
+    n_match = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(_MH_K)),
+        start=F.lit(0),
+    )
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            n_match.cast("int").alias("n_match"),
+            F.round(n_match.cast("double") / _MH_K, 4).alias("est_jaccard"),
+        )
+    )
+
+
+# ---- q119: deterministic split assignment ---------------------------
+
+@register(
+    "q119_split_assign",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT lang, n_chars,
+                     CAST(CONCAT('0x', SUBSTRING(
+                          md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM documents)
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q119_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: bucket =
+    int64(md5(doc_id)[:8 hex]) mod 100 — reproducible on any engine,
+    stable under re-partitioning and appends (a row's split never
+    depends on what else is in the corpus), the property random()
+    splits lack. Output: per split x lang doc count + char volume
+    (the balance sheet you check before training). Map-only + one
+    hash agg; zero joins."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                 .cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val")
+             .otherwise("test"))
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+# ---- q120: bigram conditional probabilities --------------------------
+
+@register(
+    "q120_bigram_condprob",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+        WHERE i <= len(t) - 1
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+    SELECT w1, w2, CAST(c AS BIGINT) AS cnt,
+           ROUND(CAST(c AS DOUBLE)
+                 / SUM(c) OVER (PARTITION BY w1), 4) AS cond_p
+    FROM cnt
+    ORDER BY cnt DESC, w1, w2 LIMIT 20
+    """,
+)
+def q120_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with conditional probability
+    P(w2 | w1) = count(w1 w2) / count(w1 ·) — the n-gram LM /
+    quality-signal statistics pass.
+
+    Bigrams come from zipping each token array against its own
+    1-shift (two slices + arrays_zip, map-side; empty for 1-token
+    docs by construction, no sequence() edge case), ONE (w1, w2)
+    hash agg, a w1-partitioned window over the already-aggregated
+    counts for the denominator, and a TakeOrdered top-20 — at any
+    scale the window input is |vocab²ish| aggregated rows, never
+    raw tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    bg = (d.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("w1")
+    return (
+        cnt.select(
+            "w1", "w2", "cnt",
+            F.round(F.col("cnt").cast("double") / F.sum("cnt").over(w), 4)
+            .alias("cond_p"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---- q121: cumulative distinct users (growth curve) ------------------
+
+@register(
+    "q121_cum_users_asof",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d
+        FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q121_cum_users_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users as of each day — the growth curve —
+    via the first-seen trick: COUNT(DISTINCT) OVER a running frame
+    is inexpressible in Spark and quadratic anywhere, but each user
+    contributes exactly once at their MIN(day), so one user-keyed
+    hash agg + a daily count + a running sum over the ≤31-row daily
+    frame gives the identical curve. The global window runs strictly
+    AFTER aggregation to calendar-day granularity (q28's safe shape:
+    bounded by days, not data)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.min(F.date_trunc("day", "ts")).alias("d")))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

@@ -570,3 +570,61 @@ def s14_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out)
         .withColumn("phase2_input_rows", F.lit(phase2_rows))
     )
+
+
+@register("s16_stream_session_window", oracle=None)  # rows-only: no oracle
+def s16_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-window aggregation — q43's gap-based
+    sessionization under micro-batch execution. Session windows are
+    the one stateful window type whose keys MERGE as data arrives
+    (two 10-minute bursts fuse into one session when a bridging event
+    shows up later), so the state store must rewrite windows, not
+    just update them — `dropDuplicates`/tumbling state never
+    exercises this path. Event-time-ordered replay (one file per
+    micro-batch) + watermark bounds the merge state; `complete`
+    output to a bounded memory sink (sessions-per-user is
+    dimension-sized).
+
+    Self-verifying like s09: the returned single row compares the
+    streaming result against the SAME session_window aggregation run
+    as one batch over the static frame — n_sessions must match and
+    the full (user, start, end, n_events) row sets must agree
+    exactly (batch-equivalence is THE correctness contract for a
+    stateful streaming op; also asserted in tests/test_streaming.py).
+    """
+    src, ev = write_replay_source(spark, sf_dir, time_ordered=True)
+    name = _mem_table_name("s16_state")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                 "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n_events")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.table(name)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                   "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n_events")
+    )
+    keys = ["user_id", "s", "e", "n_events"]
+    mismatch = (stream.join(batch, keys, "full")
+                .filter(stream["user_id"].isNull()
+                        | batch["user_id"].isNull()))
+    return (
+        stream.agg(F.count(F.lit(1)).alias("n_sessions_stream"))
+        .crossJoin(batch.agg(F.count(F.lit(1)).alias("n_sessions_batch")))
+        .crossJoin(mismatch.agg(F.count(F.lit(1)).alias("n_row_mismatch")))
+    )

@@ -31,7 +31,11 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q82_funnel_steps", "q92_bm25_topk", "q97_gap_fill",
                   "q98_triangle_count", "q101_kmeans_assign",
                   "q102_join_bloom_prune", "q107_heavy_hitters",
-                  "q116_decile_lift"}  # 1-row grand-total frame
+                  "q116_decile_lift",  # 1-row grand-total frame
+                  # q122 rides its 1-row (min, width) stats frame and
+                  # q126 its 1-row snapshot-date frame onto the scan —
+                  # the scalar-subquery broadcast shape (q53's)
+                  "q122_histogram_price", "q126_backlog_age"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
@@ -48,7 +52,11 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
                     "q94_item_cooccur",
                     # q116's cumulative share runs AFTER aggregation
                     # to exactly 10 decile rows (q28's safe shape)
-                    "q116_decile_lift"}
+                    "q116_decile_lift",
+                    # q121's running sum and q123's lag/frame windows
+                    # run AFTER aggregation to calendar-day/month
+                    # granularity (≤ 31 / ~80 rows at any raw scale)
+                    "q121_cum_users_asof", "q123_mom_growth"}
 
 
 def _has_global_window(plan: str) -> bool:

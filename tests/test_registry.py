@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 117 declared
-queries q01–q117 + 15 side-effect/streaming ops s01–s15; 114
+"""The registry IS the driver contract (SURVEY.md §2): 129 declared
+queries q01–q129 + 16 side-effect/streaming ops s01–s16; 126
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,8 +7,8 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 118)
-} | {f"s{i:02d}" for i in range(1, 16)}
+    f"q{i:02d}" for i in range(1, 130)
+} | {f"s{i:02d}" for i in range(1, 17)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -19,7 +19,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s09_merge_upsert", "s10_partitioned_layout",
     "s11_stream_static_join", "s12_compaction",
     "s13_watermark_late_drop", "s14_checkpoint_restart",
-    "s15_schema_evolution",
+    "s15_schema_evolution", "s16_stream_session_window",
 }
 
 
@@ -32,7 +32,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 114
+    assert len(with_oracle) == 126
 
 
 def test_names_well_formed(registry):

@@ -148,3 +148,13 @@ def test_checkpoint_restart_exactly_once(spark, registry):
     late_files_rows = ev.filter(
         ((F.dayofmonth("ts") - 1) / 6).cast("int") >= 3).count()
     assert rows[0]["phase2_input_rows"] == late_files_rows
+
+
+def test_stream_session_window_equals_batch(spark, registry):
+    """s16: merging session-window state under micro-batch replay
+    must converge to exactly the batch session set — same session
+    count and zero row-level mismatches (the op itself computes the
+    full-outer comparison; this pins its verdict)."""
+    row = registry["s16_stream_session_window"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_sessions_stream"] == row["n_sessions_batch"] > 0
+    assert row["n_row_mismatch"] == 0
