@@ -30,29 +30,51 @@ from hearthstats_spark.queries.registry import register
 
 # ---- q118: deterministic MinHash ------------------------------------
 #
-# K = 16 hash functions h_j(s) = int64(md5(j ':' s)[:15 hex]); the
-# signature is (min_j over the doc's distinct word-3-shingles) for
-# each j. Banding: 8 bands x 2 rows — a pair is a CANDIDATE iff some
-# band's 2 signature slots agree on both docs (P = 1-(1-J^2)^8, ~97%
-# at J=0.6). The declared output is the candidate pairs with their
-# full-signature match count and the standard collision estimate
-# n_match/16 — recall loss is part of the declared semantics, and
-# the oracle replays the identical banding, so there is no sketch
-# tolerance to hide behind (contrast q49).
+# K = 16 Carter–Wegman universal hashes over ONE md5 base hash per
+# shingle: b(s) = int(md5(s)[:8 hex]) mod p, h_j(s) = (a_j·b + c_j)
+# mod p with p = 2^31−1 (Mersenne) and md5-derived constants a_j
+# (1..p−1) / c_j (0..p−1). One md5 per shingle instead of K — the
+# per-row hashing cost is what dominates a signature pass at scale —
+# and every product stays < 2^62, so the whole family is plain
+# BIGINT arithmetic both engines replay bit-identically (base-hash
+# collisions in the 2^31 space merge ~n²/2^32 shingle pairs —
+# deterministic, negligible estimator bias). The signature is
+# (min_j over the doc's distinct word-3-shingles); banding is
+# 8 bands x 2 rows — a pair is a CANDIDATE iff some band's 2 slots
+# agree (P = 1-(1-J^2)^8, ~97% at J=0.6). The declared output is the
+# candidate pairs with their full-signature match count and the
+# standard collision estimate n_match/16 — recall loss is part of
+# the declared semantics, and the oracle replays the identical
+# banding, so there is no sketch tolerance to hide behind
+# (contrast q49).
 
 _MH_K = 16
 _MH_BANDS = 8
 _MH_ROWS = 2  # per band
+_MH_P = (1 << 31) - 1
 
 
-def _mh_hash_sql(j: int, s: str) -> str:
-    return (f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{j}:', {s})), 1, 15))"
-            f" AS BIGINT)")
+def _mh_consts() -> list[tuple[int, int]]:
+    """(a_j, c_j) per hash — md5-derived, identical in both engines
+    (embedded as literals in the SQL and the Spark plan)."""
+    import hashlib
+
+    out = []
+    for j in range(_MH_K):
+        a = int(hashlib.md5(f"a:{j}".encode()).hexdigest()[:8], 16)
+        c = int(hashlib.md5(f"c:{j}".encode()).hexdigest()[:8], 16)
+        out.append((a % (_MH_P - 1) + 1, c % _MH_P))
+    return out
+
+
+def _mh_hash_sql(j: int, base: str) -> str:
+    a, c = _mh_consts()[j]
+    return f"(({a} * {base} + {c}) % {_MH_P})"
 
 
 def _mh_oracle() -> str:
     mins = ",\n               ".join(
-        f"MIN({_mh_hash_sql(j, 's')}) AS m{j}" for j in range(_MH_K))
+        f"MIN({_mh_hash_sql(j, 'b')}) AS m{j}" for j in range(_MH_K))
     band_selects = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         + ", ".join(f"m{b * _MH_ROWS + r} AS k{r}" for r in range(_MH_ROWS))
@@ -68,7 +90,11 @@ def _mh_oracle() -> str:
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
            FROM toks CROSS JOIN generate_series(0, 4096) g(i)
            WHERE i <= greatest(len(t) - 3, 0)),
-    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    based AS (SELECT doc_id,
+                     CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 8))
+                          AS BIGINT) % {_MH_P} AS b
+              FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM based GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -101,17 +127,20 @@ def q118_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
+    base = F.pmod(
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(_MH_P),
+    )
     sh = (d.select(F.col("doc_id").alias("id"),
                    shingles("text", 3).alias("arr"))
-          .select("id", F.explode("arr").alias("s")))
+          .select("id", F.explode("arr").alias("s"))
+          .select("id", base.alias("b")))
+    consts = _mh_consts()
 
     def h(j: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary")),
-                1, 15),
-            16, 10,
-        ).cast("long")
+        a, c = consts[j]
+        return F.pmod(F.lit(a) * F.col("b") + F.lit(c), F.lit(_MH_P))
 
     # cached: the band explode AND both pair-side joins read it, and
     # Spark does not reuse the duplicated subplan (q83's precedent)
