@@ -43,6 +43,20 @@ HEADLINE = (  # BASELINE.md anchor queries, reported individually
 )
 
 
+def _drop_blocks(spark) -> None:
+    """Free every cached/checkpointed block between timed runs.
+
+    ``clearCache()`` only drops catalog-tracked cached PLANS;
+    ``localCheckpoint()`` blocks (the graph/dedup queries cut lineage
+    with them) linger until the JVM ContextCleaner happens to run,
+    so 250+ timed runs accumulate storage memory and bleed
+    GC-pressure noise into later queries' timings."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -91,7 +105,7 @@ def main() -> int:
         # shingle frames): with 100+ queries in one session the
         # accumulated blocks cause GC-pressure variance in LATER
         # queries — each timing should be cold and independent
-        spark.catalog.clearCache()
+        _drop_blocks(spark)
         # warm steady-state: the same query again with its codegen
         # classes JIT'ed and file footers in page cache — the number
         # a long-lived cluster sees. Headline metric stays COLD for
@@ -104,7 +118,7 @@ def main() -> int:
                 warm[name] = round(time.perf_counter() - t0, 3)
             except Exception:
                 warm[name] = -1.0
-            spark.catalog.clearCache()
+            _drop_blocks(spark)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # the headline set is FIXED (BASELINE.md anchors) so `value` stays

@@ -272,3 +272,34 @@ def test_co_order_edges_heavy_basket_cap(spark, tmp_path):
     mega_dflt = {p for p in dflt.collect() if (p["a"], p["b"]) != (10, 500)}
     assert len(mega_dflt) == 64 * 63 // 2
     assert all(r["a"] < 64 and r["b"] < 64 for r in mega_dflt)
+
+
+def test_minhash_exact_dups_always_candidates(spark, tmp_path):
+    """q118's banding guarantees: identical texts share every
+    signature slot (n_match=16, est=1.0) and are ALWAYS candidates;
+    fully disjoint texts share no band under the fixed hash family;
+    the estimate is monotone-ish in real overlap on a known pair."""
+    from hearthstats_spark.queries.registry import load_all
+
+    reg = load_all()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("theta", "THETA")  # high but not full overlap
+    other = "one two three four five six seven eight nine ten"
+    rows = [(1, base, "en", "src0", len(base)),
+            (2, base, "en", "src0", len(base)),      # exact dup of 1
+            (3, near, "en", "src0", len(near)),
+            (4, other, "en", "src0", len(other))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {(r["id_a"], r["id_b"]): (r["n_match"], r["est_jaccard"])
+           for r in reg["q118_dedup_minhash_exact"]
+           .fn(spark, str(tmp_path)).collect()}
+    assert got[(1, 2)] == (16, 1.0)         # exact dup: certain recall
+    assert not any(4 in p for p in got)     # disjoint: no shared band
+    if (1, 3) in got:                       # near dup: partial match
+        n, est = got[(1, 3)]
+        assert 0 < n < 16 and est == round(n / 16, 4)
+        assert got.get((2, 3)) == got[(1, 3)]  # dup symmetry
