@@ -73,11 +73,49 @@ def round4(col: Column | str, alias: str | None = None) -> Column:
     return r.alias(alias) if alias else r
 
 
+def dratio(num: Column, den: Column, alias: str,
+           ndigits: int = 4) -> Column:
+    """Hash-stable ratio num/den, generalizing :func:`davg` to an
+    explicit denominator (window sums, weighted means, shares of a
+    windowed total): exact decimal/integer half-up rounding, never a
+    float ROUND.
+
+    Requirements: ``num`` non-negative with <= 4 decimal places of
+    true precision (an integer count, or a SUM(CAST(.. AS DEC))
+    aggregate), ``den`` a positive integer-valued column. The ratio
+    of small integers is the WORST case for cross-engine float
+    rounding — n/32 terminates exactly one digit past the rounding
+    point, the exact q97 failure mode davg was built for."""
+    scale = 10 ** ndigits
+    p = num.cast(DEC) * scale
+    r = F.pmod(p, den)
+    qf = F.floor((p - r) / den)
+    bump = F.when(F.lit(2) * r >= den, 1).otherwise(0)
+    return ((qf + bump).cast("double") / scale).alias(alias)
+
+
 # --- DuckDB-side SQL fragments (oracle text builders) ---------------
 
 def fsum_sql(expr: str, alias: str) -> str:
     """Oracle twin of dsum()."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) AS {alias}"
+
+
+def fratio_sql(num: str, den: str, alias: str, ndigits: int = 4) -> str:
+    """Oracle twin of dratio(): exact HUGEINT half-up ratio.
+
+    ``num`` must be integer-valued after a DECIMAL(28,4) cast times
+    10^ndigits (counts and decimal-cast sums qualify); ``den`` a
+    positive integer expression. Window aggregates may appear in
+    either argument — the expression text is duplicated, which
+    DuckDB evaluates deterministically."""
+    scale = 10 ** ndigits
+    p = f"CAST(CAST({num} AS DECIMAL(28,4)) * {scale} AS HUGEINT)"
+    return (
+        f"CAST(({p} // ({den}))"
+        f" + CASE WHEN 2 * ({p} % ({den})) >= ({den}) THEN 1 ELSE 0 END"
+        f" AS DOUBLE) / {scale} AS {alias}"
+    )
 
 
 def favg_sql(expr: str, alias: str, ndigits: int = 4) -> str:

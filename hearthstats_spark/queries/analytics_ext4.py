@@ -1,0 +1,444 @@
+"""Round-3 analytics extensions, batch 2 (q130–q136):
+
+- **q130**: deterministic bottom-k sample — k rows per group chosen
+  by smallest md5(key), the reproducible distributed substitute for
+  reservoir sampling (same sample on every run, any partitioning,
+  either engine).
+- **q131**: Markov transition matrix over per-user event sequences —
+  P(next event type | previous) from one lag window + one hash agg.
+- **q132**: time-weighted average (TWAP) of the event value per user
+  — each observation weighted by how long it was "current"
+  (microsecond-exact integer weights).
+- **q133**: Benford first-digit screen over order totals — observed
+  leading-digit shares vs the Benford expectation, the classic
+  fraud/synthetic-data smell test.
+- **q134**: n-gram novelty scoring — per document, the share of its
+  word-3-shingles that no lower-numbered document already contains
+  (the incremental-crawl "is this new content?" metric).
+- **q135**: 12-month EWMA of monthly revenue (α = 1/2) — exponential
+  smoothing expressed as an exact integer-weighted window so both
+  engines agree bit-for-bit.
+- **q136**: containment near-dup join — document pairs where one
+  side's word-5-shingle set is ≥ 80% contained in the other (the
+  asymmetric quote/subset-dedup complement of q83's Jaccard).
+
+Float discipline: every ratio in this module is an exact
+decimal/integer half-up rounding (functions.numeric.dratio /
+fratio_sql) — ratios of small integers are precisely the
+cross-engine ROUND trap q97 hit (n/32 terminates one digit past the
+rounding point).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hearthstats_spark.functions import (
+    davg, dratio, favg_sql, fratio_sql,
+)
+from hearthstats_spark.functions.numeric import DEC
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+_K = 8          # q130 sample size per group
+_SALT = 64      # q130 phase-1 fan-out
+_EWMA_SPAN = 12  # q135 lookback months
+
+
+@register(
+    "q130_sample_bottomk",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+               md5(CAST(o_orderkey AS VARCHAR)) AS hh
+        FROM orders
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY priority
+                                     ORDER BY hh, o_orderkey) AS pos
+        FROM h
+    )
+    SELECT priority, CAST(pos AS INT) AS pos, o_orderkey, o_totalprice
+    FROM r WHERE pos <= {_K}
+    """,
+)
+def q130_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k sample: the k orders per priority with
+    the smallest md5(orderkey). Statistically a uniform k-sample
+    (the hash is uniform and independent of every payload column),
+    but — unlike rand()/reservoir approaches — reproducible across
+    runs, partitionings, and engines, so it can be oracle-checked
+    hash-exact.
+
+    Scale: the oracle's single window per group would sort each
+    group globally; the engine instead prunes in two phases — a
+    bottom-k inside each of {_SALT} hash-independent salt slices
+    (full parallelism, bounded memory), then a final bottom-k over
+    the <= k·{_SALT} survivors per group. The global bottom-k is a
+    subset of the union of per-slice bottom-ks, so the prune is
+    lossless; survivors per group are O(k·salt) regardless of input
+    size."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey", "o_totalprice",
+        F.md5(F.col("o_orderkey").cast("string")).alias("__h"),
+        F.pmod("o_orderkey", F.lit(_SALT)).alias("__salt"),
+    )
+    w1 = (Window.partitionBy("priority", "__salt")
+          .orderBy("__h", "o_orderkey"))
+    cand = (base.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= _K))
+    w2 = Window.partitionBy("priority").orderBy("__h", "o_orderkey")
+    return (
+        cand.withColumn("pos", F.row_number().over(w2).cast("int"))
+        .filter(F.col("pos") <= _K)
+        .select("priority", "pos", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q131_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           {fratio_sql('n', 'SUM(n) OVER (PARTITION BY prev_type)',
+                       'prob')}
+    FROM t
+    """,
+)
+def q131_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for
+    each (prev → next) pair, the observed count and the conditional
+    probability P(next | prev).
+
+    One lag window keyed by user (the sessionization shuffle every
+    sequence model shares), one |types|²-sized hash agg, and a
+    window ratio over the tiny transition frame. The probability is
+    an exact integer half-up division — counts divided by counts is
+    the worst cross-engine ROUND case (see module docstring)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.select(F.col("event_type").alias("next_type"),
+                    F.lag("event_type").over(w).alias("prev_type"))
+           .filter(F.col("prev_type").isNotNull()))
+    t = (seq.groupBy("prev_type", "next_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    den = F.sum("n").over(Window.partitionBy("prev_type"))
+    return t.select(
+        "prev_type", "next_type", F.col("n").cast("bigint").alias("n"),
+        dratio(F.col("n"), den, "prob"),
+    )
+
+
+@register(
+    "q132_twap",
+    oracle=f"""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, COUNT(*) AS n_seg,
+               SUM(CAST(value * dt_us AS DECIMAL(28,4))) AS num,
+               SUM(dt_us) AS den
+        FROM seg WHERE dt_us IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT user_id, CAST(n_seg AS BIGINT) AS n_seg,
+           {fratio_sql('den', '1000000', 'obs_s')},
+           {fratio_sql('num', 'den', 'twap')}
+    FROM g
+    """,
+)
+def q132_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each event's value is
+    weighted by the microseconds until the user's next event (the
+    last event of a user carries no weight — it was never
+    superseded). TWAP = Σ(value·Δt) / Σ(Δt).
+
+    The weights stay integer microseconds end to end (no float
+    seconds conversion mid-stream), the numerator is a per-row
+    4-dp decimal cast + exact decimal sum, and both final ratios
+    are exact integer half-up divisions — the whole query is
+    deterministic integer/decimal arithmetic until the final double.
+    One lag-window shuffle on user_id + one hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (e.select("user_id", "value", "event_id", "ts",
+                    F.unix_micros("ts").alias("__us"))
+           .withColumn("dt_us", F.lead("__us").over(w) - F.col("__us"))
+           .filter(F.col("dt_us").isNotNull()))
+    g = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum((F.col("value") * F.col("dt_us")).cast(DEC)).alias("__num"),
+        F.sum("dt_us").alias("__den"),
+    )
+    return g.select(
+        "user_id", F.col("n_seg").cast("bigint").alias("n_seg"),
+        dratio(F.col("__den"), F.lit(1_000_000), "obs_s"),
+        dratio(F.col("__num"), F.col("__den"), "twap"),
+    )
+
+
+#: Benford expected leading-digit shares, log10(1 + 1/d) rounded to
+#: 4 dp at module import — injected as IDENTICAL literals into both
+#: engines so no libm call ever runs inside a query.
+_BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 4) for d in range(1, 10)}
+
+
+@register(
+    "q133_benford_digits",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS total FROM c),
+    s AS (
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               {fratio_sql('n', 'total', 'share')},
+               CASE digit {' '.join(
+                   f'WHEN {d} THEN {v:.4f}' for d, v in _BENFORD.items())}
+               END AS expected
+        FROM c, t
+    )
+    SELECT digit, n, share, expected,
+           ROUND(share - expected, 4) AS deviation
+    FROM s
+    """,
+)
+def q133_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: distribution of the leading digit of
+    o_totalprice vs the expected log10(1+1/d) share. The leading
+    digit comes from the INTEGER part's string form (integer→string
+    is identical across engines; double formatting is not), the
+    share is an exact integer half-up ratio, and the expectations
+    are 4-dp literals baked at module import — the deviation is then
+    a difference of two exactly-4-dp doubles, which ROUND(,4) maps
+    identically on both engines (the nearest rounding boundary is
+    5·10⁻⁵ away, float noise is ~10⁻¹⁷).
+
+    Scale: one map-side digit extraction + a 9-row hash agg; the
+    total rides back on a 1-row broadcast (scalar-subquery shape,
+    q122's pattern — no global window)."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (o.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.agg(F.sum("n").alias("__total"))
+    expected = F.col("digit")
+    expr = None
+    for d, v in _BENFORD.items():
+        expr = (F.when(expected == d, F.lit(v)) if expr is None
+                else expr.when(expected == d, F.lit(v)))
+    s = (counts.crossJoin(F.broadcast(tot))
+         .select("digit", F.col("n").cast("bigint").alias("n"),
+                 dratio(F.col("n"), F.col("__total"), "share"),
+                 expr.alias("expected")))
+    return s.withColumn(
+        "deviation", F.round(F.col("share") - F.col("expected"), 4))
+
+
+@register(
+    "q134_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+           FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+           WHERE i <= greatest(len(t) - 3, 0)),
+    f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {favg_sql('CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END',
+                     'novelty')}
+    FROM sh JOIN f USING (s)
+    GROUP BY 1
+    """,
+)
+def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    word-3-shingles whose FIRST owner (minimum doc_id — ingestion
+    order) is the doc itself. New/boilerplate content scoring for
+    incremental crawls: novelty 1.0 = all-new text, ~0 = the doc is
+    assembled from already-seen phrasing.
+
+    Plan: one shingle explode, a vocabulary-sized min-agg (first
+    owner per shingle), an equi join back on the shingle, and a
+    per-doc mean of an indicator — the mean is davg's exact integer
+    half-up rounding because shingle counts are exactly the small
+    denominators that break float ROUND. Linear shuffles only; the
+    vocabulary agg is the same shape q53's document-frequency side
+    uses."""
+    from hearthstats_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "s")
+    ind = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(ind).cast("bigint").alias("n_novel"),
+        davg(ind, "novelty"),
+    )
+
+
+@register(
+    "q135_ewma_revenue",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT month, rev,
+                 ROW_NUMBER() OVER (ORDER BY month) AS idx
+          FROM monthly),
+    c AS (
+        SELECT m.idx + g.off AS i_idx,
+               SUM(m.rev * CAST(POWER(2, {_EWMA_SPAN - 1} - g.off)
+                                AS BIGINT)) AS num,
+               SUM(CAST(POWER(2, {_EWMA_SPAN - 1} - g.off) AS BIGINT))
+                   AS den
+        FROM m CROSS JOIN generate_series(0, {_EWMA_SPAN - 1}) g(off)
+        GROUP BY 1
+    )
+    SELECT m.month, CAST(m.rev AS DOUBLE) AS revenue,
+           {fratio_sql('c.num', 'c.den', 'ewma12')}
+    FROM m JOIN c ON c.i_idx = m.idx
+    """,
+)
+def q135_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month exponentially weighted moving average of monthly
+    order revenue, α = 1/2 (pandas ewm adjust=True semantics,
+    truncated to a {_EWMA_SPAN}-month lookback: weights 2⁰…2¹¹ over
+    the trailing window, normalized by their own sum).
+
+    α = 1/2 is chosen deliberately: the weights are exact integers
+    (2^k), so numerator and denominator stay in exact decimal/
+    integer arithmetic and the EWMA is one exact half-up division —
+    no pow() of floats inside the query on either engine.
+
+    Shape: calendar-month agg (bounded by the calendar, not the
+    data), then each month's revenue is EXPLODED into the ≤ 12
+    future months it contributes to — an equi-join/hash-agg
+    formulation of the weighted window that needs no self-join and
+    no window frame with per-row weights (which SQL windows cannot
+    express). At 100 TB the monthly frame is ~tens of rows; every
+    heavy operation happens before it."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        .alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("__rev")))
+    mm = monthly.withColumn(
+        "__idx", F.row_number().over(Window.orderBy("month")))
+    span = _EWMA_SPAN
+    w = F.pow(F.lit(2.0), F.lit(span - 1) - F.col("off")).cast("long")
+    contrib = (mm.select(
+        "__idx", "__rev",
+        F.explode(F.sequence(F.lit(0), F.lit(span - 1))).alias("off"))
+        .select((F.col("__idx") + F.col("off")).alias("i_idx"),
+                (F.col("__rev") * w).alias("__wrev"),
+                w.alias("__w")))
+    c = contrib.groupBy("i_idx").agg(
+        F.sum("__wrev").alias("__num"), F.sum("__w").alias("__den"))
+    return (
+        mm.join(c, mm["__idx"] == c["i_idx"])
+        .select("month", F.col("__rev").cast("double").alias("revenue"),
+                dratio(F.col("__num"), F.col("__den"), "ewma12"))
+    )
+
+
+@register(
+    "q136_dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS s
+           FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+           WHERE i <= greatest(len(t) - 5, 0)),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+               CAST(za.sz AS BIGINT) AS sz_a,
+               CAST(zb.sz AS BIGINT) AS sz_b,
+               {fratio_sql('p.shared', 'za.sz', 'cont_a')},
+               {fratio_sql('p.shared', 'zb.sz', 'cont_b')}
+        FROM p JOIN sz za ON za.doc_id = p.id_a
+               JOIN sz zb ON zb.doc_id = p.id_b
+    )
+    SELECT * FROM j WHERE GREATEST(cont_a, cont_b) >= 0.8
+    """,
+)
+def q136_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup join: ordered doc pairs where at least
+    80% of one side's distinct word-5-shingles appear in the other.
+    Containment is the asymmetric complement of q83's Jaccard — it
+    catches quote/subset duplication (doc B embeds doc A verbatim)
+    that symmetric Jaccard dilutes away when |B| >> |A|.
+
+    Plan: distinct (doc, shingle) explode, an equi self-join on the
+    shingle (any pair with containment > 0 shares >= 1 shingle, so
+    the candidate set is lossless), pair-count agg, two size joins,
+    then the threshold on exactly-rounded ratios (both engines
+    compare identical doubles). Fan-out is bounded by shingle
+    document frequency; at 100 TB the q83 AllPairs prefix filter
+    (operators/dedup.py) drops the join to each doc's rarest
+    shingles first — same candidates above any fixed threshold,
+    strictly less join traffic."""
+    from hearthstats_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 5)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    j = (pairs.join(za, "id_a").join(zb, "id_b")
+         .select("id_a", "id_b",
+                 F.col("shared").cast("bigint").alias("shared"),
+                 F.col("sz_a").cast("bigint").alias("sz_a"),
+                 F.col("sz_b").cast("bigint").alias("sz_b"),
+                 dratio(F.col("shared"), F.col("sz_a"), "cont_a"),
+                 dratio(F.col("shared"), F.col("sz_b"), "cont_b")))
+    return j.filter(F.greatest("cont_a", "cont_b") >= 0.8)

@@ -1,0 +1,134 @@
+"""Round-3 batch-2 operators (q130–q136): the properties the oracle
+hash can't see — exact-rounding behavior of dratio on adversarial
+denominators, losslessness of q130's salted prune, EWMA semantics vs
+pandas, and containment vs a brute-force set computation."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hearthstats_spark.functions import dratio
+from tests.conftest import SF_MED
+
+
+def _half_up(num: int, den: int, nd: int = 4) -> float:
+    q = (Decimal(num) / Decimal(den)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    return float(q)
+
+
+def test_dratio_exact_half_up_on_boundary_denominators(spark):
+    """n/32-style ratios terminate exactly one digit past the 4-dp
+    rounding point — the cross-engine ROUND trap (q97). dratio must
+    match Decimal ROUND_HALF_UP bit-for-bit on every such case."""
+    cases = [(n, d) for d in (32, 64, 160, 2048, 10_000, 1_000_000)
+             for n in (1, 3, 5, 7, d - 1, d + 3)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {(r["num"], r["den"]): r["r"]
+           for r in df.select("num", "den",
+                              dratio(F.col("num"), F.col("den"), "r"))
+           .collect()}
+    for n, d in cases:
+        assert got[(n, d)] == _half_up(n, d), (n, d)
+
+
+def test_q130_salted_prune_is_lossless(spark, registry):
+    """The two-phase (salt-slice bottom-k, then global bottom-k)
+    prune must return EXACTLY the naive global bottom-k."""
+    out = registry["q130_sample_bottomk"].fn(spark, SF_MED)
+    got = {(r["priority"], r["pos"]): r["o_orderkey"]
+           for r in out.collect()}
+
+    o = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    naive = (o.select(F.col("o_orderpriority").alias("priority"),
+                      "o_orderkey",
+                      F.md5(F.col("o_orderkey").cast("string"))
+                      .alias("h"))
+             .orderBy("priority", "h", "o_orderkey").collect())
+    want: dict[tuple[str, int], int] = {}
+    seen: dict[str, int] = {}
+    for r in naive:
+        k = seen.get(r["priority"], 0) + 1
+        seen[r["priority"]] = k
+        if k <= 8:
+            want[(r["priority"], k)] = r["o_orderkey"]
+    assert got == want
+
+
+def test_q135_matches_pandas_ewm(spark, registry):
+    """EWMA columns must equal pandas ewm(alpha=.5, adjust=True)
+    truncated to the 12-month lookback, to float tolerance (the
+    query rounds to 4 dp; pandas computes in full float)."""
+    rows = (registry["q135_ewma_revenue"].fn(spark, SF_MED)
+            .orderBy("month").toPandas())
+    s = rows.set_index("month")["revenue"]
+    # pandas has no lookback-truncated ewm: replicate with the same
+    # integer weights 2^0..2^11 over the trailing window
+    for i, m in enumerate(s.index):
+        lo = max(0, i - 11)
+        window = s.iloc[lo:i + 1]
+        weights = [2 ** (11 - (i - j)) for j in range(lo, i + 1)]
+        want = sum(w * v for w, v in zip(weights, window)) / sum(weights)
+        got = rows.set_index("month")["ewma12"][m]
+        assert got == pytest.approx(want, abs=1e-3), m
+
+
+def test_q136_containment_vs_bruteforce(spark, registry):
+    """Every reported pair must have true one-sided shingle
+    containment >= .8 (after 4-dp half-up rounding), and no qualifying
+    pair may be missing — verified against per-doc Python sets."""
+    docs = (spark.read.parquet(f"{SF_MED}/documents.parquet")
+            .select("doc_id", "text").collect())
+
+    def sh5(text: str) -> set[str]:
+        t = text.split(" ")
+        n = max(len(t) - 5, 0)
+        return {" ".join(t[i:i + 5]) for i in range(n + 1)}
+
+    sets = {r["doc_id"]: sh5(r["text"]) for r in docs}
+    want = set()
+    by_shingle: dict[str, list[int]] = {}
+    for d, ss in sets.items():
+        for s in ss:
+            by_shingle.setdefault(s, []).append(d)
+    cand = {(a, b) for ds in by_shingle.values()
+            for a in ds for b in ds if a < b}
+    for a, b in cand:
+        shared = len(sets[a] & sets[b])
+        ca = _half_up(shared, len(sets[a]))
+        cb = _half_up(shared, len(sets[b]))
+        if max(ca, cb) >= 0.8:
+            want.add((a, b))
+
+    got = {(r["id_a"], r["id_b"])
+           for r in registry["q136_dedup_containment"]
+           .fn(spark, SF_MED).collect()}
+    assert got == want
+
+
+def test_q132_twap_single_user_manual(spark, registry):
+    """TWAP for one user equals the hand-computed duration-weighted
+    mean over its event sequence."""
+    out = registry["q132_twap"].fn(spark, SF_MED)
+    row = out.filter(F.col("user_id") == 1).collect()[0]
+
+    from hearthstats_spark.io import load_table
+
+    e = (load_table(spark, SF_MED, "events")
+         .filter(F.col("user_id") == 1)
+         .select(F.unix_micros("ts").alias("us"), "value", "event_id")
+         .orderBy("us", "event_id").toPandas())
+    dt = e["us"].shift(-1) - e["us"]
+    seg = pd.DataFrame({"v": e["value"], "dt": dt}).dropna()
+    # Decimal(float) takes the EXACT binary value (str() would take
+    # the shortest repr — a different number at rounding boundaries,
+    # and the engine casts the binary double)
+    num = sum(Decimal(float(v * d)).quantize(Decimal("0.0001"))
+              for v, d in zip(seg["v"], seg["dt"]))
+    den = int(seg["dt"].sum())
+    assert row["n_seg"] == len(seg)
+    assert row["twap"] == _half_up(int(num.scaleb(4)), den * 10_000)

@@ -35,7 +35,10 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   # q122 rides its 1-row (min, width) stats frame and
                   # q126 its 1-row snapshot-date frame onto the scan —
                   # the scalar-subquery broadcast shape (q53's)
-                  "q122_histogram_price", "q126_backlog_age"}
+                  "q122_histogram_price", "q126_backlog_age",
+                  # q133 rides its 1-row digit-total frame onto the
+                  # 9-row digit counts — the same scalar shape
+                  "q133_benford_digits"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
@@ -56,7 +59,10 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
                     # q121's running sum and q123's lag/frame windows
                     # run AFTER aggregation to calendar-day/month
                     # granularity (≤ 31 / ~80 rows at any raw scale)
-                    "q121_cum_users_asof", "q123_mom_growth"}
+                    "q121_cum_users_asof", "q123_mom_growth",
+                    # q135's month-index row_number runs AFTER
+                    # aggregation to calendar months (q123's shape)
+                    "q135_ewma_revenue"}
 
 
 def _has_global_window(plan: str) -> bool:

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 129 declared
-queries q01–q129 + 16 side-effect/streaming ops s01–s16; 126
+"""The registry IS the driver contract (SURVEY.md §2): 136 declared
+queries q01–q136 + 16 side-effect/streaming ops s01–s16; 133
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 130)
+    f"q{i:02d}" for i in range(1, 137)
 } | {f"s{i:02d}" for i in range(1, 17)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -32,7 +32,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 126
+    assert len(with_oracle) == 133
 
 
 def test_names_well_formed(registry):
