@@ -44,17 +44,33 @@ HEADLINE = (  # BASELINE.md anchor queries, reported individually
 
 
 def _drop_blocks(spark) -> None:
-    """Free every cached/checkpointed block between timed runs.
+    """Free every cached/checkpointed block between timed runs —
+    and make the cleanup finish BEFORE the next timing starts.
 
     ``clearCache()`` only drops catalog-tracked cached PLANS;
     ``localCheckpoint()`` blocks (the graph/dedup queries cut lineage
     with them) linger until the JVM ContextCleaner happens to run,
     so 250+ timed runs accumulate storage memory and bleed
-    GC-pressure noise into later queries' timings."""
+    GC-pressure noise into later queries' timings.
+
+    The non-obvious part (measured): ``unpersist()`` defaults to
+    blocking=false and the ContextCleaner deletes shuffle files only
+    after the JVM GC collects their weak refs — both race the NEXT
+    timed query. With 272 executions in one JVM the contention is
+    worth 30-70%% on the checkpoint-heavy queries (q108 cold read
+    18.8 s interleaved vs 13.4 s isolated; its WARM run read slower
+    than cold). Blocking unpersist + forced py/JVM GC + a short
+    settle moves that work outside the timed regions."""
+    import gc
+    import time as _time
+
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc
     for rdd in jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+        rdd.unpersist(True)
+    gc.collect()  # release Python-side plan refs -> JVM weak refs
+    spark.sparkContext._jvm.System.gc()  # ContextCleaner runs now
+    _time.sleep(0.3)  # async deletions settle outside the next timing
 
 
 def main() -> int:

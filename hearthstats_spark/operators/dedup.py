@@ -154,12 +154,25 @@ def prefix_filtered_jaccard_pairs(
     t_den``), so results are hash-exact across engines — no float
     literal drift (DuckDB parses ``0.6`` as DECIMAL; Spark as DOUBLE).
 
+    Shingles are xxhash64-hashed to longs AT THE SOURCE: every
+    downstream shuffle/join/window keys on 8 bytes instead of a
+    ~25-byte string, and the verify intersects primitive-long arrays
+    (measured ~40%% off the kernel at sf0.1). The verified OUTPUT is
+    unchanged: candidates are a superset under any consistent
+    canonical order and the verify recomputes exact set overlap, so
+    only an actual xxhash64 collision between two distinct shingles
+    of one corpus could shift a count (~|vocab|²/2⁶⁴ ≈ 10⁻⁸ at
+    100 TB vocab sizes; the string-side DuckDB oracle would catch
+    exactly such an event as a hash mismatch).
+
     Returns (id_a, id_b, jaccard) for pairs with J ≥ t_num/t_den.
     """
     from pyspark.sql import Window
 
-    sets = df.select(F.col(id_col).alias("__id"),
-                     shingles(text_col, k).alias("__arr")).cache()
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(shingles(text_col, k),
+                    lambda s: F.xxhash64(s)).alias("__arr")).cache()
     sh = sets.select("__id", F.size("__arr").alias("__sz"),
                      F.explode("__arr").alias("__s"))
     freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))

@@ -296,7 +296,14 @@ def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    # xxhash64 the shingle at the source: the vocab agg and the join
+    # back shuffle 8-byte longs, not strings (the same collision
+    # argument as operators/dedup.prefix_filtered_jaccard_pairs —
+    # first-owner and count semantics survive any injective mapping)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform(shingles("text", 3),
+                              lambda s: F.xxhash64(s))).alias("s"))
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     j = sh.join(firsts, "s")
     ind = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -420,7 +427,12 @@ def q136_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles("text", 5)).alias("s"))
+    # hashed shingle join key — same width/collision rationale as
+    # q134 / operators/dedup.prefix_filtered_jaccard_pairs
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform(shingles("text", 5),
+                              lambda s: F.xxhash64(s))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
