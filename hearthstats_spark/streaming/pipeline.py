@@ -628,3 +628,93 @@ def s16_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(batch.agg(F.count(F.lit(1)).alias("n_sessions_batch")))
         .crossJoin(mismatch.agg(F.count(F.lit(1)).alias("n_row_mismatch")))
     )
+
+
+@register("s17_stream_foreachbatch_merge", oracle=None)  # rows-only
+def s17_stream_foreachbatch_merge(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming incremental MERGE: a ``foreachBatch`` sink that
+    UPSERTS each micro-batch's per-user delta into a keyed parquet
+    state table — the production "stream → lakehouse table" pattern
+    (with Delta/Iceberg the merge body is one ``MERGE INTO``; on
+    plain parquet it is s09's read-merge-rewrite, one new version
+    directory per batch so a replayed batch_id overwrites its own
+    output idempotently instead of double-applying).
+
+    Differs from s05 (state-store + append sink, resolved at read
+    time): here the SINK maintains the authoritative merged table,
+    the shape used when downstream consumers read the table directly.
+    Each batch computes a per-user delta (count, exact DECIMAL value
+    sum, latest event by (ts, event_id)) and full-outer-merges it
+    with the previous version: counts/sums add, the newer last-event
+    struct wins via ``greatest`` on the (ts, event_id, type) struct.
+    Merge math is associative over any batch partitioning of the
+    stream, so the final table must equal the one-shot batch
+    aggregate EXACTLY (decimal sums make that bit-exact; asserted in
+    tests/test_streaming.py and by this op's returned counters).
+
+    Scale: per batch one hash agg (delta is user-dimension-sized) +
+    one keyed outer join + a table rewrite — the rewrite is the real
+    cost at 100 TB and exactly what transactional formats fix;
+    everything else is linear and driver-free."""
+    src, ev = write_replay_source(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hs_s17_")
+    state = {"dir": None, "n_batches": 0}
+
+    def delta_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merged = delta_of(batch_df)
+        if state["dir"] is not None:
+            tgt = spark.read.parquet(state["dir"])
+            d = merged
+            merged = (
+                tgt.alias("t").join(d.alias("d"), "user_id", "full")
+                .select(
+                    "user_id",
+                    (F.coalesce("t.n_events", F.lit(0))
+                     + F.coalesce("d.n_events", F.lit(0)))
+                    .alias("n_events"),
+                    (F.coalesce(F.col("t.sum_value"),
+                                F.lit(0).cast(DEC))
+                     + F.coalesce(F.col("d.sum_value"),
+                                  F.lit(0).cast(DEC)))
+                    .alias("sum_value"),
+                    F.greatest("t.last", "d.last").alias("last"),
+                )
+            )
+        new_dir = os.path.join(base, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+        state["n_batches"] += 1
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(state["dir"])
+    batch_ans = delta_of(ev)
+    cols = ["user_id", "n_events", "sum_value", "last"]
+    only_stream = final.select(cols).exceptAll(batch_ans.select(cols))
+    only_batch = batch_ans.select(cols).exceptAll(final.select(cols))
+    return (
+        final.agg(F.count(F.lit(1)).alias("n_users_merged"))
+        .crossJoin(spark.createDataFrame(
+            [(state["n_batches"],)], "n_batches long"))
+        .crossJoin(only_stream.agg(
+            F.count(F.lit(1)).alias("n_only_stream")))
+        .crossJoin(only_batch.agg(
+            F.count(F.lit(1)).alias("n_only_batch")))
+    )

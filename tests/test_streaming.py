@@ -158,3 +158,17 @@ def test_stream_session_window_equals_batch(spark, registry):
     row = registry["s16_stream_session_window"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_sessions_stream"] == row["n_sessions_batch"] > 0
     assert row["n_row_mismatch"] == 0
+
+
+def test_stream_foreachbatch_merge_equals_batch(spark, registry):
+    """s17: the foreachBatch-maintained merged table must equal the
+    one-shot batch aggregate exactly — merge math is associative and
+    the value sums are DECIMAL, so zero tolerance, zero mismatches —
+    and must have seen more than one micro-batch (or nothing
+    incremental was tested)."""
+    row = (registry["s17_stream_foreachbatch_merge"]
+           .fn(spark, SF_SMALL).collect()[0])
+    assert row["n_users_merged"] > 0
+    assert row["n_batches"] > 1
+    assert row["n_only_stream"] == 0
+    assert row["n_only_batch"] == 0
