@@ -21,6 +21,16 @@
 - **q136**: containment near-dup join — document pairs where one
   side's word-5-shingle set is ≥ 80% contained in the other (the
   asymmetric quote/subset-dedup complement of q83's Jaccard).
+- **q137**: statistical mode per group with a deterministic
+  tie-break (built-in mode() ties are implementation-defined).
+- **q138**: FORWARD as-of join (first matching event strictly after)
+  via a (1, +∞) integer-µs range frame — the mirror of q13.
+- **q139**: Count-Min Sketch frequency estimation (rows-only;
+  est ≥ exact + εN bound unit-pinned) — the mergeable point-frequency
+  sketch beside q84's HLL.
+- **q140**: mergeable approx-quantile rollup via percentile_approx
+  (rows-only; rank-error contract unit-pinned against q79's exact
+  percentiles).
 
 Float discipline: every ratio in this module is an exact
 decimal/integer half-up rounding (functions.numeric.dratio /
@@ -454,3 +464,194 @@ def q136_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dratio(F.col("shared"), F.col("sz_a"), "cont_a"),
                  dratio(F.col("shared"), F.col("sz_b"), "cont_b")))
     return j.filter(F.greatest("cont_a", "cont_b") >= 0.8)
+
+
+@register(
+    "q137_grouped_mode",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, k, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, k) AS rk
+        FROM c
+    )
+    SELECT event_type, k AS mode_k, CAST(n AS BIGINT) AS n
+    FROM r WHERE rk = 1
+    """,
+)
+def q137_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group — the most frequent payload key per
+    event type, with a DETERMINISTIC tie-break (smallest key wins).
+    Neither engine's built-in mode()/F.mode is usable cross-engine:
+    both leave ties implementation-defined, so the mode is computed
+    as count-then-rank, which also generalizes to top-k modes.
+
+    Scale: one (group, value) hash agg — the heavy pass, fully
+    partial-aggregated — then a window over the group×distinct-value
+    frame (bounded by value cardinality, not row count)."""
+    e = load_table(spark, sf_dir, "events")
+    c = (e.select("event_type",
+                  F.get_json_object("props", "$.k").cast("bigint")
+                  .alias("k"))
+         .groupBy("event_type", "k").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "k")
+    return (c.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("k").alias("mode_k"),
+                    F.col("n").cast("bigint").alias("n")))
+
+
+@register(
+    "q138_join_asof_forward",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    x AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT MIN(e.ts) FROM events e
+                WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                  AND e.ts > p.ts) AS next_error_ts
+        FROM p
+    )
+    SELECT event_id, user_id, ts, next_error_ts,
+           CASE WHEN next_error_ts IS NULL THEN NULL
+                ELSE {fratio_sql(
+                    "epoch_us(next_error_ts) - epoch_us(ts)",
+                    "1000000", "gap_s").replace(" AS gap_s", "")}
+           END AS gap_s
+    FROM x
+    """,
+)
+def q138_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the user's first
+    'error' event STRICTLY AFTER it (time-to-failure analysis — the
+    mirror of q13's backward as-of, which Spark also lacks natively).
+
+    Formulation: one event-time window per user with a RANGE frame
+    over integer microseconds ``(1, +∞)`` — strictly-after semantics
+    exactly, no self-join, no per-row subquery. The conditional MIN
+    inside the frame only sees error timestamps. The oracle keeps
+    the textbook correlated-subquery form (DuckDB decorrelates it);
+    gap seconds use the exact integer half-up ratio.
+
+    Scale: single user-keyed window shuffle — same budget as any
+    sessionization pass; the range frame is monotone so Spark
+    evaluates it with a sliding pointer, not a rescan."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "ts", "event_type",
+                    F.unix_micros("ts").alias("__us"))
+    w = (Window.partitionBy("user_id").orderBy("__us")
+         .rangeBetween(1, Window.unboundedFollowing))
+    err_us = F.when(F.col("event_type") == "error", F.col("__us"))
+    withnext = base.withColumn("__next_us", F.min(err_us).over(w))
+    gap = dratio(F.col("__next_us") - F.col("__us"),
+                 F.lit(1_000_000), "gap_s")
+    return (
+        withnext.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts",
+                F.timestamp_micros("__next_us").alias("next_error_ts"),
+                F.when(F.col("__next_us").isNotNull(), gap)
+                .alias("gap_s"))
+    )
+
+
+_CMS_W = 2048          # q139 sketch width (buckets per row)
+_CMS_D = 4             # q139 sketch depth (independent hash rows)
+_CMS_P = 2_147_483_647  # 2^31 - 1, same Carter-Wegman field as q118
+
+
+def _cms_hash(j: int, col):
+    """Row-j Carter-Wegman bucket hash onto [0, _CMS_W): deterministic
+    a_j·x + c_j mod p mod w — pairwise-independent per row, identical
+    integer arithmetic on any engine/run."""
+    a = (j * 2_654_435_761 + 1_013_904_223) % _CMS_P or 1
+    c = (j * 97_531 + 12_345) % _CMS_P
+    return F.pmod(F.pmod(F.lit(a) * col + F.lit(c), F.lit(_CMS_P)),
+                  F.lit(_CMS_W))
+
+
+@register("q139_sketch_cms", oracle=None)  # rows-only: sketch est.
+def q139_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation over the event payload
+    keys — the mergeable point-frequency sketch (Cormode &
+    Muthukrishnan '05) that answers "how often did item x occur?" in
+    O(d·w) space at any input size, the way q84's HLL answers
+    distinct counts.
+
+    DataFrame-native build: explode each item into its {_CMS_D} row
+    hashes → ONE hash agg over (row, bucket) = the sketch table
+    (≤ d·w cells; partial aggregation IS the sketch merge — shards
+    combine by cell addition, so the same query shape unions across
+    days/sources for free). Estimation joins each probe item's d
+    cells and takes the min. Declared rows-only: the estimate is
+    sketch-specific; the CMS guarantees est ≥ exact and
+    P[est > exact + 2N/w] < (1/2)^d — both pinned in
+    tests/test_ext4.py against exact counts.
+
+    Output: the top-10 exact-count items with exact n and CMS
+    estimate side by side (est_over = est - exact >= 0)."""
+    e = load_table(spark, sf_dir, "events")
+    items = e.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item")
+    ).filter(F.col("item").isNotNull())
+    rows = items.select(
+        "item",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cms_hash(j, F.col("item")).alias("b"))
+            for j in range(_CMS_D)])).alias("h"))
+    sketch = (rows.select("h.j", "h.b")
+              .groupBy("j", "b").agg(F.count(F.lit(1)).alias("cell")))
+    top = (items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+           .orderBy(F.col("n_exact").desc(), "item").limit(10))
+    probes = top.select(
+        "item", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cms_hash(j, F.col("item")).alias("b"))
+            for j in range(_CMS_D)])).alias("h"))
+    est = (probes.select("item", "n_exact", "h.j", "h.b")
+           .join(F.broadcast(sketch), ["j", "b"])
+           .groupBy("item", "n_exact")
+           .agg(F.min("cell").alias("n_est")))
+    return (est.select(
+        "item", "n_exact", "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("est_over"))
+        .orderBy(F.col("n_exact").desc(), "item"))
+
+
+@register("q140_sketch_quantile_rollup", oracle=None)  # rows-only
+def q140_sketch_quantile_rollup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Mergeable approximate-quantile rollup: p50/p95 of
+    o_totalprice per order priority AND the all-priorities total in
+    one ``rollup`` pass via ``percentile_approx`` (Greenwald-Khanna
+    style mergeable summaries — the partial-agg pair merges per-group
+    sketches, which is why the same query scales to 100 TB where
+    exact grouped percentiles (q79) need a full sort per group).
+
+    Declared rows-only (q84's policy): sketch outputs are
+    engine-specific — DuckDB's approx_quantile uses t-digest, so
+    values differ legitimately. The accuracy contract is pinned in
+    tests/test_ext4.py instead: every approx quantile must land
+    within rank-error 1/accuracy of the exact percentile (q79's
+    oracle-checked discipline is the ground truth)."""
+    o = load_table(spark, sf_dir, "orders")
+    acc = 10_000
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("o_totalprice", 0.5, acc).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95, acc).alias("p95"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("n").cast("bigint").alias("n"), "p50", "p95")
+    )

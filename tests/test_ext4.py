@@ -132,3 +132,55 @@ def test_q132_twap_single_user_manual(spark, registry):
     den = int(seg["dt"].sum())
     assert row["n_seg"] == len(seg)
     assert row["twap"] == _half_up(int(num.scaleb(4)), den * 10_000)
+
+
+def test_q139_cms_bounds(spark, registry):
+    """CMS guarantees: est >= exact always; overestimate bounded by
+    eps·N (eps = 2/width) for the top items with d=4 rows (failure
+    prob (1/2)^4 per item — at 10 probes a violation means a bug,
+    not bad luck)."""
+    from pyspark.sql import functions as F
+
+    from hearthstats_spark.io import load_table
+    from hearthstats_spark.queries.analytics_ext4 import _CMS_W
+
+    rows = registry["q139_sketch_cms"].fn(spark, SF_MED).collect()
+    assert len(rows) == 10
+    n_total = (load_table(spark, SF_MED, "events")
+               .filter(F.get_json_object("props", "$.k").isNotNull())
+               .count())
+    bound = 2.0 * n_total / _CMS_W
+    for r in rows:
+        assert r["n_est"] >= r["n_exact"], r
+        assert r["est_over"] <= bound, (r, bound)
+
+
+def test_q140_quantile_sketch_accuracy(spark, registry):
+    """percentile_approx at accuracy=10000 must land within rank
+    error 1/accuracy of the true quantile: compare each approx p50/
+    p95 against the exact values at ranks ±(n/accuracy)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hearthstats_spark.io import load_table
+
+    rows = {r["priority"]: r
+            for r in registry["q140_sketch_quantile_rollup"]
+            .fn(spark, SF_MED).collect()}
+    o = load_table(spark, SF_MED, "orders")
+    groups = {p: [x["o_totalprice"] for x in
+                  o.filter(F.col("o_orderpriority") == p)
+                  .select("o_totalprice").collect()]
+              for p in rows if p != "ALL"}
+    groups["ALL"] = [x["o_totalprice"]
+                     for x in o.select("o_totalprice").collect()]
+    for p, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        slack = max(1, math.ceil(n / 10_000))
+        for q, colname in ((0.5, "p50"), (0.95, "p95")):
+            target = rows[p][colname]
+            lo = vals[max(0, math.floor(q * n) - slack - 1)]
+            hi = vals[min(n - 1, math.ceil(q * n) + slack)]
+            assert lo <= target <= hi, (p, colname, target, lo, hi)

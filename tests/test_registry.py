@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 136 declared
-queries q01–q136 + 17 side-effect/streaming ops s01–s17; 133
+"""The registry IS the driver contract (SURVEY.md §2): 140 declared
+queries q01–q140 + 17 side-effect/streaming ops s01–s17; 135
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,11 +7,12 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 137)
+    f"q{i:02d}" for i in range(1, 141)
 } | {f"s{i:02d}" for i in range(1, 18)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
+    "q139_sketch_cms", "q140_sketch_quantile_rollup",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
@@ -33,7 +34,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 133
+    assert len(with_oracle) == 135
 
 
 def test_names_well_formed(registry):
