@@ -38,7 +38,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode = 32 executor threads + every cached/checkpointed
+    # block in ONE JVM: 8g caused visible GC churn across bench's 280
+    # query executions (q88 read 12.4 s in-bench vs 5.2 s with this
+    # heap; the box has 125 GiB). Real clusters size executors
+    # separately — this is a local-harness setting, not a scale knob.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
 }
