@@ -10,8 +10,11 @@ right at a ROUND(...,4) boundary. The fix used engine-wide:
     -> CAST(... AS DOUBLE)         -- identical f64 bits both engines
 
 Per-row double->decimal(…,4) conversion is itself deterministic:
-a binary double is never exactly halfway between two 4-dp decimals,
-so both engines' round-to-nearest agrees bit-for-bit.
+almost no binary double is exactly halfway between two 4-dp decimals
+— the exceptions are dyadic rationals like ±0.03125 (odd/2^k hitting
+(2m+1)/20000) — and at exactly those points BOTH engines round
+half-away-from-zero (verified: Spark and DuckDB each map ±0.03125 to
+±0.0313), so the casts agree bit-for-bit everywhere.
 
 AVG follows as exact-sum / count, then ROUND — identical float ops on
 identical inputs. At cluster scale the decimal cast costs one widening
@@ -94,6 +97,26 @@ def dratio(num: Column, den: Column, alias: str,
     return ((qf + bump).cast("double") / scale).alias(alias)
 
 
+def davg_signed(col: Column | str, alias: str,
+                ndigits: int = 4) -> Column:
+    """:func:`davg` for columns that may be NEGATIVE (embedding
+    coordinates, deltas): exact half-AWAY-FROM-ZERO mean via the
+    half-up kernel on |sum| with the sign reapplied. davg's
+    pmod/floor formulation silently assumes a non-negative sum —
+    pmod returns the positive remainder, which flips the bump
+    direction for negative dividends."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10 ** ndigits
+    p = F.sum(c.cast(DEC)) * scale
+    n = F.count(c)
+    a = F.abs(p)
+    r = F.pmod(a, n)
+    qf = F.floor((a - r) / n)
+    bump = F.when(F.lit(2) * r >= n, 1).otherwise(0)
+    sign = F.when(p < 0, -1).otherwise(1)
+    return ((sign * (qf + bump)).cast("double") / scale).alias(alias)
+
+
 # --- DuckDB-side SQL fragments (oracle text builders) ---------------
 
 def fsum_sql(expr: str, alias: str) -> str:
@@ -114,6 +137,22 @@ def fratio_sql(num: str, den: str, alias: str, ndigits: int = 4) -> str:
     return (
         f"CAST(({p} // ({den}))"
         f" + CASE WHEN 2 * ({p} % ({den})) >= ({den}) THEN 1 ELSE 0 END"
+        f" AS DOUBLE) / {scale} AS {alias}"
+    )
+
+
+def favg_signed_sql(expr: str, alias: str, ndigits: int = 4) -> str:
+    """Oracle twin of davg_signed(): half-away-from-zero via the
+    HUGEINT half-up kernel on ABS(sum), sign reapplied."""
+    scale = 10 ** ndigits
+    p = (f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) * {scale}"
+         f" AS HUGEINT)")
+    a = f"ABS({p})"
+    n = f"COUNT({expr})"
+    return (
+        f"(CASE WHEN {p} < 0 THEN -1 ELSE 1 END)"
+        f" * CAST(({a} // {n})"
+        f" + CASE WHEN 2 * ({a} % {n}) >= {n} THEN 1 ELSE 0 END"
         f" AS DOUBLE) / {scale} AS {alias}"
     )
 

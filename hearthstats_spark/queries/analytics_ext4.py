@@ -31,6 +31,10 @@
 - **q140**: mergeable approx-quantile rollup via percentile_approx
   (rows-only; rank-error contract unit-pinned against q79's exact
   percentiles).
+- **q141**: per-label embedding centroids (posexplode + one hash
+  agg; negative-safe exact means via davg_signed).
+- **q142**: log2-bucketed degree histogram of the co-purchase graph
+  (integer bucket math — no float log2).
 
 Float discipline: every ratio in this module is an exact
 decimal/integer half-up rounding (functions.numeric.dratio /
@@ -47,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.functions import (
-    davg, dratio, favg_sql, fratio_sql,
+    davg, davg_signed, dratio, favg_signed_sql, favg_sql, fratio_sql,
 )
 from hearthstats_spark.functions.numeric import DEC
 from hearthstats_spark.io import load_table
@@ -654,4 +658,99 @@ def q140_sketch_quantile_rollup(spark: SparkSession,
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.col("n").cast("bigint").alias("n"), "p50", "p95")
+    )
+
+
+@register(
+    "q141_embedding_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {favg_signed_sql("CAST(embedding[i+1] AS DOUBLE)",
+                            "centroid")}
+    FROM embeddings CROSS JOIN generate_series(0, 63) g(i)
+    GROUP BY 1, 2
+    """,
+)
+def q141_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one (label, dim) row per
+    coordinate — the class-prototype computation behind k-NN
+    prototypes, IVF coarse quantizers (q61 trains its cells the same
+    way), and embedding-drift monitoring.
+
+    posexplode turns the vector column into (dim, value) rows so the
+    centroid is ONE hash agg with partial aggregation — no vector
+    UDF, no driver matrix. Coordinates are negative, so the mean
+    uses davg_signed (exact half-away-from-zero; davg's pmod kernel
+    assumes non-negative sums). float32 → double is exact on both
+    engines, and both quantize each coordinate to 4 dp decimal
+    before the exact sum, so the oracle is hash-exact.
+
+    Scale: (n_vectors × 64) narrow rows through one partial/final
+    agg pair keyed by (label, dim) — 640 output cells here,
+    |labels|·dims anywhere; the agg input never concentrates on a
+    hot key because dims stripe uniformly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             davg_signed(F.col("v").cast("double"), "centroid"))
+    )
+
+
+@register(
+    "q142_degree_histogram",
+    oracle="""
+    WITH po0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    po AS (
+        SELECT l_orderkey, l_partkey
+        FROM (SELECT l_orderkey, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_partkey) AS rn
+              FROM po0)
+        WHERE rn <= 64
+    ),
+    e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM po x JOIN po y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v
+    )
+    SELECT CAST(LENGTH(bin(d)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(d) AS BIGINT) AS d_min,
+           CAST(MAX(d) AS BIGINT) AS d_max
+    FROM deg
+    GROUP BY 1
+    """,
+)
+def q142_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph —
+    the skew diagnostic you run BEFORE choosing a graph algorithm's
+    partitioning (q98's degree-ordered orientation and q108's
+    bucketed-edge lane are both justified by exactly this shape).
+
+    Bucket = floor(log2 d)+1 computed as the LENGTH OF THE BINARY
+    STRING of the integer degree — pure integer/string arithmetic,
+    identical on both engines, where float log2 would be a libm
+    coin-flip at exact powers of two. Reuses the q98/q108 shared
+    edge builder (basket cap declared in both engines); one agg for
+    degrees + one 60-cell histogram agg."""
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+
+    e = co_order_edges(spark, sf_dir)
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    return (
+        deg.groupBy(F.length(F.conv(F.col("d"), 10, 2)).cast("int")
+                    .alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+             F.min("d").cast("bigint").alias("d_min"),
+             F.max("d").cast("bigint").alias("d_max"))
     )

@@ -184,3 +184,32 @@ def test_q140_quantile_sketch_accuracy(spark, registry):
             lo = vals[max(0, math.floor(q * n) - slack - 1)]
             hi = vals[min(n - 1, math.ceil(q * n) + slack)]
             assert lo <= target <= hi, (p, colname, target, lo, hi)
+
+
+def test_davg_signed_negative_boundaries(spark):
+    """davg_signed must round half-AWAY-FROM-ZERO for negative means
+    — davg's pmod kernel would bump toward +inf instead. Mixed-value
+    groups force a non-trivial division; the reference replays the
+    engine's arithmetic exactly: per-row double→DEC(28,4) cast is
+    half-away-from-zero (verified identical in Spark AND DuckDB,
+    including at dyadic exact-halves like ±0.03125), then an exact
+    half-away division."""
+    from hearthstats_spark.functions import davg_signed
+
+    groups = [
+        [-0.09375, -0.09375, -0.09375],          # negative halfway rows
+        [-1.0, -2.0, 0.5],                       # plain negative mean
+        [-0.03125, 0.0, 0.0],                    # -0.0313/3
+        [0.2812, -0.8437, 0.0001, 0.0001],       # sign from the sum
+    ]
+    for vals in groups:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(davg_signed(F.col("v"), "m")).collect()[0]["m"]
+        p = sum(Decimal(v).quantize(Decimal("0.0001"),
+                                    rounding=ROUND_HALF_UP)
+                for v in vals) * 10_000
+        n = len(vals)
+        a, sign = abs(p), (-1 if p < 0 else 1)
+        r = a % n
+        q = (a - r) // n + (1 if 2 * r >= n else 0)
+        assert got == float(sign * q) / 10_000, (vals, got)
