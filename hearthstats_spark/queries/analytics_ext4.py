@@ -314,10 +314,13 @@ def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back shuffle 8-byte longs, not strings (the same collision
     # argument as operators/dedup.prefix_filtered_jaccard_pairs —
     # first-owner and count semantics survive any injective mapping)
+    # cached: the first-owner agg AND the join-back read this frame,
+    # and Spark does not reuse the duplicated explode subplan (q83's
+    # precedent; measured ~35% off the query at sf0.1)
     sh = d.select(
         "doc_id",
         F.explode(F.transform(shingles("text", 3),
-                              lambda s: F.xxhash64(s))).alias("s"))
+                              lambda s: F.xxhash64(s))).alias("s")).cache()
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     j = sh.join(firsts, "s")
     ind = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -443,10 +446,12 @@ def q136_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # hashed shingle join key — same width/collision rationale as
     # q134 / operators/dedup.prefix_filtered_jaccard_pairs
+    # cached: sizes + BOTH self-join sides read this frame (three
+    # subplan copies otherwise — q83's precedent)
     sh = d.select(
         "doc_id",
         F.explode(F.transform(shingles("text", 5),
-                              lambda s: F.xxhash64(s))).alias("s"))
+                              lambda s: F.xxhash64(s))).alias("s")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
