@@ -337,3 +337,64 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_comment_len").isNotNull(), 1).otherwise(0))
         .alias("n_new_schema_rows"),
     )
+
+
+@register("s18_zone_map_skipping", oracle=None)  # rows-only: side-effect op
+def s18_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zone-map data skipping on plain parquet — the
+    min/max-stats pruning that Iceberg manifests / Delta
+    add-file stats / parquet row-group indexes all implement, built
+    from first principles so its mechanics are inspectable:
+
+    1. lay the table out range-clustered (``repartitionByRange`` on
+       the filter column, 16 files → each file covers a narrow
+       o_orderdate slice — skipping only works when the layout
+       correlates with the predicate; on a random layout every file
+       overlaps every range),
+    2. derive the zone map with ONE distributed agg grouped by
+       ``input_file_name()`` (a catalog would persist this — it is
+       n_files rows, metadata-sized),
+    3. prune: keep files whose [lo, hi] intersects the query range —
+       the only driver-side step, over file-count rows (the same
+       class of metadata decision Spark's own catalog/AQE makes),
+    4. read ONLY surviving files and verify the result equals the
+       brute-force full scan exactly (exceptAll both ways).
+
+    Self-verifying counters: pruning must actually skip files
+    (n_files_kept < n_files_total) and must lose zero rows
+    (n_only_pruned = n_only_full = 0). Scale: the zone map grows
+    with file count, not row count; the scan after pruning touches
+    only matching slices — at 100 TB this is the difference between
+    reading 16 TB and 200 GB for a month-range query."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    base = tempfile.mkdtemp(prefix="hs_s18_")
+    data_dir = os.path.join(base, "data")
+    o.repartitionByRange(16, "o_orderdate").write.parquet(data_dir)
+
+    df = spark.read.parquet(data_dir)
+    zone_map = (df.groupBy(F.input_file_name().alias("file"))
+                .agg(F.min("o_orderdate").alias("lo"),
+                     F.max("o_orderdate").alias("hi")))
+    lo, hi = "1997-03-01", "1997-06-30"
+    # metadata-sized driver step: n_files rows, the catalog decision
+    kept = [r["file"] for r in zone_map
+            .filter((F.col("hi") >= F.lit(lo).cast("timestamp"))
+                    & (F.col("lo") <= F.lit(hi).cast("timestamp")))
+            .collect()]
+    n_files = zone_map.count()
+
+    pred = F.col("o_orderdate").between(lo, hi)
+    pruned = spark.read.parquet(*kept).filter(pred)
+    full = df.filter(pred)
+    only_pruned = pruned.exceptAll(full)
+    only_full = full.exceptAll(pruned)
+    return (
+        spark.createDataFrame(
+            [(int(n_files), len(kept))],
+            "n_files_total long, n_files_kept long")
+        .crossJoin(pruned.agg(F.count(F.lit(1)).alias("n_rows_pruned")))
+        .crossJoin(full.agg(F.count(F.lit(1)).alias("n_rows_full")))
+        .crossJoin(only_pruned.agg(F.count(F.lit(1)).alias("n_only_pruned")))
+        .crossJoin(only_full.agg(F.count(F.lit(1)).alias("n_only_full")))
+    )

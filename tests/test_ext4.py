@@ -213,3 +213,13 @@ def test_davg_signed_negative_boundaries(spark):
         r = a % n
         q = (a - r) // n + (1 if 2 * r >= n else 0)
         assert got == float(sign * q) / 10_000, (vals, got)
+
+
+def test_s18_zone_map_prunes_losslessly(spark, registry):
+    """s18: the zone-map prune must actually skip files AND lose
+    zero rows vs the brute-force scan."""
+    row = (registry["s18_zone_map_skipping"]
+           .fn(spark, SF_MED).collect()[0])
+    assert row["n_files_kept"] < row["n_files_total"]
+    assert row["n_rows_pruned"] == row["n_rows_full"] > 0
+    assert row["n_only_pruned"] == 0 and row["n_only_full"] == 0

@@ -180,7 +180,7 @@ def test_no_driver_materialization_in_sources():
     allowed = {  # file -> max permitted call sites
         "operators/rankops.py": 4,
         "operators/similarity.py": 1,
-        "queries/sinks.py": 3,
+        "queries/sinks.py": 4,  # +s18's metadata file-list (n_files rows)
     }
     pat = re.compile(r"\.(collect|toPandas)\(\)")
     offenders: dict[str, int] = {}

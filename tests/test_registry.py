@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 142 declared
-queries q01–q142 + 17 side-effect/streaming ops s01–s17; 137
+queries q01–q142 + 18 side-effect/streaming ops s01–s18; 137
 oracle-checked."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 143)
-} | {f"s{i:02d}" for i in range(1, 18)}
+} | {f"s{i:02d}" for i in range(1, 19)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -21,7 +21,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s11_stream_static_join", "s12_compaction",
     "s13_watermark_late_drop", "s14_checkpoint_restart",
     "s15_schema_evolution", "s16_stream_session_window",
-    "s17_stream_foreachbatch_merge",
+    "s17_stream_foreachbatch_merge", "s18_zone_map_skipping",
 }
 
 
