@@ -35,6 +35,12 @@
   agg; negative-safe exact means via davg_signed).
 - **q142**: log2-bucketed degree histogram of the co-purchase graph
   (integer bucket math — no float log2).
+- **q143**: deterministic LISTAGG (top-k filter before the concat,
+  sorted collect vs string_agg ORDER BY).
+- **q144**: bounded BFS reachability (frontier-sized iterative
+  joins; recursive-CTE oracle).
+- **q145**: discrete percentiles — rank-at-ceil(q·n), never
+  interpolated (the percentile_disc flavor q23/q79 don't cover).
 
 Float discipline: every ratio in this module is an exact
 decimal/integer half-up rounding (functions.numeric.dratio /
@@ -759,3 +765,162 @@ def q142_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("d").cast("bigint").alias("d_min"),
              F.max("d").cast("bigint").alias("d_max"))
     )
+
+
+@register(
+    "q143_group_concat",
+    oracle="""
+    WITH top5 AS (
+        SELECT c_mktsegment, c_name
+        FROM (SELECT c_mktsegment, c_name,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_name) AS rn
+              FROM customer)
+        WHERE rn <= 5
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(c_name, ',' ORDER BY c_name) AS names_csv
+    FROM top5 GROUP BY 1
+    """,
+)
+def q143_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with deterministic order: the first 5
+    customer names (alphabetical) per market segment as one CSV
+    string — the report-formatting aggregate every warehouse SQL
+    dialect grew (LISTAGG / GROUP_CONCAT / string_agg).
+
+    Two determinism traps handled: the top-5 filter BEFORE the
+    concat bounds the string at any scale (unbounded LISTAGG is an
+    OOM at 100 TB — the cap is the declared semantics), and
+    ``collect_list`` order is partition-dependent, so the engine
+    sorts the collected array before joining (DuckDB's ORDER BY
+    inside string_agg is the oracle twin)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_name")
+    top5 = (c.select("c_mktsegment", "c_name")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5))
+    return (
+        top5.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.array_join(F.array_sort(F.collect_list("c_name")), ",")
+             .alias("names_csv"))
+    )
+
+
+@register(
+    "q144_bfs_reach",
+    oracle="""
+    WITH RECURSIVE po0 AS
+        (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    po AS (
+        SELECT l_orderkey, l_partkey
+        FROM (SELECT l_orderkey, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_partkey) AS rn
+              FROM po0)
+        WHERE rn <= 64
+    ),
+    e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM po x JOIN po y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    u AS (SELECT a AS src, b AS dst FROM e
+          UNION ALL SELECT b AS src, a AS dst FROM e),
+    seed AS (SELECT MIN(a) AS v FROM e),
+    bfs AS (
+        SELECT v, 0 AS d FROM seed
+        UNION
+        SELECT u.dst AS v, bfs.d + 1 AS d
+        FROM bfs JOIN u ON u.src = bfs.v
+        WHERE bfs.d < 3
+    ),
+    lv AS (SELECT v, MIN(d) AS depth FROM bfs GROUP BY v)
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lv GROUP BY depth
+    """,
+)
+def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability: nodes at shortest-path depth
+    0/1/2/3 from the smallest part in the co-purchase graph — the
+    frontier-expansion iteration family (neighborhood sampling,
+    GNN fan-out, blast-radius queries), distinct from q108's
+    fixed-point iteration and q88's label propagation.
+
+    Engine: 3 rounds of frontier ⋈ edges with an anti-join against
+    the visited set — each round's shuffle is FRONTIER-sized, not
+    graph-sized, which is the whole point of BFS on a cluster; the
+    visited frame is localCheckpoint'ed per round (iterative-lineage
+    rule). Oracle: recursive CTE with the UNION-dedup doing the
+    visited-set work, MIN(d) per vertex outside the recursion."""
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+
+    e = co_order_edges(spark, sf_dir)
+    und = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionAll(e.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst")))
+           .localCheckpoint())
+    seed = e.agg(F.min("a").alias("v"))
+    visited = seed.select("v", F.lit(0).alias("depth")).localCheckpoint()
+    frontier = visited.select("v")
+    for depth in range(1, 4):
+        nxt = (und.join(frontier, und["src"] == frontier["v"])
+               .select(F.col("dst").alias("v")).distinct()
+               .join(visited.select("v"), "v", "left_anti")
+               .withColumn("depth", F.lit(depth)))
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("v")
+    return (visited.groupBy(F.col("depth").cast("int").alias("depth"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+
+
+@register(
+    "q145_percentile_disc",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN value END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN value END) AS p90_disc
+    FROM r GROUP BY 1
+    """,
+)
+def q145_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc semantics: the smallest
+    actual value whose cumulative rank reaches q — always a real
+    data point, never interpolated): p50/p90 of value per event
+    type. Complements q23/q79, which implement the CONTINUOUS
+    (interpolated) flavor; regulatory/latency reporting usually
+    requires disc.
+
+    The rank-at-ceil(q·n) formulation is engine-neutral integer
+    arithmetic (no interpolation float ops at all) and one window
+    pass; ordering by value alone is enough — at a tied boundary
+    every candidate row carries the same value. ceil(0.5·n) is
+    exact IEEE for any representable n."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    r = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = (lambda q: F.max(F.when(
+        F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+        F.col("value"))))
+    return (r.groupBy("event_type")
+            .agg(F.max("n").cast("bigint").alias("n"),
+                 pick(0.5).alias("p50_disc"),
+                 pick(0.9).alias("p90_disc")))
