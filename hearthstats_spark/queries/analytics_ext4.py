@@ -41,6 +41,8 @@
   joins; recursive-CTE oracle).
 - **q145**: discrete percentiles — rank-at-ceil(q·n), never
   interpolated (the percentile_disc flavor q23/q79 don't cover).
+- **q146**: running COUNT(DISTINCT) OVER via the first-occurrence
+  marker rewrite (window-DISTINCT is unsupported everywhere).
 
 Float discipline: every ratio in this module is an exact
 decimal/integer half-up rounding (functions.numeric.dratio /
@@ -924,3 +926,51 @@ def q145_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").cast("bigint").alias("n"),
                  pick(0.5).alias("p50_disc"),
                  pick(0.9).alias("p90_disc")))
+
+
+@register(
+    "q146_window_count_distinct",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(SUM(first_seen) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct_types
+    FROM m
+    """,
+)
+def q146_window_count_distinct(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — per event, how many
+    DISTINCT event types the user has produced so far. Neither
+    Spark nor most engines allow DISTINCT inside a window function
+    (the state isn't frame-composable); the standard rewrite is the
+    FIRST-OCCURRENCE trick: mark each (user, type)'s first event via
+    row_number, then a plain cumulative SUM of the marker — two
+    window passes, both keyed by user, zero distinct-state.
+
+    Scale: both windows shuffle on user_id once (Spark reuses the
+    partitioning between them — one Exchange); state per row is one
+    integer. This is the q121 idea (first-seen) applied at event
+    grain instead of calendar grain."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    w_cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    m = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        .alias("first_seen"))
+    return m.select(
+        "user_id", "ts", "event_id",
+        F.sum("first_seen").over(w_cum).cast("bigint")
+        .alias("n_distinct_types"))
