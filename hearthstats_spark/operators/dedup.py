@@ -26,12 +26,21 @@ def shingles(col: str = "text", k: int = 5):
     front end of every text-dedup query (q49/q59/q83/q88/q118/q134/
     q136), so this is the hottest expression in the family. Docs
     shorter than k words degrade to one whole-text shingle, exactly
-    like the slice-truncation semantics the oracles replicate."""
+    like the slice-truncation semantics the oracles replicate.
+
+    NULL text yields an EMPTY array — the doc contributes no
+    shingles (explode drops it) on BOTH engines: the shingle oracles
+    filter ``text IS NOT NULL`` in their tokenizer CTEs to declare
+    the same semantics. (The pre-rewrite form produced one
+    empty-string shingle for NULL on the engine side only — a latent
+    engine/oracle asymmetry a testdata regeneration would expose;
+    pinned in tests/test_operators.py.)"""
     n = "size(__t)"
     parts = ", ".join(f"slice(__t, {j + 1}, {n} - {k - 1})"
                       for j in range(k))
     fields = ", ".join(f"s['{j}']" for j in range(k))
-    expr = (f"CASE WHEN {n} <= {k} THEN array(concat_ws(' ', __t)) "
+    expr = (f"CASE WHEN __t IS NULL THEN array() "
+            f"WHEN {n} <= {k} THEN array(concat_ws(' ', __t)) "
             f"ELSE transform(arrays_zip({parts}), "
             f"s -> concat_ws(' ', {fields})) END")
     return F.array_distinct(

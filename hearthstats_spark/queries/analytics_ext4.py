@@ -180,7 +180,7 @@ def q131_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, COUNT(*) AS n_seg,
                SUM(CAST(value * dt_us AS DECIMAL(28,4))) AS num,
                SUM(dt_us) AS den
-        FROM seg WHERE dt_us IS NOT NULL
+        FROM seg WHERE dt_us > 0
         GROUP BY 1
     )
     SELECT user_id, CAST(n_seg AS BIGINT) AS n_seg,
@@ -206,7 +206,12 @@ def q132_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = (e.select("user_id", "value", "event_id", "ts",
                     F.unix_micros("ts").alias("__us"))
            .withColumn("dt_us", F.lead("__us").over(w) - F.col("__us"))
-           .filter(F.col("dt_us").isNotNull()))
+           # strictly positive durations only: a zero-length segment
+           # carries zero weight anyway, and a user whose segments
+           # are ALL zero would otherwise hit dratio's den=0 (ANSI
+           # divide-by-zero on Spark vs NULL on DuckDB) — dropping
+           # the group entirely is the same declared answer on both
+           .filter(F.col("dt_us") > 0))
     g = seg.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_seg"),
         F.sum((F.col("value") * F.col("dt_us")).cast(DEC)).alias("__num"),
@@ -286,7 +291,7 @@ def q133_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q134_ngram_novelty",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents),
+                  FROM documents WHERE text IS NOT NULL),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
            FROM toks CROSS JOIN generate_series(0, 4096) g(i)
            WHERE i <= greatest(len(t) - 3, 0)),
@@ -411,7 +416,7 @@ def q135_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q136_dedup_containment",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents),
+                  FROM documents WHERE text IS NOT NULL),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS s
            FROM toks CROSS JOIN generate_series(0, 4096) g(i)
            WHERE i <= greatest(len(t) - 5, 0)),
@@ -495,7 +500,7 @@ def q136_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
         SELECT event_type, k, n,
                ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY n DESC, k) AS rk
+                                  ORDER BY n DESC, k NULLS LAST) AS rk
         FROM c
     )
     SELECT event_type, k AS mode_k, CAST(n AS BIGINT) AS n
@@ -514,10 +519,17 @@ def q137_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (bounded by value cardinality, not row count)."""
     e = load_table(spark, sf_dir, "events")
     c = (e.select("event_type",
-                  F.get_json_object("props", "$.k").cast("bigint")
+                  # try_cast: a malformed payload key becomes a NULL
+                  # group instead of an ANSI cast error (the oracle's
+                  # TRY_CAST twin, q107's discipline)
+                  F.get_json_object("props", "$.k").try_cast("bigint")
                   .alias("k"))
          .groupBy("event_type", "k").agg(F.count(F.lit(1)).alias("n")))
-    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "k")
+    # NULLS LAST explicitly: Spark sorts NULL first ascending, DuckDB
+    # last — a NULL group tying for the top count would otherwise
+    # pick different modes per engine
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("k").asc_nulls_last())
     return (c.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("event_type", F.col("k").alias("mode_k"),
@@ -589,7 +601,11 @@ def _cms_hash(j: int, col):
     integer arithmetic on any engine/run."""
     a = (j * 2_654_435_761 + 1_013_904_223) % _CMS_P or 1
     c = (j * 97_531 + 12_345) % _CMS_P
-    return F.pmod(F.pmod(F.lit(a) * col + F.lit(c), F.lit(_CMS_P)),
+    # reduce the item into the field FIRST: a*(p-1) stays under
+    # 2^63, where a*raw_item overflows (ANSI arithmetic error) for
+    # 64-bit ids — the natural input of a frequency sketch
+    x = F.pmod(col, F.lit(_CMS_P))
+    return F.pmod(F.pmod(F.lit(a) * x + F.lit(c), F.lit(_CMS_P)),
                   F.lit(_CMS_W))
 
 
@@ -614,9 +630,12 @@ def q139_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the top-10 exact-count items with exact n and CMS
     estimate side by side (est_over = est - exact >= 0)."""
     e = load_table(spark, sf_dir, "events")
+    # cached: the sketch build and the exact top-10 both scan this
+    # frame, and the JSON extraction is the expensive part (q134's
+    # no-subplan-reuse rationale); try_cast per q137
     items = e.select(
-        F.get_json_object("props", "$.k").cast("bigint").alias("item")
-    ).filter(F.col("item").isNotNull())
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("item")
+    ).filter(F.col("item").isNotNull()).cache()
     rows = items.select(
         "item",
         F.explode(F.array(*[
@@ -681,7 +700,8 @@ def q140_sketch_quantile_rollup(spark: SparkSession,
            CAST(COUNT(*) AS BIGINT) AS n,
            {favg_signed_sql("CAST(embedding[i+1] AS DOUBLE)",
                             "centroid")}
-    FROM embeddings CROSS JOIN generate_series(0, 63) g(i)
+    FROM embeddings CROSS JOIN generate_series(0, 4095) g(i)
+    WHERE i < len(embedding)
     GROUP BY 1, 2
     """,
 )
@@ -874,7 +894,11 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(visited.select("v"), "v", "left_anti")
                .withColumn("depth", F.lit(depth)))
         visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt.select("v")
+        # derive the next frontier from the CHECKPOINTED union — nxt
+        # itself is lazy, so frontier = nxt.select(...) would re-run
+        # the whole previous round's expansion inside the next join
+        frontier = (visited.filter(F.col("depth") == depth)
+                    .select("v"))
     return (visited.groupBy(F.col("depth").cast("int").alias("depth"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
 

@@ -52,7 +52,8 @@ def _oracle() -> str:
 
 
 _JACCARD_ORACLE = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
 sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
        FROM toks CROSS JOIN generate_series(0, 4096) g(i)
        WHERE i <= greatest(len(t) - 3, 0)),

@@ -223,3 +223,21 @@ def test_s18_zone_map_prunes_losslessly(spark, registry):
     assert row["n_files_kept"] < row["n_files_total"]
     assert row["n_rows_pruned"] == row["n_rows_full"] > 0
     assert row["n_only_pruned"] == 0 and row["n_only_full"] == 0
+
+
+def test_q137_null_group_ties_break_deterministically(spark):
+    """A NULL payload-key group tying for the top count must lose to
+    any non-NULL key on BOTH engines (NULLS LAST declared in the
+    oracle, asc_nulls_last in the engine): replay the engine's rank
+    expression on a synthetic tie."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("click", None), ("click", None), ("click", 7), ("click", 7)],
+        "event_type string, k long")
+    c = df.groupBy("event_type", "k").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("k").asc_nulls_last())
+    top = (c.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == 1).collect())
+    assert top[0]["k"] == 7

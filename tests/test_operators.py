@@ -303,3 +303,22 @@ def test_minhash_exact_dups_always_candidates(spark, tmp_path):
         n, est = got[(1, 3)]
         assert 0 < n < 16 and est == round(n / 16, 4)
         assert got.get((2, 3)) == got[(1, 3)]  # dup symmetry
+
+
+def test_shingles_null_text_contributes_nothing(spark):
+    """NULL text must yield an EMPTY shingle array (doc dropped by
+    explode on both engines — the oracles filter text IS NOT NULL),
+    not the pre-rewrite engine-only empty-string shingle, and must
+    not error under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from hearthstats_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "x")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["arr"]
+            for r in df.select("doc_id",
+                               shingles("text", 3).alias("arr")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []
+    assert rows[3] == ["x"]
