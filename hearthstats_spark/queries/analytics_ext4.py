@@ -43,6 +43,11 @@
   interpolated (the percentile_disc flavor q23/q79 don't cover).
 - **q146**: running COUNT(DISTINCT) OVER via the first-occurrence
   marker rewrite (window-DISTINCT is unsupported everywhere).
+- **q147**: quantity-weighted median (integer cumulative-weight
+  comparisons, no /2).
+- **q148**: two-proportion z-test (the A/B readout; IEEE-exact z).
+- **q149**: SCD-2 point-in-time join (the consumer side of q96's
+  history build — equi key + validity-range residual).
 
 Float discipline: every ratio in this module is an exact
 decimal/integer half-up rounding (functions.numeric.dratio /
@@ -998,3 +1003,202 @@ def q146_window_count_distinct(spark: SparkSession,
         "user_id", "ts", "event_id",
         F.sum("first_seen").over(w_cum).cast("bigint")
         .alias("n_distinct_types"))
+
+
+@register(
+    "q147_weighted_median",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS w,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(MAX(totw) AS BIGINT) AS total_qty,
+           MIN(CASE WHEN 2 * cumw >= totw THEN l_extendedprice END)
+               AS wmedian_price
+    FROM r GROUP BY 1
+    """,
+)
+def q147_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median price per return flag: the smallest
+    price at which the cumulative quantity reaches half the total —
+    the inventory-weighted central price (each line votes with its
+    units, not once). Plain medians (q23/q79/q145) weight rows
+    equally; weighted quantiles are the procurement/market-data
+    flavor no built-in covers on either engine.
+
+    All comparisons are exact integer arithmetic (quantities are
+    integral, cast to BIGINT; 2·cumw ≥ totw avoids any /2), and the
+    qualifying row with the minimum price IS the first qualifying
+    row under the cumulative order, so a conditional MIN replaces a
+    second window pass. One cumulative window + the per-group total
+    riding the same partition key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("bigint")
+    w_cum = (Window.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum(wq).over(w_cum).alias("cumw"),
+        F.sum(wq).over(w_tot).alias("totw"))
+    return (r.groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(F.max("totw").cast("bigint").alias("total_qty"),
+                 F.min(F.when(2 * F.col("cumw") >= F.col("totw"),
+                              F.col("l_extendedprice")))
+                 .alias("wmedian_price")))
+
+
+@register(
+    "q148_ab_ztest",
+    oracle=f"""
+    WITH conv AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END AS converted
+        FROM customer c
+        WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    g AS (
+        SELECT
+            SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                AS n1,
+            SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN converted
+                     ELSE 0 END) AS c1,
+            SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                AS n2,
+            SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN converted
+                     ELSE 0 END) AS c2
+        FROM conv
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+           {fratio_sql('c1', 'n1', 'p1')},
+           {fratio_sql('c2', 'n2', 'p2')},
+           ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 / SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 4) AS z
+    FROM g
+    """,
+)
+def q148_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between customer segments: does the
+    BUILDING segment convert (place >= 1 URGENT order) at a
+    different rate than AUTOMOBILE? The A/B-readout query every
+    experimentation platform runs; z = (p1-p2)/sqrt(pp(1-pp)(1/n1
+    +1/n2)) with the pooled rate pp.
+
+    Determinism: the four counts are exact; displayed rates use the
+    exact half-up ratio; the z statistic itself is a fixed dag of
+    IEEE ops on identical inputs — sqrt and divide are CORRECTLY
+    ROUNDED by IEEE-754, so both engines produce the same double
+    bit-for-bit and ROUND(z, 4) agrees (an irrational z is never at
+    a rounding boundary). One semi-join-shaped EXISTS (decorrelated
+    to a hash join) + one conditional-agg pass."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    conv = (c.filter(F.col("c_mktsegment")
+                     .isin("BUILDING", "AUTOMOBILE"))
+            .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left")
+            .select("c_mktsegment",
+                    F.when(F.col("o_custkey").isNotNull(), 1)
+                    .otherwise(0).alias("converted")))
+    is_b = F.col("c_mktsegment") == "BUILDING"
+    g = conv.agg(
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_b, F.col("converted")).otherwise(0)).alias("c1"),
+        F.sum(F.when(~is_b, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~is_b, F.col("converted")).otherwise(0)).alias("c2"),
+    )
+    p1d = F.col("c1").cast("double") / F.col("n1")
+    p2d = F.col("c2").cast("double") / F.col("n2")
+    ppd = ((F.col("c1") + F.col("c2")).cast("double")
+           / (F.col("n1") + F.col("n2")))
+    z = F.round(
+        (p1d - p2d)
+        / F.sqrt(ppd * (F.lit(1.0) - ppd)
+                 * (F.lit(1.0) / F.col("n1")
+                    + F.lit(1.0) / F.col("n2"))), 4)
+    return g.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("c2").cast("bigint").alias("c2"),
+        dratio(F.col("c1"), F.col("n1"), "p1"),
+        dratio(F.col("c2"), F.col("n2"), "p2"),
+        z.alias("z"))
+
+
+@register(
+    "q149_scd2_pit_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               LAG(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    hist AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w2 AS valid_to,
+               ROW_NUMBER() OVER w2 AS version
+        FROM o
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        WINDOW w2 AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT CAST(h.version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS n_customers
+    FROM orders f
+    JOIN hist h
+      ON h.custkey = f.o_custkey
+     AND h.valid_from <= f.o_orderdate
+     AND (h.valid_to IS NULL OR f.o_orderdate < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def q149_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the q96 SCD-2 history — the
+    consumer side of slowly-changing dimensions: each fact row joins
+    the dimension VERSION that was valid at its event date
+    (valid_from <= date < valid_to, open row unbounded). Facts here
+    are the orders themselves; output is how many orders/customers
+    each version number served (bounded: |versions| rows).
+
+    Join shape: EQUI key (custkey) + the validity range as a
+    residual filter — a hash join, never a nested loop, because the
+    equi key does the distribution and versions-per-customer is
+    small (the SCD invariant). This is the dimension-lookup shape
+    every warehouse fact load runs at 100 TB; the q66/q109 range
+    and as-of kernels are the event-time equivalents."""
+    from hearthstats_spark.queries.pipeline_ext import q96_scd2_history
+
+    o = load_table(spark, sf_dir, "orders")
+    hist = q96_scd2_history(spark, sf_dir)
+    j = o.join(
+        hist,
+        (hist["custkey"] == o["o_custkey"])
+        & (hist["valid_from"] <= o["o_orderdate"])
+        & (hist["valid_to"].isNull()
+           | (o["o_orderdate"] < hist["valid_to"])))
+    return (j.groupBy(F.col("version").cast("bigint").alias("version"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.countDistinct("o_custkey").cast("bigint")
+                 .alias("n_customers")))
