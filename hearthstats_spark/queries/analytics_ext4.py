@@ -48,6 +48,8 @@
 - **q148**: two-proportion z-test (the A/B readout; IEEE-exact z).
 - **q149**: SCD-2 point-in-time join (the consumer side of q96's
   history build — equi key + validity-range residual).
+- **q150**: Gini revenue-concentration index per nation (integer
+  rank coefficients × exact decimal sums).
 
 Float discipline: every ratio in this module is an exact
 decimal/integer half-up rounding (functions.numeric.dratio /
@@ -1202,3 +1204,64 @@ def q149_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
                  F.countDistinct("o_custkey").cast("bigint")
                  .alias("n_customers")))
+
+
+@register(
+    "q150_gini_concentration",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, c.c_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS x
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT nationkey, x,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY x, c_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY nationkey) AS n
+        FROM rev
+    )
+    SELECT nationkey, CAST(MAX(n) AS BIGINT) AS n_cust,
+           CAST(SUM(x) AS DOUBLE) AS total_rev,
+           ROUND(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+                 / CAST(MAX(n) * SUM(x) AS DOUBLE), 4) AS gini
+    FROM r GROUP BY 1
+    """,
+)
+def q150_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue per nation — the
+    inequality/concentration index behind "top-1% of customers drive
+    X% of revenue" dashboards. Uses the rank formulation
+    G = Σ(2i − n − 1)·xᵢ / (n·Σx) over revenues sorted ascending
+    (deterministic (x, custkey) order).
+
+    Exactness: per-customer revenue is an exact decimal sum; the
+    numerator multiplies decimals by INTEGER rank coefficients
+    (exact decimal arithmetic on both engines) and sums exactly; the
+    single final division is one IEEE op on identical doubles with
+    ROUND — q113's accepted discipline. Shape: one join+agg for
+    revenues, one nation-keyed window for ranks, one hash agg; at
+    100 TB the per-nation sort is the cost and a two-pass
+    range-partitioned rank (operators/rankops.py) is the swap."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (o.join(c.select("c_custkey", "c_nationkey"),
+                  o["o_custkey"] == F.col("c_custkey"))
+           .groupBy(F.col("c_nationkey").alias("nationkey"),
+                    "c_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("x")))
+    wr = Window.partitionBy("nationkey").orderBy("x", "c_custkey")
+    wn = Window.partitionBy("nationkey")
+    r = rev.select(
+        "nationkey", "x",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    return (r.groupBy("nationkey")
+            .agg(F.max("n").cast("bigint").alias("n_cust"),
+                 F.sum("x").cast("double").alias("total_rev"),
+                 F.round(
+                     F.sum((2 * F.col("i") - F.col("n") - 1)
+                           * F.col("x")).cast("double")
+                     / (F.max("n") * F.sum("x")).cast("double"), 4)
+                 .alias("gini")))

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 149 declared
-queries q01–q149 + 18 side-effect/streaming ops s01–s18; 144
+"""The registry IS the driver contract (SURVEY.md §2): 150 declared
+queries q01–q150 + 18 side-effect/streaming ops s01–s18; 145
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 150)
+    f"q{i:02d}" for i in range(1, 151)
 } | {f"s{i:02d}" for i in range(1, 19)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -34,7 +34,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 144
+    assert len(with_oracle) == 145
 
 
 def test_names_well_formed(registry):
