@@ -54,15 +54,56 @@ def _driver_covered() -> set[str]:
     return covered
 
 
+def _verified_map() -> dict:
+    """VERIFIED.json: id -> {round, file, sha256-of-file-at-check-time}
+    (rebuilt by scripts/update_verified.py each round-start)."""
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERIFIED.json")) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
+def _current_file_hashes(relpaths) -> dict[str, str | None]:
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, str | None] = {}
+    for rel in set(relpaths):
+        if not rel:
+            continue
+        try:
+            with open(os.path.join(here, rel), "rb") as fh:
+                out[rel] = hashlib.sha256(fh.read()).hexdigest()
+        except OSError:
+            out[rel] = None
+    return out
+
+
 def _contract_order(names) -> list[str]:
     """The driver's per-round CORRECTNESS file holds exactly 50
     entries from the head of this ordering, so ordering IS coverage
-    policy. Emit ids that have NEVER appeared in any round's
-    CORRECTNESS file first — oldest (lowest-numbered) gap first, so a
-    band skipped once cannot be starved again by newer additions —
-    then never-covered s-ops, then everything already covered. Every
-    query is still present either way, and scripts/check_oracle.py
-    runs the full sweep locally regardless (see README §Correctness).
+    policy. Three classes, each q-ops (oracle-checked) before s-ops
+    (rows-only), oldest id first inside a class:
+
+    1. never covered q-ops — ids absent from every CORRECTNESS_r*.json;
+    2. stale q-ops — covered once, but the defining source file's hash
+       no longer matches the hash recorded at check time
+       (VERIFIED.json), oldest check round first: a kernel rewritten
+       after its last driver check must be re-verified before
+       anything green;
+    3. never covered s-ops — a first rows-only driver record beats
+       re-rotating a green unchanged query, but not an oracle check;
+    4. fresh q-ops — covered and unchanged since, oldest check round
+       first so re-verification rotates through the registry;
+    5. covered s-ops.
+
+    Every query is still present either way, and
+    scripts/check_oracle.py runs the full sweep locally regardless
+    (README §Correctness).
 
     Numeric parse, not string compare: lexicographically
     "q102" < "q51", which would silently file new queries under the
@@ -71,13 +112,25 @@ def _contract_order(names) -> list[str]:
         return int(n[1:n.index("_")])
 
     covered = _driver_covered()
-    qs = sorted((n for n in names if n.startswith("q")), key=qnum)
-    sops = sorted(n for n in names if not n.startswith("q"))
-    gap_q = [n for n in qs if n not in covered]
-    gap_s = [n for n in sops if n not in covered]
-    seen_q = [n for n in qs if n in covered]
-    seen_s = [n for n in sops if n in covered]
-    return gap_q + gap_s + seen_q + seen_s
+    verified = _verified_map()
+    cur = _current_file_hashes(v.get("file") for v in verified.values())
+
+    def klass(n: str) -> int:
+        if not n.startswith("q"):
+            return 2 if n not in covered else 4
+        if n not in covered:
+            return 0
+        v = verified.get(n)
+        if not v or not v.get("sha256") or cur.get(v.get("file")) != v["sha256"]:
+            return 1  # covered but source changed (or unverifiable) since
+        return 3
+
+    def key(n: str):
+        rnd = verified.get(n, {}).get("round", 0)
+        num = qnum(n) if n.startswith("q") else 0
+        return (klass(n), rnd, num, n)
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

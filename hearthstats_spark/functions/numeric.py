@@ -83,18 +83,26 @@ def dratio(num: Column, den: Column, alias: str,
     windowed total): exact decimal/integer half-up rounding, never a
     float ROUND.
 
-    Requirements: ``num`` non-negative with <= 4 decimal places of
-    true precision (an integer count, or a SUM(CAST(.. AS DEC))
-    aggregate), ``den`` a positive integer-valued column. The ratio
-    of small integers is the WORST case for cross-engine float
-    rounding — n/32 terminates exactly one digit past the rounding
-    point, the exact q97 failure mode davg was built for."""
+    Requirements: ``num`` with <= 4 decimal places of true precision
+    (an integer count, or a SUM(CAST(.. AS DEC)) aggregate), ``den``
+    a positive integer-valued column. The ratio of small integers is
+    the WORST case for cross-engine float rounding — n/32 terminates
+    exactly one digit past the rounding point, the exact q97 failure
+    mode davg was built for.
+
+    Signed-safe (half-AWAY-FROM-ZERO): the kernel runs on |num| with
+    the sign reapplied, the davg_signed discipline — a bare
+    pmod/floor kernel disagrees with DuckDB's truncating HUGEINT
+    ``//``/``%`` exactly when num < 0 (ADVICE r3). For num >= 0 the
+    result is bit-identical to the previous half-up form."""
     scale = 10 ** ndigits
     p = num.cast(DEC) * scale
-    r = F.pmod(p, den)
-    qf = F.floor((p - r) / den)
+    a = F.abs(p)
+    r = F.pmod(a, den)
+    qf = F.floor((a - r) / den)
     bump = F.when(F.lit(2) * r >= den, 1).otherwise(0)
-    return ((qf + bump).cast("double") / scale).alias(alias)
+    sign = F.when(p < 0, -1).otherwise(1)
+    return ((sign * (qf + bump)).cast("double") / scale).alias(alias)
 
 
 def davg_signed(col: Column | str, alias: str,
@@ -125,7 +133,11 @@ def fsum_sql(expr: str, alias: str) -> str:
 
 
 def fratio_sql(num: str, den: str, alias: str, ndigits: int = 4) -> str:
-    """Oracle twin of dratio(): exact HUGEINT half-up ratio.
+    """Oracle twin of dratio(): exact HUGEINT half-away-from-zero
+    ratio on ABS(num) with the sign reapplied (matching dratio's
+    signed-safe kernel — DuckDB's ``//``/``%`` truncate toward zero,
+    so the unsigned form diverges from Spark's pmod/floor when
+    num < 0).
 
     ``num`` must be integer-valued after a DECIMAL(28,4) cast times
     10^ndigits (counts and decimal-cast sums qualify); ``den`` a
@@ -134,9 +146,11 @@ def fratio_sql(num: str, den: str, alias: str, ndigits: int = 4) -> str:
     DuckDB evaluates deterministically."""
     scale = 10 ** ndigits
     p = f"CAST(CAST({num} AS DECIMAL(28,4)) * {scale} AS HUGEINT)"
+    a = f"ABS({p})"
     return (
-        f"CAST(({p} // ({den}))"
-        f" + CASE WHEN 2 * ({p} % ({den})) >= ({den}) THEN 1 ELSE 0 END"
+        f"(CASE WHEN {p} < 0 THEN -1 ELSE 1 END)"
+        f" * CAST(({a} // ({den}))"
+        f" + CASE WHEN 2 * ({a} % ({den})) >= ({den}) THEN 1 ELSE 0 END"
         f" AS DOUBLE) / {scale} AS {alias}"
     )
 

@@ -916,9 +916,10 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
         SELECT event_type, value,
                ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY value) AS rn,
+                                  ORDER BY value NULLS LAST) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(MAX(n) AS BIGINT) AS n,
@@ -941,9 +942,18 @@ def q145_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (no interpolation float ops at all) and one window
     pass; ordering by value alone is enough — at a tied boundary
     every candidate row carries the same value. ceil(0.5·n) is
-    exact IEEE for any representable n."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
+    exact IEEE for any representable n.
+
+    NULL discipline (ADVICE r3): percentiles are over NON-NULL
+    values — filtered explicitly on BOTH engines, because their
+    window defaults disagree (Spark ORDER BY = NULLS FIRST, DuckDB
+    = NULLS LAST) and a stray NULL would silently shift every rank;
+    asc_nulls_last matches the oracle's declared NULLS LAST as a
+    second guard."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last())
     r = e.select(
         "event_type", "value",
         F.row_number().over(w).alias("rn"),

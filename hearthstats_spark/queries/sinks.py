@@ -14,6 +14,7 @@ Both are rows-only checks (side effects have no DuckDB oracle).
 from __future__ import annotations
 
 import os
+import shutil
 import sqlite3
 import tempfile
 
@@ -385,16 +386,30 @@ def s18_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = zone_map.count()
 
     pred = F.col("o_orderdate").between(lo, hi)
-    pruned = spark.read.parquet(*kept).filter(pred)
+    # zero surviving files is a legitimate outcome (query range
+    # outside the data): spark.read.parquet(*[]) raises, so model it
+    # as an empty frame with the table's schema (ADVICE r3)
+    if kept:
+        pruned = spark.read.parquet(*kept).filter(pred)
+    else:
+        pruned = spark.createDataFrame([], df.schema)
     full = df.filter(pred)
     only_pruned = pruned.exceptAll(full)
     only_full = full.exceptAll(pruned)
-    return (
-        spark.createDataFrame(
-            [(int(n_files), len(kept))],
-            "n_files_total long, n_files_kept long")
-        .crossJoin(pruned.agg(F.count(F.lit(1)).alias("n_rows_pruned")))
-        .crossJoin(full.agg(F.count(F.lit(1)).alias("n_rows_full")))
-        .crossJoin(only_pruned.agg(F.count(F.lit(1)).alias("n_only_pruned")))
-        .crossJoin(only_full.agg(F.count(F.lit(1)).alias("n_only_full")))
-    )
+    try:
+        counters = (
+            spark.createDataFrame(
+                [(int(n_files), len(kept))],
+                "n_files_total long, n_files_kept long")
+            .crossJoin(pruned.agg(F.count(F.lit(1)).alias("n_rows_pruned")))
+            .crossJoin(full.agg(F.count(F.lit(1)).alias("n_rows_full")))
+            .crossJoin(only_pruned.agg(
+                F.count(F.lit(1)).alias("n_only_pruned")))
+            .crossJoin(only_full.agg(F.count(F.lit(1)).alias("n_only_full")))
+        )
+        # materialize before cleanup: the returned frame must not
+        # depend on the about-to-be-deleted temp layout
+        rows = counters.collect()
+        return spark.createDataFrame(rows, counters.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -25,6 +25,28 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_mem() -> str:
+    """Local-harness driver heap: big enough to keep bench's 300
+    query executions out of GC churn, but never more than the host
+    can give (ADVICE r3: a flat 24g default failed JVM launch on
+    smaller machines). min(24g, 1/4 of detected RAM), floor 2g;
+    SPARK_GRAFT_DRIVER_MEM always wins. Real clusters size executors
+    via spark-submit — this only shapes local[] runs."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, total_gib // 4))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 _DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -40,10 +62,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # local mode = 32 executor threads + every cached/checkpointed
     # block in ONE JVM: 8g caused visible GC churn across bench's 280
-    # query executions (q88 read 12.4 s in-bench vs 5.2 s with this
-    # heap; the box has 125 GiB). Real clusters size executors
-    # separately — this is a local-harness setting, not a scale knob.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # query executions (q88 read 12.4 s in-bench vs 5.2 s with a 24g
+    # heap on the 125 GiB bench box) — but a flat 24g fails to launch
+    # on smaller hosts, so the default now scales with detected RAM.
+    "spark.driver.memory": _default_driver_mem(),
     "spark.ui.enabled": "false",
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
 }

@@ -32,7 +32,9 @@ per (window × key) thanks to partial aggregation, exactly like batch.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -638,8 +640,17 @@ def s17_stream_foreachbatch_merge(spark: SparkSession,
     state table — the production "stream → lakehouse table" pattern
     (with Delta/Iceberg the merge body is one ``MERGE INTO``; on
     plain parquet it is s09's read-merge-rewrite, one new version
-    directory per batch so a replayed batch_id overwrites its own
-    output idempotently instead of double-applying).
+    directory per batch).
+
+    Idempotent replay across RESTARTS, not just in-process retries
+    (ADVICE r3): the latest committed version lives in a ``_latest``
+    marker file next to the version dirs — written LAST, so it is
+    the commit point — recording (dir, batch_id, prev_dir). A fresh
+    driver process re-reads the marker instead of starting from
+    scratch, and a replayed batch_id (same batch delivered again
+    after a crash between the version write and the checkpoint
+    commit) detects itself in the marker and merges against
+    ``prev_dir``, never double-applying its own delta.
 
     Differs from s05 (state-store + append sink, resolved at read
     time): here the SINK maintains the authoritative merged table,
@@ -659,7 +670,15 @@ def s17_stream_foreachbatch_merge(spark: SparkSession,
     everything else is linear and driver-free."""
     src, ev = write_replay_source(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="hs_s17_")
-    state = {"dir": None, "n_batches": 0}
+    marker_path = os.path.join(base, "_latest")
+    state = {"n_batches": 0}
+
+    def read_marker() -> dict | None:
+        try:
+            with open(marker_path) as fh:
+                return json.load(fh)
+        except OSError:
+            return None
 
     def delta_of(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
@@ -670,8 +689,17 @@ def s17_stream_foreachbatch_merge(spark: SparkSession,
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merged = delta_of(batch_df)
-        if state["dir"] is not None:
-            tgt = spark.read.parquet(state["dir"])
+        committed = read_marker()
+        # replay of an already-committed batch: merge against the
+        # version BEFORE it, so the delta is applied exactly once
+        if committed is not None and committed["batch_id"] == batch_id:
+            tgt_dir = committed["prev_dir"]
+        elif committed is not None:
+            tgt_dir = committed["dir"]
+        else:
+            tgt_dir = None
+        if tgt_dir is not None:
+            tgt = spark.read.parquet(tgt_dir)
             d = merged
             merged = (
                 tgt.alias("t").join(d.alias("d"), "user_id", "full")
@@ -690,7 +718,14 @@ def s17_stream_foreachbatch_merge(spark: SparkSession,
             )
         new_dir = os.path.join(base, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(new_dir)
-        state["dir"] = new_dir
+        # marker write is the COMMIT POINT (atomic rename): a crash
+        # before it leaves the previous marker intact and the replay
+        # path above re-derives this version from prev_dir
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"dir": new_dir, "batch_id": batch_id,
+                       "prev_dir": tgt_dir}, fh)
+        os.replace(tmp, marker_path)
         state["n_batches"] += 1
 
     q = (
@@ -704,17 +739,22 @@ def s17_stream_foreachbatch_merge(spark: SparkSession,
     )
     q.awaitTermination()
 
-    final = spark.read.parquet(state["dir"])
+    final = spark.read.parquet(read_marker()["dir"])
     batch_ans = delta_of(ev)
     cols = ["user_id", "n_events", "sum_value", "last"]
     only_stream = final.select(cols).exceptAll(batch_ans.select(cols))
     only_batch = batch_ans.select(cols).exceptAll(final.select(cols))
-    return (
-        final.agg(F.count(F.lit(1)).alias("n_users_merged"))
-        .crossJoin(spark.createDataFrame(
-            [(state["n_batches"],)], "n_batches long"))
-        .crossJoin(only_stream.agg(
-            F.count(F.lit(1)).alias("n_only_stream")))
-        .crossJoin(only_batch.agg(
-            F.count(F.lit(1)).alias("n_only_batch")))
-    )
+    try:
+        counters = (
+            final.agg(F.count(F.lit(1)).alias("n_users_merged"))
+            .crossJoin(spark.createDataFrame(
+                [(state["n_batches"],)], "n_batches long"))
+            .crossJoin(only_stream.agg(
+                F.count(F.lit(1)).alias("n_only_stream")))
+            .crossJoin(only_batch.agg(
+                F.count(F.lit(1)).alias("n_only_batch")))
+        )
+        rows = counters.collect()  # materialize before temp cleanup
+        return spark.createDataFrame(rows, counters.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -17,23 +17,40 @@ from pyspark.sql import functions as F
 from hearthstats_spark.functions import davg_signed, dratio
 
 
-def _half_up(num: Decimal, den: int, nd: int = 4) -> float:
-    q = (num / den).quantize(Decimal(1).scaleb(-nd),
-                             rounding=ROUND_HALF_UP)
-    return float(q)
+def _half_away(num: Decimal, den: int, nd: int = 4) -> float:
+    # half-away-from-zero == half-up on |x| with the sign reapplied
+    sign = -1 if num < 0 else 1
+    q = (abs(num) / den).quantize(Decimal(1).scaleb(-nd),
+                                  rounding=ROUND_HALF_UP)
+    return float(sign * q)
 
 
 @settings(max_examples=15, deadline=None)
-@given(st.lists(st.tuples(st.integers(0, 10**12),
+@given(st.lists(st.tuples(st.integers(-(10**12), 10**12),
                           st.integers(1, 10**9)),
                 min_size=1, max_size=40))
 def test_dratio_matches_decimal_reference(spark, cases):
+    """Signed-safe since ADVICE r3: negative numerators round
+    half-AWAY-FROM-ZERO identically on both engines (previously the
+    pmod kernel silently disagreed with HUGEINT truncation)."""
+    import duckdb
+
+    from hearthstats_spark.functions.numeric import fratio_sql
+
     df = spark.createDataFrame(cases, "num long, den long")
     got = df.select("num", "den",
                     dratio(F.col("num"), F.col("den"), "r")).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    duck = con.execute(
+        f"SELECT num, den, {fratio_sql('num', 'den', 'r')} FROM t"
+    ).fetchall()
+    duck_map = {(n, d): r for n, d, r in duck}
     for row in got:
-        want = _half_up(Decimal(row["num"]), row["den"])
+        want = _half_away(Decimal(row["num"]), row["den"])
         assert row["r"] == want, (row["num"], row["den"], row["r"], want)
+        assert duck_map[(row["num"], row["den"])] == want
 
 
 @settings(max_examples=10, deadline=None)

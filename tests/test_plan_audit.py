@@ -168,8 +168,13 @@ def test_no_driver_materialization_in_sources():
       row-count guard that reroutes big inputs to the chunked
       kernel (plus that one count() scalar);
     - queries/sinks.py: s01's recorded sqlite3 fallback (no JDBC
-      jar offline) and s09/s12's single-scalar self-verification
-      (max key / content digest) — side-effect ops, not query lanes.
+      jar offline), s09/s12's single-scalar self-verification
+      (max key / content digest), and s18's 1-row counter
+      materialization before temp-dir cleanup — side-effect ops,
+      not query lanes;
+    - streaming/pipeline.py: s17's 1-row counter materialization
+      before temp-dir cleanup (ADVICE r3; micro-batch data itself
+      never crosses the driver — test_streaming pins the site).
 
     Anything else is a new driver-side materialization and must be
     justified here before it lands."""
@@ -180,7 +185,10 @@ def test_no_driver_materialization_in_sources():
     allowed = {  # file -> max permitted call sites
         "operators/rankops.py": 4,
         "operators/similarity.py": 1,
-        "queries/sinks.py": 4,  # +s18's metadata file-list (n_files rows)
+        # +s18's metadata file-list (n_files rows) + s18's 1-row
+        # counters-before-cleanup
+        "queries/sinks.py": 5,
+        "streaming/pipeline.py": 1,  # s17 counters-before-cleanup
     }
     pat = re.compile(r"\.(collect|toPandas)\(\)")
     offenders: dict[str, int] = {}

