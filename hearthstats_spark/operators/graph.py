@@ -25,6 +25,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def checkpoint_partitioned(df: DataFrame, cols: list[str],
+                           num_partitions: int) -> DataFrame:
+    """localCheckpoint ``df`` hash-partitioned by ``cols`` so that
+    downstream joins/aggs keyed on ``cols`` (or a superset) reuse the
+    materialized layout exchange-free — the in-query analogue of
+    ``sources/layout.write_bucketed`` for iterative/multi-branch
+    plans that read one frame several times (q98's three triangle
+    branches, graph loops).
+
+    The non-obvious part: under AQE, ``Dataset.localCheckpoint``
+    captures ``AdaptiveSparkPlanExec.outputPartitioning`` which
+    reports UnknownPartitioning, so the layout paid for by the
+    repartition is silently thrown away (measured: the q98 wedge
+    self-join kept both src Exchanges). Toggling AQE off around the
+    checkpoint action preserves HashPartitioning(cols, n) in the
+    LogicalRDD; AQE is restored immediately after and still optimizes
+    every downstream stage."""
+    spark = df.sparkSession
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(num_partitions, *cols).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
+
+
+def triangle_census(oriented: DataFrame) -> DataFrame:
+    """Count triangles over a DEGREE-ORDERED oriented edge frame
+    ``(src, dst, d_dst)`` (each edge points low→high (degree, id);
+    build it once, q98 shows how): enumerate out-wedges
+    (xy, xz sharing src, ordered by (d_dst, dst)) and close them
+    against the edge set — every triangle appears exactly once, and
+    per-vertex wedge fan-out is the oriented out-degree, O(√m).
+
+    Returns a 1-row frame ``n_triangles``. The caller owns
+    ``oriented``'s materialization/layout: q98 passes a
+    src-partitioned checkpoint (``checkpoint_partitioned``); the
+    cluster lane passes a catalog table written by
+    ``sources.layout.write_bucketed(..., ['src'])``, which makes the
+    wedge self-join bucket-local (SelectedBucketsCount, zero
+    edge-sized Exchange — plan-pinned in tests/test_layout.py). The
+    one remaining exchange is the wedge frame itself meeting yz's
+    src layout — irreducible without changing algorithm."""
+    wedge_lt = (F.col("xy.d_dst") < F.col("xz.d_dst")) | (
+        (F.col("xy.d_dst") == F.col("xz.d_dst"))
+        & (F.col("xy.dst") < F.col("xz.dst")))
+    return (
+        oriented.alias("xy")
+        .join(oriented.alias("xz"), F.col("xy.src") == F.col("xz.src"))
+        .filter(wedge_lt)
+        .join(oriented.alias("yz"),
+              (F.col("yz.src") == F.col("xy.dst"))
+              & (F.col("yz.dst") == F.col("xz.dst")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iter: int = 20) -> DataFrame:
     """Return (vertex, component) where component is the min vertex

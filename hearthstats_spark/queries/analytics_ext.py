@@ -229,28 +229,28 @@ def q98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    oriented = (
+    from hearthstats_spark.operators.graph import (
+        checkpoint_partitioned, triangle_census)
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # hash-partition by src AND preserve that layout through the
+    # checkpoint (AQE would otherwise discard it — see
+    # checkpoint_partitioned): the wedge self-join (src = src) then
+    # reads both sides exchange-free and the closing join exchanges
+    # only the wedge frame to meet yz's existing src layout — two
+    # edge-sized Exchanges gone (the write-time-shuffle idea behind
+    # sources/layout.write_bucketed applied to an in-query
+    # materialization; plan-pinned in tests/test_layout.py)
+    oriented = checkpoint_partitioned(
         e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.when(a_first, F.col("db")).otherwise(F.col("da"))
             .alias("d_dst"),
-        )
-        .localCheckpoint()  # three triangle-join branches read it
-    )
-    wedge_lt = (F.col("xy.d_dst") < F.col("xz.d_dst")) | (
-        (F.col("xy.d_dst") == F.col("xz.d_dst"))
-        & (F.col("xy.dst") < F.col("xz.dst")))
-    tri = (
-        oriented.alias("xy")
-        .join(oriented.alias("xz"), F.col("xy.src") == F.col("xz.src"))
-        .filter(wedge_lt)
-        .join(oriented.alias("yz"),
-              (F.col("yz.src") == F.col("xy.dst"))
-              & (F.col("yz.dst") == F.col("xz.dst")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+        ),
+        ["src"], n_shuffle)
+    tri = triangle_census(oriented)
     return (
         n_edges.crossJoin(tri).crossJoin(wedges)
         .select(

@@ -879,33 +879,53 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     GNN fan-out, blast-radius queries), distinct from q108's
     fixed-point iteration and q88's label propagation.
 
-    Engine: 3 rounds of frontier ⋈ edges with an anti-join against
-    the visited set — each round's shuffle is FRONTIER-sized, not
-    graph-sized, which is the whole point of BFS on a cluster; the
-    visited frame is localCheckpoint'ed per round (iterative-lineage
-    rule). Oracle: recursive CTE with the UNION-dedup doing the
-    visited-set work, MIN(d) per vertex outside the recursion."""
+    Engine: 3 rounds of frontier ⋈ edges with anti-joins against the
+    already-visited LAYERS — each round's shuffle is FRONTIER-sized,
+    not graph-sized, which is the whole point of BFS on a cluster.
+    Per-round materialization is the per-depth LAYER only (VERDICT r3
+    item 5: checkpointing the whole growing visited union re-wrote
+    every prior layer each round — at toy scale that checkpoint
+    traffic WAS the query's cost; at cluster scale it's O(visited)
+    per round instead of O(frontier)). The visited set exists only as
+    the union of the small checkpointed layers, assembled once at the
+    end. Anti-joining per layer instead of against one union frame
+    is the same row count either way and each probe side is already
+    materialized. Oracle: recursive CTE with the UNION-dedup doing
+    the visited-set work, MIN(d) per vertex outside the recursion."""
+    from functools import reduce
+
     from hearthstats_spark.queries.analytics_ext import co_order_edges
 
+    from hearthstats_spark.operators.graph import checkpoint_partitioned
+
     e = co_order_edges(spark, sf_dir)
-    und = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-           .unionAll(e.select(F.col("b").alias("src"),
-                              F.col("a").alias("dst")))
-           .localCheckpoint())
-    seed = e.agg(F.min("a").alias("v"))
-    visited = seed.select("v", F.lit(0).alias("depth")).localCheckpoint()
-    frontier = visited.select("v")
+    # materialize src-partitioned (layout preserved through the
+    # checkpoint): all 3 rounds join on src, so the edge side never
+    # re-exchanges — only the frontier moves, the BFS invariant
+    und = checkpoint_partitioned(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"),
+                           F.col("a").alias("dst"))),
+        ["src"], int(spark.conf.get("spark.sql.shuffle.partitions")))
+    # seed from the CHECKPOINTED frame — e.agg(min) would re-run the
+    # whole basket-expansion pipeline a second time just for one
+    # scalar (min(src) over both directions == min vertex == min(a),
+    # since co_order_edges emits a < b)
+    seed = und.agg(F.min("src").alias("v"))
+    layers = [seed.select("v", F.lit(0).alias("depth")).localCheckpoint()]
+    frontier = layers[0].select("v")
     for depth in range(1, 4):
         nxt = (und.join(frontier, und["src"] == frontier["v"])
-               .select(F.col("dst").alias("v")).distinct()
-               .join(visited.select("v"), "v", "left_anti")
-               .withColumn("depth", F.lit(depth)))
-        visited = visited.unionByName(nxt).localCheckpoint()
-        # derive the next frontier from the CHECKPOINTED union — nxt
-        # itself is lazy, so frontier = nxt.select(...) would re-run
-        # the whole previous round's expansion inside the next join
-        frontier = (visited.filter(F.col("depth") == depth)
-                    .select("v"))
+               .select(F.col("dst").alias("v")).distinct())
+        for prev in layers:
+            nxt = nxt.join(prev.select("v"), "v", "left_anti")
+        # checkpoint the LAYER (frontier-sized): the next round's join
+        # must not re-run this round's expansion, and the final union
+        # reads materialized blocks only
+        layer = nxt.withColumn("depth", F.lit(depth)).localCheckpoint()
+        layers.append(layer)
+        frontier = layer.select("v")
+    visited = reduce(lambda a, b: a.unionByName(b), layers)
     return (visited.groupBy(F.col("depth").cast("int").alias("depth"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
 

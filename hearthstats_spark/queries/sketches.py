@@ -75,3 +75,51 @@ def q84_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("exact_distinct"), 4).alias("rel_err"))
         .orderBy("r_name")
     )
+
+
+@register("q151_hll_window_rollup", oracle=None)  # rows-only: HLL estimate is engine-specific
+def q151_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct active users per event_type via MERGEABLE
+    HLL sketches at hour grain — the 100 TB answer to sliding distinct
+    counts, beside q100's exact contribution expansion (VERDICT r3
+    item 7).
+
+    Why this shape wins at scale: q100's exact kernel fans out every
+    distinct (hour, type, user) TRIPLE 24× before the dedup shuffle —
+    O(distinct-triples × window-length) rows through the wire. Here
+    the fan-out happens AFTER sketching: one narrow agg builds a
+    fixed-size HLL per (hour, type) cell (partial aggregation does the
+    heavy dedup map-side), and only those sketch BYTES replicate 24×
+    — O(hours × types × window-length) rows of ~1-2 KB each,
+    independent of user cardinality. The per-window union-merge is
+    lossless (HLL union is exact over sketches: est(A ∪ B) ==
+    est(merge(sk(A), sk(B))) by construction), so the window estimate
+    equals what a direct sketch of the window's users would give.
+
+    Windows and labels mirror q100 exactly (window END hours h..h+23
+    per contributing hour, no bounds trim); the error-bound contract
+    vs q100's exact answer — relative error within HLL's lgK=12 bands
+    — is unit-pinned in tests/test_sketches.py. Rows-only for the
+    same reason as q84: the estimate value is engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_sk = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"),
+                  "event_type", "user_id")
+        .groupBy("h", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    )
+    contrib = (
+        hour_sk.select(
+            "event_type", "__sk", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"))
+        .select("event_type", "__sk",
+                F.expr("h + i * INTERVAL '1' HOUR").alias("win"))
+    )
+    return (
+        contrib.groupBy("win", "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+             .cast("long").alias("est_users_24h"))
+        .select(F.date_format("win", "yyyy-MM-dd HH:mm")
+                .alias("win_end_hour"),
+                "event_type", "est_users_24h")
+    )

@@ -58,6 +58,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     # exact-distinct inside 32 threads; bump on a real cluster
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # allow co-partitioning on a SUBSET of the join keys: a frame
+    # already hash-partitioned/bucketed by src joining on (src, dst)
+    # then keeps its layout and only the other side moves — q98's
+    # closing triangle join drops from 2 exchanges (both sides,
+    # 2-key) to 1 (wedge frame only), and the bucketed lanes in
+    # tests/test_layout.py read every scan bucket-local. Planner
+    # choice only, never semantics.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     # local mode = 32 executor threads + every cached/checkpointed

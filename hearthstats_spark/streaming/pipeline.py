@@ -36,6 +36,7 @@ import json
 import os
 import shutil
 import tempfile
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -758,3 +759,114 @@ def s17_stream_foreachbatch_merge(spark: SparkSession,
         return spark.createDataFrame(rows, counters.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register("s19_stream_stream_left_outer", oracle=None)  # rows-only
+def s19_stream_stream_left_outer(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the stateful
+    streaming shape s06 (inner) doesn't cover: purchases join views
+    per user within a trailing 1-hour event-time window, and a
+    purchase with NO view in its window must still emit, null-
+    extended. The subtlety is WHEN: an outer row can only be emitted
+    once the watermark proves no matching view can still arrive, so
+    null-extended rows materialize on state-store EVICTION — the
+    cleanup path an inner join never exercises (production pipelines
+    hit it as "my outer join emits nothing"/"state grows forever").
+
+    Sentinel discipline (two subtleties found live):
+    1. the watermark computed from batch N's data is only APPLIED in
+       batch N+1, so ONE far-future sentinel advances the clock but no
+       batch ever runs under the advanced value — the final file's
+       unmatched purchases stay buffered. TWO sentinel files in two
+       micro-batches: the second runs under the first's watermark and
+       flushes everything.
+    2. the sentinels must SURVIVE each side's event_type filter:
+       Catalyst pushes a non-ts predicate BELOW the
+       EventTimeWatermark operator, so a row the filter drops never
+       reaches the watermark tracker at all (a 'sentinel'-typed row
+       advanced nothing). Each sentinel file therefore carries one
+       'purchase' and one 'view' row with impossible user ids (-1/-2,
+       mutually non-joining); they flow through the join — the
+       purchase ones emit null-extended — and are excluded from the
+       counters by event_id < 0.
+
+    Self-verifying counters: matched-pair count and unmatched-purchase
+    count must both equal the batch LEFT JOIN under the same time
+    condition (asserted here and in tests/test_streaming.py).
+
+    Scale: state per side is bounded by (watermark delay + window) of
+    data per user key, evicted continuously; output streams straight
+    to a parquet file sink — nothing driver-sized anywhere."""
+    src, ev = write_replay_source(spark, sf_dir, time_ordered=True)
+    # far-future sentinel files (see docstring), newest mtime so the
+    # file source schedules them LAST, one micro-batch each
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    for k in (1, 2):
+        sentinel_dir = tempfile.mkdtemp(prefix="hs_s19_sentinel_")
+        sent_ts = max_ts + timedelta(hours=100 * k)
+        (spark.createDataFrame(
+            [(-(2 * k), sent_ts, -1, "purchase", 0.0),
+             (-(2 * k + 1), sent_ts, -2, "view", 0.0)],
+            ev.schema)
+         .coalesce(1).write.mode("overwrite").parquet(sentinel_dir))
+        for f in sorted(os.listdir(sentinel_dir)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(sentinel_dir, f),
+                        os.path.join(src, f"part_9_sentinel_{k}.parquet"))
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            # watermark BEFORE the type filter: the sentinel must
+            # advance this side's clock, then disappear
+            .withWatermark("ts", "2 hours")
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(f"{alias}_user"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("event_id").alias(f"{alias}_id"))
+        )
+
+    joined = side("purchase", "p").join(
+        side("view", "v"),
+        F.expr("p_user = v_user AND "
+               "v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "left_outer",
+    )
+    out = tempfile.mkdtemp(prefix="hs_s19_out_")
+    q = (
+        joined.select("p_id", "v_id")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    got = (spark.read.parquet(out).distinct()
+           .filter(F.col("p_id") >= 0))  # drop the sentinel emissions
+    n_stream_matched = got.filter(F.col("v_id").isNotNull()).count()
+    n_stream_unmatched = got.filter(F.col("v_id").isNull()).count()
+
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_id")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"),
+                 F.col("event_id").alias("v_id")))
+    batch = p.join(
+        v, F.expr("p_user = v_user AND "
+                  "v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "left_outer")
+    n_batch_matched = batch.filter(F.col("v_id").isNotNull()).count()
+    n_batch_unmatched = batch.filter(F.col("v_id").isNull()).count()
+    return spark.createDataFrame(
+        [(n_stream_matched, n_batch_matched,
+          n_stream_unmatched, n_batch_unmatched)],
+        "n_stream_matched long, n_batch_matched long, "
+        "n_stream_unmatched long, n_batch_unmatched long",
+    )

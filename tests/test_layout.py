@@ -92,6 +92,84 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_bucketed_triangle_census_wedge_join_bucket_local(spark):
+    """The q98 cluster lane (VERDICT r3 item 4): with the oriented
+    (src, dst, d_dst) edge frame persisted bucketed+sorted by src,
+    triangle_census's wedge self-join reads BOTH sides straight from
+    buckets (SelectedBucketsCount, no edge-sized Exchange under the
+    self-join); the only hash Exchange left in the whole census is
+    the wedge frame meeting yz's src layout. Count must equal the
+    checkpoint-lane kernel exactly."""
+    from hearthstats_spark.operators.graph import (
+        checkpoint_partitioned, triangle_census)
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+
+    e = co_order_edges(spark, SF_SMALL).localCheckpoint()
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = (
+        e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da"))
+            .alias("d_dst")))
+
+    write_bucketed(oriented, "t_tri_edges_b", ["src"], 8,
+                   sort_cols=["src"])
+    try:
+        ob = spark.table("t_tri_edges_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            tri = triangle_census(ob)
+            p = explain_str(tri, "simple")
+            assert "SelectedBucketsCount: 8 out of 8" in p
+            # ONE hash exchange total: the wedge frame; neither the
+            # wedge self-join nor yz's probe side shuffles edges
+            assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+            want = triangle_census(
+                checkpoint_partitioned(oriented, ["src"], 8)
+            ).collect()[0]["n_triangles"]
+            assert tri.collect()[0]["n_triangles"] == want > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(32 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tri_edges_b")
+
+
+def test_checkpoint_partitioned_preserves_layout(spark):
+    """checkpoint_partitioned must carry HashPartitioning through the
+    localCheckpoint (under AQE a plain repartition+localCheckpoint
+    reports UnknownPartitioning and every downstream join re-shuffles)
+    and must restore the AQE flag."""
+    from hearthstats_spark.operators.graph import checkpoint_partitioned
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+    ck = checkpoint_partitioned(df, ["k"], 8)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    part = str(ck._jdf.queryExecution().executedPlan().outputPartitioning())
+    assert "hashpartitioning" in part and "k#" in part
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ck.alias("a").join(ck.alias("b"),
+                               F.col("a.k") == F.col("b.k"))
+        p = explain_str(j, "simple")
+        assert "Exchange hashpartitioning" not in p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(32 * 1024 * 1024))
+
+
 def test_bucketed_pagerank_iteration_edge_side_shuffle_free(spark):
     """The q108 docstring's cluster lane, proven: with the (src, dst,
     d) edge frame persisted bucketed+sorted by src, each PageRank

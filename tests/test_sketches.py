@@ -59,3 +59,25 @@ def test_compaction_preserves_content(spark, registry):
     assert row["files_before"] > row["files_after"]
     assert row["files_after"] == row["files_budgeted"]
     assert row["rows_preserved"] and row["content_digest_equal"]
+
+
+def test_hll_window_rollup_error_bound_vs_exact(spark, registry):
+    """q151's sketch-merge sliding windows vs q100's exact expansion:
+    same window set, and every estimate within HLL lgK=12 error bands
+    (theoretical RSE ~1.04/sqrt(2^12) ≈ 1.6%; assert a generous 5%
+    plus an absolute slack of 2 for tiny counts)."""
+    est = {(r["win_end_hour"], r["event_type"]): r["est_users_24h"]
+           for r in registry["q151_hll_window_rollup"]
+           .fn(spark, SF).collect()}
+    exact = {(r["win_end_hour"], r["event_type"]): r["users_24h"]
+             for r in registry["q100_rolling_distinct"]
+             .fn(spark, SF).collect()}
+    assert set(est) == set(exact)  # identical window grid
+    worst = 0.0
+    for k, e in est.items():
+        x = exact[k]
+        err = abs(e - x) / x
+        worst = max(worst, err)
+        assert abs(e - x) <= max(2, 0.05 * x), (k, e, x)
+    # the sketch must also be USEFUL, not vacuous: sub-1% typical
+    assert worst < 0.05

@@ -89,6 +89,20 @@ def test_stream_stream_join_matches_batch(spark, registry):
     assert row["n_batch_pairs"] > 0
 
 
+def test_stream_stream_left_outer_equals_batch(spark, registry):
+    """s19: the watermarked LEFT OUTER stream-stream join must emit
+    exactly the batch left join's matched pairs AND its null-extended
+    unmatched purchases — the latter only materialize on state-store
+    eviction, which the sentinel discipline (two far-future
+    filter-surviving rows) forces before the stream ends."""
+    row = (registry["s19_stream_stream_left_outer"]
+           .fn(spark, SF_SMALL).collect()[0])
+    assert row["n_stream_matched"] == row["n_batch_matched"]
+    assert row["n_stream_unmatched"] == row["n_batch_unmatched"]
+    # the outer path must actually be exercised, not vacuously equal
+    assert row["n_batch_unmatched"] > 0
+
+
 def test_stream_dedup_collapses_double_delivery(spark, registry):
     row = registry["s04_stream_dedup"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_delivered"] == 2 * row["n_expected"]
