@@ -413,3 +413,83 @@ def s18_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, counters.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register("s20_csv_corrupt_records", oracle=None)  # rows-only: side-effect op
+def s20_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the CSV source — the ingestion
+    reality check every raw-data pipeline needs: rows that don't
+    parse must be QUARANTINED (PERMISSIVE mode + a
+    columnNameOfCorruptRecord column holding the raw line), or
+    dropped (DROPMALFORMED), and the two modes must agree —
+    good(PERMISSIVE) == rows(DROPMALFORMED), good + corrupt == total.
+
+    The replay writes the nation table as CSV and injects three
+    classes of breakage between valid lines: a wrong-arity row, a
+    type-violating row (string in a BIGINT column), and a bare junk
+    line. Counters returned; the mode agreement is asserted here and
+    in tests/test_sql.py. Scale: both reads are single-pass
+    distributed scans — quarantining happens per task with no
+    driver involvement; at 100 TB the corrupt column is written to a
+    dead-letter sink instead of counted."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    base = tempfile.mkdtemp(prefix="hs_s20_")
+    csv_dir = os.path.join(base, "csv")
+    n.coalesce(1).write.option("header", "false").csv(csv_dir)
+    # inject malformed lines among the valid ones
+    bad_lines = [
+        "1,TOO,MANY,FIELDS,HERE",       # arity violation
+        "not_a_number,BADTYPE,0",       # type violation in n_nationkey
+        "garbage-line-without-commas",  # unparseable junk
+    ]
+    part = [f for f in os.listdir(csv_dir) if f.endswith(".csv")][0]
+    with open(os.path.join(csv_dir, part), "a") as fh:
+        for line in bad_lines:
+            fh.write(line + "\n")
+    # the append invalidates Hadoop's .crc sidecars (ChecksumException
+    # on read) — drop them; a real ingest source has no sidecars anyway
+    for f in os.listdir(csv_dir):
+        if f.endswith(".crc"):
+            os.remove(os.path.join(csv_dir, f))
+
+    schema = ("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
+              "_corrupt_record STRING")
+    try:
+        permissive = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(csv_dir)
+            # required by Spark: the corrupt-column query must run on
+            # a materialized frame, not the raw scan (the parser only
+            # populates it when the row is actually fetched whole)
+            .cache()
+        )
+        n_total = permissive.count()
+        n_corrupt = permissive.filter(
+            F.col("_corrupt_record").isNotNull()).count()
+        n_good_perm = permissive.filter(
+            F.col("_corrupt_record").isNull()).count()
+        dropped = (
+            spark.read.schema("n_nationkey BIGINT, n_name STRING, "
+                              "n_regionkey BIGINT")
+            .option("mode", "DROPMALFORMED").csv(csv_dir)
+            # same materialization rule: a pruned count() parses ZERO
+            # columns, so nothing is ever detected as malformed and
+            # nothing drops (found live: count returned all 28 lines)
+            .cache())
+        n_drop = dropped.count()
+        n_clean = n.count()
+        return spark.createDataFrame(
+            [(n_total, n_clean, len(bad_lines), n_corrupt,
+              n_good_perm, n_drop,
+              bool(n_good_perm == n_drop == n_clean
+                   and n_corrupt == len(bad_lines)))],
+            "n_total long, n_clean long, n_injected long, "
+            "n_corrupt long, n_good_permissive long, "
+            "n_dropmalformed long, modes_agree boolean",
+        )
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(base, ignore_errors=True)

@@ -38,7 +38,10 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q122_histogram_price", "q126_backlog_age",
                   # q133 rides its 1-row digit-total frame onto the
                   # 9-row digit counts — the same scalar shape
-                  "q133_benford_digits"}
+                  "q133_benford_digits",
+                  # q157 rides its 1-row total-order-count frame onto
+                  # the pair counts (q107's scalar shape)
+                  "q157_basket_lift"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 151 declared
-queries q01–q151 + 19 side-effect/streaming ops s01–s19; 145
+"""The registry IS the driver contract (SURVEY.md §2): 157 declared
+queries q01–q157 + 20 side-effect/streaming ops s01–s20; 151
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,13 +7,14 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 152)
-} | {f"s{i:02d}" for i in range(1, 20)}
+    f"q{i:02d}" for i in range(1, 158)
+} | {f"s{i:02d}" for i in range(1, 21)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
     "q139_sketch_cms", "q140_sketch_quantile_rollup",
     "q151_hll_window_rollup", "s19_stream_stream_left_outer",
+    "s20_csv_corrupt_records",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
@@ -35,7 +36,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 145
+    assert len(with_oracle) == 151
 
 
 def test_names_well_formed(registry):
