@@ -135,3 +135,76 @@ def test_csv_corrupt_modes_agree(spark, registry):
     assert row["modes_agree"]
     assert row["n_corrupt"] == row["n_injected"] == 3
     assert row["n_good_permissive"] == row["n_clean"]
+
+
+def test_pps_sample_invariants(spark, registry):
+    """q158: multiplicities must sum to exactly k, every drawn row's
+    multiplicity is ~ceil(w·k/W), and heavy rows repeat."""
+    rows = registry["q158_sample_pps"].fn(spark, SF_SMALL).collect()
+    assert sum(r["multiplicity"] for r in rows) == 100
+    total = (load_table(spark, SF_SMALL, "orders")
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("bigint"))).first()[0])
+    for r in rows:
+        # systematic PPS: multiplicity differs from w·k/W by < 1
+        exact = r["w_cents"] * 100 / total
+        assert abs(r["multiplicity"] - exact) < 1
+
+
+def test_rank_with_ties_keeps_cohorts(spark, registry):
+    """q161: within a nation, every customer tied at a kept rank's
+    n_orders must be present; ranks come gapped (1,1,3 pattern)."""
+    rows = registry["q161_rank_with_ties"].fn(spark, SF_SMALL).collect()
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r["c_nationkey"]].append((r["rnk"], r["n_orders"]))
+    cnt = (load_table(spark, SF_SMALL, "orders")
+           .join(load_table(spark, SF_SMALL, "customer"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_nationkey", "o_custkey")
+           .agg(F.count(F.lit(1)).alias("n")).collect())
+    full = defaultdict(list)
+    for r in cnt:
+        full[r["c_nationkey"]].append(r["n"])
+    for nk, kept in by_nation.items():
+        kept_counts = sorted((n for _, n in kept), reverse=True)
+        want = sorted(full[nk], reverse=True)
+        # every count >= the lowest kept count must be in the output
+        floor_n = kept_counts[-1]
+        assert kept_counts == [n for n in want if n >= floor_n]
+
+
+def test_asof_nearest_matches_bruteforce(spark, registry):
+    """q162 vs a per-user python scan (backward ties win). Gaps are
+    whole-second boundary crossings — both engines truncate each
+    timestamp to seconds before differencing (unix_timestamp /
+    datediff('second')), so the reference must too."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type").collect()
+    signups = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "signup":
+            signups[r["user_id"]].append(r["ts"])
+
+    def secgap(a, b):  # a >= b, per-side second truncation
+        return int((a.replace(microsecond=0)
+                    - b.replace(microsecond=0)).total_seconds())
+
+    want = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        back = [t for t in signups[r["user_id"]] if t <= r["ts"]]
+        fwd = [t for t in signups[r["user_id"]] if t > r["ts"]]
+        bg = secgap(r["ts"], max(back)) if back else None
+        fg = secgap(min(fwd), r["ts"]) if fwd else None
+        if bg is None and fg is None:
+            want[r["event_id"]] = (None, None)
+        elif fg is None or (bg is not None and bg <= fg):
+            want[r["event_id"]] = ("back", int(bg))
+        else:
+            want[r["event_id"]] = ("fwd", int(fg))
+    got = {r["event_id"]: (r["direction"], r["gap_s"])
+           for r in registry["q162_join_asof_nearest"]
+           .fn(spark, SF_SMALL).collect()}
+    assert got == want

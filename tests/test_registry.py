@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 157 declared
-queries q01–q157 + 20 side-effect/streaming ops s01–s20; 151
+"""The registry IS the driver contract (SURVEY.md §2): 162 declared
+queries q01–q162 + 20 side-effect/streaming ops s01–s20; 156
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 158)
+    f"q{i:02d}" for i in range(1, 163)
 } | {f"s{i:02d}" for i in range(1, 21)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -36,7 +36,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 151
+    assert len(with_oracle) == 156
 
 
 def test_names_well_formed(registry):
