@@ -1,0 +1,276 @@
+"""Round-4 analytics extensions, batch 3 (SURVEY.md §2 group [E7]):
+
+- q163 BPE pair-frequency counting (the tokenizer-training inner loop)
+- q164 rendezvous (HRW) sharding with the minimal-disruption property
+  verified IN the result
+- q165 classifier evaluation metrics (confusion matrix + exact-ratio
+  precision/recall/F1 over q56's language-ID predictions)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hearthstats_spark.functions.numeric import dratio, fratio_sql
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.registry import register
+
+_BPE_TOPN = 20
+
+
+@register(
+    "q163_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair, COUNT(*) AS cnt
+        FROM words CROSS JOIN generate_series(1, 64) g(i)
+        WHERE i <= length(w) - 1
+        GROUP BY 1
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM pairs ORDER BY cnt DESC, pair LIMIT {_BPE_TOPN}
+    """,
+)
+def q163_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting — the inner loop of byte-pair-
+    encoding tokenizer training: count every adjacent symbol pair
+    inside every word occurrence (with corpus multiplicity, the way
+    BPE weights merges) and rank the top-{n} merge candidates. One
+    full BPE train iterates this against an evolving vocab; the
+    count step is the part that touches all 100 TB and therefore the
+    part that must be a distributed hash agg, which this is — the
+    merge-apply step mutates a vocab-sized table on the driver side
+    of any engine.
+
+    Shape: explode words → explode character positions via a bounded
+    sequence (word length caps the fan-out; substr(w, i, 2) avoids
+    materializing a char array) → ONE hash agg riding partial
+    aggregation → orderBy+LIMIT top-k (per-partition heaps). Counts
+    are exact integers; ties broken by pair text."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    pairs = (
+        words.select(
+            "w",
+            # greatest(...,1): Spark's sequence(1, 0) runs DESCENDING
+            # ([1, 0]) instead of empty, which would fabricate a pair
+            # for single-char words; the filter then drops the
+            # placeholder element for them
+            F.explode(F.sequence(
+                F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))))
+            .alias("i"))
+        .filter(F.col("i") <= F.length("w") - 1)
+        .select(F.expr("substr(w, i, 2)").alias("pair"))
+    )
+    cnt = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return cnt.orderBy(F.col("cnt").desc(), "pair").limit(_BPE_TOPN)
+
+
+_HRW_N = 8  # shard count; the consistency check removes shard N-1
+
+
+def _hrw_score_spark(key_col, shard_col):
+    """md5-derived 31-bit score, the q118 base-hash discipline —
+    identical BIGINT arithmetic on both engines."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(key_col.cast("string"), F.lit(":"),
+                           shard_col.cast("string")).cast("binary")),
+            1, 8), 16, 10).cast("bigint")
+
+
+def _hrw_score_sql(key: str, shard: str) -> str:
+    return (f"CAST(CONCAT('0x', SUBSTRING(md5({key} || ':' "
+            f"|| {shard}), 1, 8)) AS BIGINT)")
+
+
+@register(
+    "q164_shard_rendezvous",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id, n_chars FROM documents),
+    sc AS (
+        SELECT doc_id, n_chars, g.s AS shard,
+               {_hrw_score_sql('CAST(doc_id AS VARCHAR)',
+                               'CAST(g.s AS VARCHAR)')} AS score
+        FROM ids CROSS JOIN generate_series(0, {_HRW_N - 1}) g(s)
+    ),
+    pick8 AS (
+        SELECT doc_id, n_chars, shard FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, shard) AS rk FROM sc)
+        WHERE rk = 1
+    ),
+    pick7 AS (
+        SELECT doc_id, shard AS shard7 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, shard) AS rk
+            FROM sc WHERE shard < {_HRW_N - 1})
+        WHERE rk = 1
+    )
+    SELECT p8.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p8.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN p8.shard <> {_HRW_N - 1}
+                          AND p7.shard7 <> p8.shard
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_improperly
+    FROM pick8 p8 JOIN pick7 p7 ON p7.doc_id = p8.doc_id
+    GROUP BY 1
+    """,
+)
+def q164_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: every doc goes to
+    the shard with the highest md5-derived (doc, shard) score — the
+    consistent-assignment primitive behind shard routing, cache
+    placement, and incremental repartitioning. HRW's guarantee is
+    MINIMAL DISRUPTION: removing one shard relocates ONLY that
+    shard's keys. The query verifies the property in-band: it
+    computes the assignment for N={n} and N={n}-1 shards and reports,
+    per shard, how many docs moved that should not have —
+    n_moved_improperly must be 0 on every row (hash-checked by the
+    oracle, asserted in tests).
+
+    Scale: the fan-out is ids × N (8-byte keys, not payloads), one
+    row_number window per doc keyed on doc_id, then a shard-sized
+    agg. Scores are the q118 md5→BIGINT discipline, so both engines
+    replay the same placement bit-for-bit — which is the operational
+    point: ANY engine (or service) that implements the same score
+    agrees on where every key lives."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shards = spark.range(_HRW_N).select(
+        F.col("id").cast("int").alias("shard"))
+    sc = (d.crossJoin(F.broadcast(shards))
+          .withColumn("score",
+                      _hrw_score_spark(F.col("doc_id"), F.col("shard"))))
+    sc = sc.cache()  # pick8 and pick7 both rank this frame
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "shard")
+    p8 = (sc.withColumn("rk", F.row_number().over(pick))
+          .filter(F.col("rk") == 1)
+          .select("doc_id", "n_chars", "shard"))
+    p7 = (sc.filter(F.col("shard") < _HRW_N - 1)
+          .withColumn("rk", F.row_number().over(pick))
+          .filter(F.col("rk") == 1)
+          .select("doc_id", F.col("shard").alias("shard7")))
+    return (
+        p8.join(p7, "doc_id")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("n_chars"),
+             F.sum(F.when((F.col("shard") != _HRW_N - 1)
+                          & (F.col("shard7") != F.col("shard")), 1)
+                   .otherwise(0)).cast("bigint")
+             .alias("n_moved_improperly"))
+    )
+
+
+@register(
+    "q165_eval_confusion_metrics",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lang_term AS (
+        SELECT lang, term, COUNT(*) AS n
+        FROM tok GROUP BY lang, term
+    ),
+    markers AS (
+        SELECT lang AS pred_lang, term
+        FROM (SELECT lang, term,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY n DESC, term) AS rk
+              FROM lang_term)
+        WHERE rk <= 10
+    ),
+    scores AS (
+        SELECT t.doc_id, m.pred_lang, COUNT(*) AS score
+        FROM tok t JOIN markers m ON t.term = m.term
+        GROUP BY t.doc_id, m.pred_lang
+    ),
+    dense AS (
+        SELECT d.doc_id, d.lang AS true_lang, l.pred_lang,
+               COALESCE(s.score, 0) AS score
+        FROM documents d
+        CROSS JOIN (SELECT DISTINCT lang AS pred_lang FROM documents) l
+        LEFT JOIN scores s
+          ON s.doc_id = d.doc_id AND s.pred_lang = l.pred_lang
+    ),
+    preds AS (
+        SELECT doc_id, true_lang, pred_lang
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, pred_lang) AS rk FROM dense)
+        WHERE rk = 1
+    ),
+    per_class AS (
+        SELECT c.lang,
+               (SELECT COUNT(*) FROM preds
+                WHERE true_lang = c.lang) AS n_true,
+               (SELECT COUNT(*) FROM preds
+                WHERE pred_lang = c.lang) AS n_pred,
+               (SELECT COUNT(*) FROM preds
+                WHERE true_lang = c.lang
+                  AND pred_lang = c.lang) AS tp
+        FROM (SELECT DISTINCT lang FROM documents) c
+    )
+    SELECT lang,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           {fratio_sql('tp', 'GREATEST(n_pred, 1)', 'precision')},
+           {fratio_sql('tp', 'GREATEST(n_true, 1)', 'recall')},
+           {fratio_sql('2 * tp',
+                       'GREATEST(n_pred + n_true, 1)', 'f1')}
+    FROM per_class
+    """,
+)
+def q165_eval_confusion_metrics(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Classifier evaluation over q56's language-ID predictions:
+    per-class precision, recall, and F1 from the confusion counts —
+    the eval-harness aggregation every model pipeline runs after
+    inference (here the 'model' is the engine's own q56 heuristic, so
+    the whole train→predict→evaluate loop is in-engine and
+    oracle-checkable).
+
+    Metric exactness: precision = tp/pred, recall = tp/true, and F1
+    collapses to the SINGLE ratio 2tp/(pred+true) (avoiding the
+    2PR/(P+R) float chain entirely) — all three through the exact
+    half-away kernel; zero-denominator classes guarded to 0 by
+    GREATEST(…, 1) (tp = 0 whenever the guard binds, so the value is
+    exact, not clamped). Composes q56's fn directly — registered
+    queries are ordinary functions, the composability the registry
+    is for. One prediction pass + a class-sized agg."""
+    from hearthstats_spark.queries.textops import q56_text_langid
+
+    preds = q56_text_langid(spark, sf_dir)
+    per_class = (
+        preds.groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_true"),
+             F.sum("is_correct").alias("tp"))
+        .join(preds.groupBy(F.col("pred_lang").alias("lang"))
+              .agg(F.count(F.lit(1)).alias("n_pred")),
+              "lang", "full")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"))
+    )
+    return per_class.select(
+        "lang",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("tp").cast("bigint").alias("tp"),
+        dratio(F.col("tp"), F.greatest("n_pred", F.lit(1)), "precision"),
+        dratio(F.col("tp"), F.greatest("n_true", F.lit(1)), "recall"),
+        dratio(2 * F.col("tp"),
+               F.greatest(F.col("n_pred") + F.col("n_true"), F.lit(1)),
+               "f1"),
+    )

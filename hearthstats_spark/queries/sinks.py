@@ -493,3 +493,61 @@ def s20_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.clearCache()
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register("s21_binary_file_source", oracle=None)  # rows-only: side-effect op
+def s21_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the standard multimodal ingestion lane:
+    raw image/audio/video files land as (path, modificationTime,
+    length, content BINARY) rows, which is exactly the opaque-binary-
+    plus-metadata column model the multimodal queries (q55/q62/q65/
+    q71/q72) process downstream. Here the 'media corpus' is a
+    deterministic set of blob files materialized from the documents
+    table (one .bin per source bucket, content = concatenated doc
+    texts — the container ships no real codecs, SURVEY §2 q62).
+
+    Verified against ground truth from the local filesystem: per-file
+    ``length`` must equal os.stat's size, content md5 must match
+    hashlib's, and pathGlobFilter must prune non-matching extensions
+    (a .skipme file is planted and must NOT be read). Scale: the
+    source lists files distributed, one task per file group —
+    reading 100 TB of media is embarrassingly parallel; the 2 GiB
+    per-file JVM byte-array limit is the documented constraint (big
+    media files belong in chunked containers, not single blobs)."""
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="hs_s21_")
+    blobs = (d.filter(F.col("text").isNotNull())
+             .groupBy("source")
+             .agg(F.concat_ws("\n", F.array_sort(F.collect_list("text")))
+                  .alias("payload")))
+    rows = blobs.collect()  # bucket-count-sized (a handful of sources)
+    truth = {}
+    for r in rows:
+        p = os.path.join(base, f"{r['source']}.bin")
+        data = r["payload"].encode()
+        with open(p, "wb") as fh:
+            fh.write(data)
+        truth[f"file:{p}"] = (len(data), hashlib.md5(data).hexdigest())
+    with open(os.path.join(base, "decoy.skipme"), "wb") as fh:
+        fh.write(b"must never be listed")
+
+    try:
+        bf = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.bin").load(base)
+              .select("path", "length",
+                      F.md5("content").alias("digest")))
+        got = {r["path"]: (r["length"], r["digest"])
+               for r in bf.collect()}  # n_files rows (metadata-sized)
+        n_ok = sum(1 for k, v in truth.items() if got.get(k) == v)
+        return spark.createDataFrame(
+            [(len(truth), len(got), n_ok,
+              bool(not any(k.endswith(".skipme") for k in got)),
+              bool(got == truth))],
+            "n_files_written long, n_files_listed long, "
+            "n_files_verified long, glob_pruned boolean, "
+            "all_match boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -208,3 +208,51 @@ def test_asof_nearest_matches_bruteforce(spark, registry):
            for r in registry["q162_join_asof_nearest"]
            .fn(spark, SF_SMALL).collect()}
     assert got == want
+
+
+def test_hrw_minimal_disruption(spark, registry):
+    """q164: removing the last shard must move ONLY that shard's
+    docs (n_moved_improperly == 0 everywhere) and every doc lands on
+    exactly one shard."""
+    rows = registry["q164_shard_rendezvous"].fn(spark, SF_SMALL).collect()
+    assert all(r["n_moved_improperly"] == 0 for r in rows)
+    n_docs = (load_table(spark, SF_SMALL, "documents").count())
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert len(rows) == 8  # every shard gets traffic at this size
+
+
+def test_bpe_pairs_match_bruteforce(spark, registry):
+    """q163 vs a python Counter over the corpus."""
+    from collections import Counter
+    texts = [r["text"] for r in
+             load_table(spark, SF_SMALL, "documents")
+             .filter(F.col("text").isNotNull()).collect()]
+    cnt = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i:i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["cnt"]) for r in
+           registry["q163_bpe_pair_counts"].fn(spark, SF_SMALL).collect()]
+    assert got == want
+
+
+def test_eval_metrics_consistency(spark, registry):
+    """q165: tp <= min(n_true, n_pred); micro-averaged recall over
+    classes == overall accuracy of q56's predictions."""
+    rows = registry["q165_eval_confusion_metrics"].fn(
+        spark, SF_SMALL).collect()
+    assert all(r["tp"] <= min(r["n_true"], r["n_pred"]) for r in rows)
+    n_correct = sum(r["tp"] for r in rows)
+    n_total = sum(r["n_true"] for r in rows)
+    preds = registry["q56_text_langid"].fn(spark, SF_SMALL)
+    assert n_correct == preds.agg(F.sum("is_correct")).first()[0]
+    assert n_total == preds.count()
+
+
+def test_binary_file_source_verified(spark, registry):
+    row = (registry["s21_binary_file_source"]
+           .fn(spark, SF_SMALL).collect()[0])
+    assert row["all_match"] and row["glob_pruned"]
+    assert row["n_files_verified"] == row["n_files_written"]

@@ -41,7 +41,13 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q133_benford_digits",
                   # q157 rides its 1-row total-order-count frame onto
                   # the pair counts (q107's scalar shape)
-                  "q157_basket_lift"}
+                  "q157_basket_lift",
+                  # q164 fans doc ids out over the 8-row broadcast
+                  # shard frame (q101's bounded-k fan-out shape)
+                  "q164_shard_rendezvous",
+                  # q165 composes q56, inheriting its langs-sized
+                  # dense-score fan-out (already allowlisted there)
+                  "q165_eval_confusion_metrics"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
@@ -189,8 +195,9 @@ def test_no_driver_materialization_in_sources():
         "operators/rankops.py": 4,
         "operators/similarity.py": 1,
         # +s18's metadata file-list (n_files rows) + s18's 1-row
-        # counters-before-cleanup
-        "queries/sinks.py": 5,
+        # counters-before-cleanup + s21's bucket-sized blob
+        # materialization and n_files verification rows
+        "queries/sinks.py": 7,
         "streaming/pipeline.py": 1,  # s17 counters-before-cleanup
     }
     pat = re.compile(r"\.(collect|toPandas)\(\)")

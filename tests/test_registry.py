@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 162 declared
-queries q01–q162 + 20 side-effect/streaming ops s01–s20; 156
+"""The registry IS the driver contract (SURVEY.md §2): 165 declared
+queries q01–q165 + 21 side-effect/streaming ops s01–s21; 159
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,14 +7,14 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 163)
-} | {f"s{i:02d}" for i in range(1, 21)}
+    f"q{i:02d}" for i in range(1, 166)
+} | {f"s{i:02d}" for i in range(1, 22)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
     "q139_sketch_cms", "q140_sketch_quantile_rollup",
     "q151_hll_window_rollup", "s19_stream_stream_left_outer",
-    "s20_csv_corrupt_records",
+    "s20_csv_corrupt_records", "s21_binary_file_source",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
@@ -36,7 +36,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 156
+    assert len(with_oracle) == 159
 
 
 def test_names_well_formed(registry):
