@@ -274,3 +274,94 @@ def q165_eval_confusion_metrics(spark: SparkSession,
                F.greatest(F.col("n_pred") + F.col("n_true"), F.lit(1)),
                "f1"),
     )
+
+
+@register(
+    "q166_rolling_distinct_delta",
+    oracle="""
+    WITH hu AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, event_type, user_id
+        FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT event_type, user_id,
+               h + i * INTERVAL 1 HOUR AS win
+        FROM hu CROSS JOIN unnest(generate_series(0, 23)) t(i)
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M') AS win_end_hour,
+           event_type,
+           COUNT(*) AS users_24h
+    FROM contrib GROUP BY 1, 2
+    """,
+)
+def q166_rolling_distinct_delta(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per type — q100's EXACT semantics
+    (same oracle text) through the delta-sweep kernel that survives a
+    100× scale-up where q100's contribution expansion starts to
+    hurt: q100 fans every distinct (hour, type, user) triple out 24×
+    and dedups the result (24 rows per triple through two shuffles).
+    Here each user's active hours are merged into covered WINDOW
+    INTERVALS first (gaps-and-islands, q152's kernel, user-keyed —
+    hours h..h' cover windows [h, h'+23]), each island emits exactly
+    TWO deltas (+1 at its first window, −1 after its last), and the
+    per-type answer is a running sum of deltas over the dense window
+    grid. Data-sized shuffles: one distinct on (type, user, hour),
+    one user-keyed window, one tiny delta agg — the 24× factor now
+    multiplies only the (type × active-hour) GRID, not users.
+
+    The grid (and the prefix sum over it) is type-keyed and
+    hour-cardinality-sized — thousands of rows per year regardless
+    of user count, safe as a window partition at any scale. Windows
+    with zero coverage are absent from the grid on both engines
+    (identical emitted set — the property that lets q100's oracle be
+    reused verbatim; the cross-check IS the point: two independent
+    kernels, one truth)."""
+    ev = load_table(spark, sf_dir, "events")
+    hu = (ev.select(F.date_trunc("hour", "ts").alias("h"),
+                    "event_type", "user_id")
+          .distinct())
+    hu = hu.cache()  # islands pass + grid both read it
+    # islands over each user's active hours: a new island starts when
+    # the gap to the previous active hour exceeds the window length
+    # (24h) — inside that, the covered windows [h, prev_last + 23]
+    # overlap into one run
+    hrs = F.unix_timestamp("h")
+    w_prev = (Window.partitionBy("event_type", "user_id").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.partitionBy("event_type", "user_id").orderBy("h")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (hu.withColumn("prev_h", F.max(hrs).over(w_prev))
+         .withColumn(
+             "island",
+             F.sum(F.when(F.col("prev_h").isNull()
+                          | (hrs - F.col("prev_h") > 24 * 3600), 1)
+                   .otherwise(0)).over(w_cum)))
+    isl = (g.groupBy("event_type", "user_id", "island")
+           .agg(F.min("h").alias("first_h"), F.max("h").alias("last_h")))
+    deltas = (
+        isl.select("event_type", F.col("first_h").alias("win"),
+                   F.lit(1).alias("d"))
+        .unionAll(isl.select(
+            "event_type",
+            F.expr("last_h + INTERVAL '24' HOUR").alias("win"),
+            F.lit(-1).alias("d")))
+        .groupBy("event_type", "win").agg(F.sum("d").alias("d"))
+    )
+    grid = (hu.select("event_type", "h").distinct()
+            .select("event_type", "h",
+                    F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"))
+            .select("event_type",
+                    F.expr("h + i * INTERVAL '1' HOUR").alias("win"))
+            .distinct())
+    w_run = (Window.partitionBy("event_type").orderBy("win")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(deltas, ["event_type", "win"], "left")
+        .withColumn("d", F.coalesce("d", F.lit(0)))
+        .withColumn("users_24h", F.sum("d").over(w_run))
+        .select(F.date_format("win", "yyyy-MM-dd HH:mm")
+                .alias("win_end_hour"),
+                "event_type", F.col("users_24h").cast("bigint")
+                .alias("users_24h"))
+    )

@@ -256,3 +256,14 @@ def test_binary_file_source_verified(spark, registry):
            .fn(spark, SF_SMALL).collect()[0])
     assert row["all_match"] and row["glob_pruned"]
     assert row["n_files_verified"] == row["n_files_written"]
+
+
+def test_rolling_distinct_kernels_agree(spark, registry):
+    """q166 (delta sweep) must equal q100 (contribution expansion)
+    row-for-row — two independent kernels, one truth."""
+    k = ["win_end_hour", "event_type", "users_24h"]
+    a = registry["q100_rolling_distinct"].fn(spark, SF_SMALL).select(k)
+    b = registry["q166_rolling_distinct_delta"].fn(spark, SF_SMALL).select(k)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
