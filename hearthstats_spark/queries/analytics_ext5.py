@@ -35,7 +35,7 @@ from hearthstats_spark.queries.registry import register
         FROM lineitem
     ),
     m AS (
-        SELECT l_suppkey, s, e,
+        SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
                MAX(e) OVER (PARTITION BY l_suppkey
                             ORDER BY s, e, l_orderkey, l_linenumber
                             ROWS BETWEEN UNBOUNDED PRECEDING
@@ -47,7 +47,7 @@ from hearthstats_spark.queries.registry import register
                SUM(CASE WHEN prev_e IS NULL OR s > prev_e
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY l_suppkey
-                         ORDER BY s, e
+                         ORDER BY s, e, l_orderkey, l_linenumber
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND CURRENT ROW) AS island
         FROM m
@@ -109,7 +109,14 @@ def q152_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prev = (Window.partitionBy("l_suppkey")
               .orderBy("s", "e", "l_orderkey", "l_linenumber")
               .rowsBetween(Window.unboundedPreceding, -1))
-    w_cum = (Window.partitionBy("l_suppkey").orderBy("s", "e")
+    # the cumulative window MUST use the same FULLY deterministic
+    # ordering as w_prev: with ties on (s, e) alone, only the
+    # tie-group's first row (in w_prev order) can carry the
+    # new-island flag, and an engine-arbitrary tie order in this
+    # ROWS frame could file the group's other rows under the
+    # previous island (round-4 self-review; masked at current data)
+    w_cum = (Window.partitionBy("l_suppkey")
+             .orderBy("s", "e", "l_orderkey", "l_linenumber")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = iv.withColumn("prev_e", F.max("e").over(w_prev))
     g = m.withColumn(
@@ -200,14 +207,20 @@ def q153_copied_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios are the cross-engine ROUND trap)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # docs shorter than the shingle width have no positions — filter
+    # them BEFORE the sequence: Spark's sequence(1, 0) runs
+    # DESCENDING ([1, 0]) instead of empty and would fabricate
+    # truncated shingles at pos 1/0 (round-4 self-review; the oracle's
+    # WHERE i <= len(t) - 5 already excludes them)
+    toks = (d.select("doc_id", F.split("text", " ").alias("t"))
+            .filter(F.size("t") >= _SPAN_N))
     sh = toks.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.size("t") - (_SPAN_N - 1), F.lit(0))),
+                    F.size("t") - (_SPAN_N - 1)),
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.array_join(F.slice("t", i, _SPAN_N), " ")

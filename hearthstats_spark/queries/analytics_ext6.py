@@ -87,11 +87,19 @@ def q158_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _PPS_K
 
     def n_le(x):
-        raw = F.floor((2 * k * x - F.lit(total))
-                      / F.lit(2 * total)).cast("bigint") + 1
+        # EXACT floor division, the davg kernel idiom: subtract the
+        # pmod remainder so the quotient is exactly divisible, then
+        # one IEEE division whose result is a small exact integer
+        # (numerator < 2^53, quotient <= k) — a plain double `/` +
+        # floor drifts off the boundary the oracle's BIGINT `//`
+        # computes exactly once 2kx reaches ~2^52 (round-4
+        # self-review; numerator guarded non-negative)
+        num = (2 * k * x - F.lit(total)).cast("bigint")
+        den = F.lit(2 * total)
+        q = ((num - F.pmod(num, den)) / den).cast("bigint")
         return F.least(
             F.lit(k).cast("bigint"),
-            F.when(2 * k * x >= F.lit(total), raw).otherwise(F.lit(0)))
+            F.when(2 * k * x >= F.lit(total), q + 1).otherwise(F.lit(0)))
 
     m = cum.select(
         "o_orderkey", "w_cents",

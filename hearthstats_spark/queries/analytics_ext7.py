@@ -356,12 +356,88 @@ def q166_rolling_distinct_delta(spark: SparkSession,
             .distinct())
     w_run = (Window.partitionBy("event_type").orderBy("win")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # the running sum must see EVERY delta, including a −1 whose
+    # window falls in a >24h activity gap and therefore is NOT a grid
+    # window (a grid-left-join would silently drop it and overcount
+    # every later window of that type — round-4 self-review; masked
+    # while the test data has no per-type gaps); sweep over
+    # grid ∪ delta-windows, then keep only grid rows for output
+    domain = (grid.withColumn("__g", F.lit(1))
+              .join(deltas, ["event_type", "win"], "full")
+              .withColumn("d", F.coalesce("d", F.lit(0))))
     return (
-        grid.join(deltas, ["event_type", "win"], "left")
-        .withColumn("d", F.coalesce("d", F.lit(0)))
+        domain
         .withColumn("users_24h", F.sum("d").over(w_run))
+        .filter(F.col("__g") == 1)
         .select(F.date_format("win", "yyyy-MM-dd HH:mm")
                 .alias("win_end_hour"),
                 "event_type", F.col("users_24h").cast("bigint")
                 .alias("users_24h"))
+    )
+
+
+@register(
+    "q167_iqr_outliers",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    q AS (
+        SELECT grp,
+               MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                        THEN v END) AS q1,
+               MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                        THEN v END) AS q3,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM r GROUP BY 1
+    )
+    SELECT r.grp, q.q1, q.q3, q.n,
+           CAST(SUM(CASE WHEN 2 * r.v < 5 * q.q1 - 3 * q.q3
+                           OR 2 * r.v > 5 * q.q3 - 3 * q.q1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM r JOIN q ON q.grp = r.grp
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q167_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier screen per order priority —
+    completing the classical outlier trio beside q104 (rolling
+    z-score) and q110 (MAD): rows outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] counted per group.
+
+    Exactness without a single float multiply: quartiles use the
+    percentile_disc rank-at-ceil(q·n) formulation (q145 — always a
+    REAL data value), and the fence comparisons are cleared of the
+    1.5 factor algebraically — v < Q1 − 1.5(Q3−Q1) ⟺
+    2v < 5·Q1 − 3·Q3 — so both engines compare exact sums of
+    doubles scaled by small INTEGER coefficients (identical IEEE
+    ops on identical inputs; no 1.5·x rounding surface). Two window
+    passes + one join back, all keyed on the group — one Exchange."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey")
+    w = Window.partitionBy("grp").orderBy("v", "o_orderkey")
+    r = o.select(
+        "grp", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"))
+    pick = (lambda p: F.max(F.when(
+        F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+        F.col("v"))))
+    q = (r.groupBy("grp")
+         .agg(pick(0.25).alias("q1"), pick(0.75).alias("q3"),
+              F.max("n").cast("bigint").alias("n_grp")))
+    low = 2 * F.col("v") < 5 * F.col("q1") - 3 * F.col("q3")
+    high = 2 * F.col("v") > 5 * F.col("q3") - 3 * F.col("q1")
+    return (
+        r.select("grp", "v").join(q, "grp")
+        .groupBy("grp", "q1", "q3", F.col("n_grp").alias("n"))
+        .agg(F.sum(F.when(low | high, 1).otherwise(0)).cast("bigint")
+             .alias("n_outliers"))
     )

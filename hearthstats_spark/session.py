@@ -75,6 +75,22 @@ _DEFAULTS: dict[str, str] = {
     # on smaller hosts, so the default now scales with detected RAM.
     "spark.driver.memory": _default_driver_mem(),
     "spark.ui.enabled": "false",
+    # local mode runs the whole 165-query bench (330 plan
+    # compilations) in ONE JVM: the default 240m JIT code cache fills
+    # near the end of the sweep and HotSpot silently stops compiling,
+    # which is why late-alphabet complex queries (q98) measured 2-3x
+    # slower IN-bench than isolated on identical code. Driver-only
+    # setting; real clusters size executor JVMs separately.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    # shuffle-file deletion is ASYNC by default: after hundreds of
+    # sf0.1 executions in one JVM the ContextCleaner's deletion
+    # backlog races whatever query runs next (bench measured the
+    # late-alphabet q98 at 18-24s in-bench vs 6.5-12s cold in every
+    # controlled session — fresh, 10-aged, 120-aged). Blocking
+    # deletion moves that work inside bench's untimed cleanup window.
+    # On a real cluster each executor cleans its own few shuffles and
+    # the setting is a no-op in practice.
+    "spark.cleaner.referenceTracking.blocking.shuffle": "true",
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
 }
 
