@@ -502,8 +502,19 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
          .unionAll(e.select(F.col("b").alias("src"),
                             F.col("a").alias("dst"))))
+    from hearthstats_spark.operators.graph import checkpoint_partitioned
+
     deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ud = u.join(deg, "src").localCheckpoint()  # edges+degree, reused 4×
+    # edges+degree reused 4×, materialized src-partitioned with the
+    # layout PRESERVED through the checkpoint (checkpoint_partitioned;
+    # a plain localCheckpoint reports UnknownPartitioning under AQE):
+    # every iteration's rank⋈edge join then reads the edge side
+    # in place and only the node-sized rank frame moves — the
+    # in-query realization of the bucketed-edge lane the docstring
+    # describes (4 edge-sized Exchanges gone at 4 iterations)
+    ud = checkpoint_partitioned(
+        u.join(deg, "src"), ["src"],
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
     # derive the node set from the CHECKPOINTED frame — deg's own
     # lineage would re-run the whole edge pipeline a second time just
     # to initialize ranks (measured ~3.5 s at sf0.1)
