@@ -92,10 +92,16 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # (e.g. q83's prefix join) runs twice (measured 2× at sf0.1)
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .localCheckpoint())
-    und = (e0.union(e0.select(F.col("b").alias("a"),
-                              F.col("a").alias("b")))
-           .distinct()
-           .localCheckpoint())
+    # materialized b-partitioned with the layout preserved
+    # (checkpoint_partitioned): every propagation round joins on b,
+    # so the edge side never re-exchanges — only the vertex-sized
+    # label frame moves per iteration (the q108/q144 lane)
+    und = checkpoint_partitioned(
+        e0.union(e0.select(F.col("b").alias("a"),
+                           F.col("a").alias("b")))
+        .distinct(),
+        ["b"],
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     labels = (und.select(F.col("a").alias("vertex"))
               .distinct()
               .withColumn("component", F.col("vertex")))
