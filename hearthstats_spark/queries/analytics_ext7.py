@@ -441,3 +441,50 @@ def q167_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(low | high, 1).otherwise(0)).cast("bigint")
              .alias("n_outliers"))
     )
+
+
+_SALT_N = 16
+
+
+@register(
+    "q168_salted_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS revenue,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q168_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — the skew lever for a HOT GROUP
+    KEY (q80 salts a join; this salts the aggregation itself): phase
+    1 aggregates (key, salt) with a per-row nonce spreading each hot
+    key over {n} reducers, phase 2 re-aggregates the x{n}-sized
+    partials to the final key. Correct for any algebraic aggregate
+    (count/sum/max compose; the oracle is the PLAIN group-by, so the
+    equivalence is hash-checked, not asserted). With only 5 priority
+    groups under 32 shuffle partitions, an unsalted agg at 100 TB
+    puts a fifth of the table through one reducer — the salt makes
+    reducer load uniform at the cost of a tiny second hash agg.
+
+    Note Spark's own partial aggregation already does map-side
+    combining, which solves MOST group skew; explicit salting is the
+    documented escape hatch for high-cardinality-payload aggregates
+    (collect/distinct-ish state) where partials stay large — the
+    pattern is declared here on algebraic aggs so it stays
+    oracle-checkable."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT_N)))
+    phase1 = (salted.groupBy("o_orderpriority", "__salt")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                   .alias("rev"),
+                   F.max("o_orderkey").alias("mk")))
+    return (phase1.groupBy("o_orderpriority")
+            .agg(F.sum("n").cast("bigint").alias("n_orders"),
+                 F.sum("rev").cast("double").alias("revenue"),
+                 F.max("mk").cast("bigint").alias("max_key")))
