@@ -488,3 +488,153 @@ def q168_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").cast("bigint").alias("n_orders"),
                  F.sum("rev").cast("double").alias("revenue"),
                  F.max("mk").cast("bigint").alias("max_key")))
+
+
+_ALLOC_TOTAL = 1_000_000  # budget units to allocate across nations
+
+
+@register(
+    "q169_largest_remainder_alloc",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4)))
+                    AS DECIMAL(28,4)) AS r
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    t AS (SELECT SUM(r) AS tot, COUNT(*) AS n_grp FROM rev),
+    q AS (
+        SELECT n_name, r,
+               CAST((r * {_ALLOC_TOTAL} - (CAST(r * {_ALLOC_TOTAL}
+                     AS HUGEINT) % CAST(tot AS HUGEINT)))
+                    / tot AS BIGINT) AS fl,
+               CAST(r * {_ALLOC_TOTAL} AS HUGEINT)
+                   % CAST(tot AS HUGEINT) AS rem
+        FROM rev, t
+    ),
+    short AS (
+        SELECT {_ALLOC_TOTAL} - SUM(fl) AS k FROM q
+    ),
+    rk AS (
+        SELECT n_name, fl, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS pos
+        FROM q
+    )
+    SELECT n_name,
+           CAST(fl + CASE WHEN pos <= (SELECT k FROM short)
+                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM rk
+    """,
+)
+def q169_largest_remainder_alloc(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split a fixed budget
+    of {T} units across nations proportionally to revenue so the
+    integer parts SUM EXACTLY to the budget — the rounding problem
+    every finance/quota/seat-apportionment pipeline hits (naive
+    per-row ROUND leaves the total off by up to n_groups/2). Floor
+    each exact share, then hand the shortfall out one unit at a time
+    by descending remainder (ties by name).
+
+    Exactness: revenue shares are exact decimals; the floored share
+    and remainder come from exact decimal/HUGEINT arithmetic on both
+    engines (the davg subtract-mod idiom — no float division
+    anywhere); the shortfall k < n_groups, so the rank window runs
+    over group-cardinality rows. Two group-sized aggs + one tiny
+    window; the only scan-sized work is the revenue join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o["o_custkey"] == F.col("c_custkey"))
+           .join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                .alias("r")))
+    t = rev.agg(F.sum("r").alias("tot"))
+    q = (rev.crossJoin(F.broadcast(t))
+         .select(
+             "n_name", "r",
+             # exact floor((r*T)/tot): subtract the remainder first
+             (((F.col("r") * _ALLOC_TOTAL)
+               - ((F.col("r") * _ALLOC_TOTAL) % F.col("tot")))
+              / F.col("tot")).cast("bigint").alias("fl"),
+             ((F.col("r") * _ALLOC_TOTAL) % F.col("tot")).alias("rem")))
+    q = q.localCheckpoint()  # shortfall agg + rank both read it
+    short = q.agg((F.lit(_ALLOC_TOTAL) - F.sum("fl")).alias("k"))
+    w = Window.orderBy(F.col("rem").desc(), "n_name")
+    return (q.withColumn("pos", F.row_number().over(w))
+            .crossJoin(F.broadcast(short))
+            .select(
+                "n_name",
+                (F.col("fl") + F.when(F.col("pos") <= F.col("k"), 1)
+                 .otherwise(0)).cast("bigint").alias("alloc")))
+
+
+_KANON = 5  # k-anonymity threshold
+
+
+@register(
+    "q170_kanonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c.c_nationkey AS qi_nation,
+               o.o_orderpriority AS qi_priority,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m')
+                   AS qi_month,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cls AS (
+        SELECT qi_nation, qi_priority, qi_month, COUNT(*) AS sz
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN sz < {_KANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_classes,
+           CAST(SUM(CASE WHEN sz < {_KANON} THEN sz ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM cls
+    """,
+)
+def q170_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (nation, order priority, order month): how many equivalence
+    classes fall below k={k} members, and how many rows sit in them —
+    the data-governance gate a dataset must pass before release (a
+    row in a small class is re-identifiable by joining public
+    attributes). Complements the PII surface (q90 redacts direct
+    identifiers; this measures INDIRECT identifiability).
+
+    Shape: one hash agg to class sizes (quasi-identifier
+    cardinality-sized), one summary agg — the audit is as cheap as a
+    group-by at any scale, which is exactly why it belongs in the
+    pipeline rather than a sampled offline check. All counts exact
+    BIGINT."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qi = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                 o["o_custkey"] == F.col("c_custkey"))
+          .select(
+              F.col("c_nationkey").alias("qi_nation"),
+              F.col("o_orderpriority").alias("qi_priority"),
+              F.date_format(F.date_trunc("month", "o_orderdate"),
+                            "yyyy-MM").alias("qi_month")))
+    cls = (qi.groupBy("qi_nation", "qi_priority", "qi_month")
+           .agg(F.count(F.lit(1)).alias("sz")))
+    small = F.col("sz") < _KANON
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(small, F.col("sz")).otherwise(0)).cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )

@@ -267,3 +267,45 @@ def test_rolling_distinct_kernels_agree(spark, registry):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_largest_remainder_allocation_invariants(spark, registry):
+    """q169: allocations sum to EXACTLY the budget, and every
+    nation's allocation is within 1 unit of its exact share."""
+    from decimal import Decimal
+    rows = registry["q169_largest_remainder_alloc"].fn(
+        spark, SF_SMALL).collect()
+    assert sum(r["alloc"] for r in rows) == 1_000_000
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    n = load_table(spark, SF_SMALL, "nation")
+    rev = {r["n_name"]: Decimal(str(r["r"])) for r in
+           (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                 .alias("r"))).collect()}
+    tot = sum(rev.values())
+    for r in rows:
+        exact = rev[r["n_name"]] * 1_000_000 / tot
+        assert abs(Decimal(r["alloc"]) - exact) < 1
+
+
+def test_kanonymity_audit_matches_bruteforce(spark, registry):
+    from collections import Counter
+    row = registry["q170_kanonymity_audit"].fn(
+        spark, SF_SMALL).collect()[0]
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    qi = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+          .select("c_nationkey", "o_orderpriority",
+                  F.date_format(F.date_trunc("month", "o_orderdate"),
+                                "yyyy-MM").alias("m")).collect())
+    sizes = Counter((r["c_nationkey"], r["o_orderpriority"], r["m"])
+                    for r in qi)
+    assert row["n_classes"] == len(sizes)
+    assert row["n_violating_classes"] == sum(
+        1 for v in sizes.values() if v < 5)
+    assert row["n_rows_at_risk"] == sum(
+        v for v in sizes.values() if v < 5)
+    assert row["n_rows"] == sum(sizes.values())

@@ -47,7 +47,11 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q164_shard_rendezvous",
                   # q165 composes q56, inheriting its langs-sized
                   # dense-score fan-out (already allowlisted there)
-                  "q165_eval_confusion_metrics"}
+                  "q165_eval_confusion_metrics",
+                  # q169 rides its 1-row grand-total and 1-row
+                  # shortfall frames onto group-cardinality rows
+                  # (q53's scalar-subquery broadcast shape)
+                  "q169_largest_remainder_alloc"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
@@ -71,7 +75,10 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
                     "q121_cum_users_asof", "q123_mom_growth",
                     # q135's month-index row_number runs AFTER
                     # aggregation to calendar months (q123's shape)
-                    "q135_ewma_revenue"}
+                    "q135_ewma_revenue",
+                    # q169's remainder rank runs AFTER aggregation to
+                    # nation cardinality (25 rows at any raw scale)
+                    "q169_largest_remainder_alloc"}
 
 
 def _has_global_window(plan: str) -> bool:
