@@ -638,3 +638,104 @@ def q170_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sz").cast("bigint").alias("min_class_size"),
         F.sum("sz").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "q171_share_of_parent",
+    oracle=f"""
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4)))
+                    AS DECIMAL(28,4)) AS rv
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ),
+    lv AS (
+        SELECT r_name, n_name,
+               CAST(SUM(rv) AS DECIMAL(28,4)) AS rv,
+               GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+        FROM rev GROUP BY ROLLUP (r_name, n_name)
+    ),
+    tot AS (SELECT rv FROM lv WHERE g_r = 1),
+    reg AS (SELECT r_name, rv FROM lv WHERE g_r = 0 AND g_n = 1),
+    wp AS (
+        SELECT lv.*, CASE WHEN lv.g_r = 1 THEN lv.rv
+                          WHEN lv.g_n = 1 THEN (SELECT rv FROM tot)
+                          ELSE reg.rv END AS parent_rv
+        FROM lv LEFT JOIN reg ON reg.r_name = lv.r_name AND lv.g_n = 0
+    )
+    SELECT
+        CASE WHEN g_r = 1 THEN 'TOTAL' ELSE r_name END AS region,
+        CASE WHEN g_n = 1 THEN '*' ELSE n_name END AS nation,
+        CAST(rv AS DOUBLE) AS revenue,
+        {fratio_sql('rv * 10000', 'CAST(parent_rv * 10000 AS HUGEINT)',
+                    'share_of_parent')}
+    FROM wp
+    """,
+)
+def q171_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent — the OLAP drill-down readout:
+    one ROLLUP pass produces nation rows, region subtotals, and the
+    grand total; every row then carries its share of its PARENT
+    level (nation/region for leaves, region/total for subtotals,
+    total/total = 1 for the root). The share-of-parent column is what
+    distinguishes this from q18's plain rollup: it requires joining
+    each level back to the level above, and the ratio must round
+    identically on both engines (exact half-away kernel — revenue
+    ratios land on 4dp boundaries constantly).
+
+    Shape: one fact-sized join+agg to (region, nation) grain, a
+    rollup over the TINY grouped frame (≤ 31 rows), a broadcast-sized
+    self-join per level. GROUPING() flags (not NULL checks) decide
+    levels — the only NULL-proof way to distinguish 'subtotal row'
+    from 'a key that IS null' (q18/q20's discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o["o_custkey"] == F.col("c_custkey"))
+           .join(F.broadcast(n.select("n_nationkey", "n_name",
+                                      "n_regionkey")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r.select("r_regionkey", "r_name")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy("r_name", "n_name")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                .alias("rv")))
+    lv = (rev.rollup("r_name", "n_name")
+          .agg(F.sum("rv").cast("decimal(28,4)").alias("rv"),
+               F.grouping("r_name").alias("g_r"),
+               F.grouping("n_name").alias("g_n"))
+          .localCheckpoint())  # three level frames read it (≤31 rows)
+    tot = (lv.filter(F.col("g_r") == 1)
+           .select(F.col("rv").alias("tot_rv")))
+    reg = (lv.filter((F.col("g_r") == 0) & (F.col("g_n") == 1))
+           .select(F.col("r_name").alias("reg_name"),
+                   F.col("rv").alias("reg_rv")))
+    base = (lv.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(reg),
+                  (F.col("reg_name") == F.col("r_name"))
+                  & (F.col("g_n") == 0), "left"))
+    parent = (F.when(F.col("g_r") == 1, F.col("rv"))   # root: itself
+              .when(F.col("g_n") == 1, F.col("tot_rv"))  # region/total
+              .otherwise(F.col("reg_rv")))              # nation/region
+    return base.select(
+        F.when(F.col("g_r") == 1, "TOTAL").otherwise(F.col("r_name"))
+        .alias("region"),
+        F.when(F.col("g_n") == 1, "*").otherwise(F.col("n_name"))
+        .alias("nation"),
+        F.col("rv").cast("double").alias("revenue"),
+        # dratio needs an INTEGER denominator: scale BOTH sides of
+        # the ratio to exact 10^-4 units — rv/parent ==
+        # (rv·10^4)/(parent·10^4) — so the kernel's exactness
+        # argument holds. Scaling only the denominator shrank every
+        # share by 10^-4 identically on BOTH engines (hash-green,
+        # wrong!) — caught by the share-sums invariant test, the
+        # reason semantic tests exist beside oracle parity.
+        dratio(F.col("rv") * 10000,
+               (parent * 10000).cast("bigint"), "share_of_parent"),
+    )

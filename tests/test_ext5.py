@@ -309,3 +309,22 @@ def test_kanonymity_audit_matches_bruteforce(spark, registry):
     assert row["n_rows_at_risk"] == sum(
         v for v in sizes.values() if v < 5)
     assert row["n_rows"] == sum(sizes.values())
+
+
+def test_share_of_parent_sums(spark, registry):
+    """q171: nation shares sum to 1 within each region, region
+    shares sum to 1 at the root, and the root's share is 1.0 —
+    up to the declared 4dp rounding (n_children · 5e-5 slack)."""
+    rows = registry["q171_share_of_parent"].fn(spark, SF_SMALL).collect()
+    root = [r for r in rows if r["region"] == "TOTAL"]
+    assert len(root) == 1 and root[0]["share_of_parent"] == 1.0
+    regions = [r for r in rows
+               if r["region"] != "TOTAL" and r["nation"] == "*"]
+    leaves = defaultdict(list)
+    for r in rows:
+        if r["region"] != "TOTAL" and r["nation"] != "*":
+            leaves[r["region"]].append(r["share_of_parent"])
+    assert abs(sum(r["share_of_parent"] for r in regions) - 1.0) \
+        <= len(regions) * 5e-5
+    for reg, shares in leaves.items():
+        assert abs(sum(shares) - 1.0) <= len(shares) * 5e-5, reg

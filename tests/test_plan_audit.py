@@ -51,7 +51,10 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   # q169 rides its 1-row grand-total and 1-row
                   # shortfall frames onto group-cardinality rows
                   # (q53's scalar-subquery broadcast shape)
-                  "q169_largest_remainder_alloc"}
+                  "q169_largest_remainder_alloc",
+                  # q171 rides its 1-row grand-total frame onto the
+                  # <=31-row rollup levels (same scalar shape)
+                  "q171_share_of_parent"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
