@@ -739,3 +739,101 @@ def q171_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         dratio(F.col("rv") * 10000,
                (parent * 10000).cast("bigint"), "share_of_parent"),
     )
+
+
+_WJ_THRESH_NUM, _WJ_THRESH_DEN = 3, 5  # J_w >= 3/5
+_WJ_K = 3  # shingle width for the multiset elements
+
+
+@register(
+    "q172_dedup_weighted_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT doc_id, array_to_string(t[i+1:i+{_WJ_K}], ' ') AS s
+           FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+           WHERE i <= len(t) - {_WJ_K}),
+    tc AS (
+        SELECT doc_id, s, COUNT(*) AS c
+        FROM sh GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, SUM(c) AS tot FROM tc GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(LEAST(a.c, b.c)) AS i_min
+        FROM tc a JOIN tc b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i_min AS BIGINT) AS i_min,
+           CAST(sa.tot AS BIGINT) AS tot_a,
+           CAST(sb.tot AS BIGINT) AS tot_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE {_WJ_THRESH_DEN} * i_min
+          >= {_WJ_THRESH_NUM} * (sa.tot + sb.tot - i_min)
+    """,
+)
+def q172_dedup_weighted_jaccard(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """WEIGHTED (multiset) Jaccard near-dup join over word-{k}-gram
+    MULTISETS: doc pairs with
+    J_w = Σ_s min(c_a(s), c_b(s)) / Σ_s max(c_a(s), c_b(s)) >= 3/5.
+    The dedup-family member that sees repetition — two docs built
+    from the same phrases repeated in different proportions look
+    identical to distinct-set Jaccard (q83) but diverge under
+    multiset weights, and spam/boilerplate is exactly the
+    repetition-heavy case.
+
+    Blocking element choice is the scale lesson this query carries:
+    the first version blocked on single TOKENS and collapsed — on a
+    small-vocabulary corpus every pair shares tokens, so "pairs
+    sharing an element" degenerated to ALL pairs (measured 120+ s at
+    sf0.1, the unblocked-O(n²) shape this repo bans). Word-{k}-grams
+    restore a large element space (q83's), making the shared-element
+    candidate set near-linear again: same query, ~40× faster, and
+    the property generalizes — block on the highest-cardinality
+    element the semantics allow.
+
+    All-integer exactness: with per-doc totals T = Σc, multiset
+    union = T_a + T_b − I_min, so J_w ≥ p/q becomes
+    q·I_min ≥ p·(T_a + T_b − I_min) — exact BIGINT products, no
+    ratio materialized anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = (d.select("doc_id", F.split("text", " ").alias("t"))
+            .filter(F.size("t") >= _WJ_K))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_WJ_K - 1)),
+                lambda i: F.array_join(F.slice("t", i, _WJ_K), " ")))
+        .alias("s"))
+    tc = (sh.groupBy("doc_id", "s")
+          .agg(F.count(F.lit(1)).alias("c")))
+    tc = tc.localCheckpoint()  # sizes + both join sides read it
+    sz = tc.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    a, b = tc.alias("a"), tc.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.least("a.c", "b.c")).alias("i_min")))
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("tot").alias("tot_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("tot").alias("tot_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .filter(_WJ_THRESH_DEN * F.col("i_min")
+                >= _WJ_THRESH_NUM
+                * (F.col("tot_a") + F.col("tot_b") - F.col("i_min")))
+        .select("id_a", "id_b",
+                F.col("i_min").cast("bigint").alias("i_min"),
+                F.col("tot_a").cast("bigint").alias("tot_a"),
+                F.col("tot_b").cast("bigint").alias("tot_b"))
+    )

@@ -328,3 +328,30 @@ def test_share_of_parent_sums(spark, registry):
         <= len(regions) * 5e-5
     for reg, shares in leaves.items():
         assert abs(sum(shares) - 1.0) <= len(shares) * 5e-5, reg
+
+
+def test_weighted_jaccard_matches_bruteforce(spark, registry):
+    """q172 vs a python Counter-based multiset Jaccard over all
+    pairs (feasible at sf0.001)."""
+    from collections import Counter
+    docs = {r["doc_id"]: r["text"].split(" ")
+            for r in load_table(spark, SF_SMALL, "documents")
+            .filter(F.col("text").isNotNull()).collect()}
+    bags = {}
+    for did, t in docs.items():
+        if len(t) < 3:
+            continue
+        bags[did] = Counter(" ".join(t[i:i + 3])
+                            for i in range(len(t) - 2))
+    ids = sorted(bags)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = sum((bags[a] & bags[b]).values())
+            ta, tb = sum(bags[a].values()), sum(bags[b].values())
+            if 5 * inter >= 3 * (ta + tb - inter):
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in
+           registry["q172_dedup_weighted_jaccard"]
+           .fn(spark, SF_SMALL).collect()}
+    assert got == want and len(got) > 0
