@@ -837,3 +837,139 @@ def q172_dedup_weighted_jaccard(spark: SparkSession,
                 F.col("tot_a").cast("bigint").alias("tot_a"),
                 F.col("tot_b").cast("bigint").alias("tot_b"))
     )
+
+
+@register(
+    "q173_token_drift_tv",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id % 2 AS half,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT tok,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+        FROM toks GROUP BY 1
+    ),
+    n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM c),
+    num AS (
+        SELECT CAST(SUM(ABS(c0 * n.n1 - c1 * n.n0)) AS HUGEINT) AS s
+        FROM c, n
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n_tokens_a,
+           CAST(n.n1 AS BIGINT) AS n_tokens_b,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS vocab,
+           CAST((num.s - (num.s % CAST(2 * n.n0 * n.n1 AS HUGEINT)))
+                / (2 * n.n0 * n.n1) AS BIGINT) AS tv_millionths_floor,
+           CAST(num.s % CAST(2 * n.n0 * n.n1 AS HUGEINT) AS DOUBLE)
+               / CAST(2 * n.n0 * n.n1 AS DOUBLE) AS tv_frac_part
+    FROM n, num
+    """,
+)
+def q173_token_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution DRIFT between two corpus halves (doc_id
+    parity stands in for before/after a cutoff): total-variation
+    distance TV = ½·Σ_t |p_A(t) − p_B(t)| — the distribution-shift
+    monitor a training pipeline runs when a new crawl lands (TV ≈ 0:
+    same distribution; TV → 1: disjoint vocabularies).
+
+    Exactness discipline: with common denominator n_A·n_B,
+    TV = Σ|c_A·n_B − c_B·n_A| / (2·n_A·n_B) — the numerator is an
+    exact integer sum (order-independent), and the value is emitted
+    as exact INTEGER part + fractional remainder computed by ONE
+    IEEE division of exact integers (both engines divide the same
+    pair bit-for-bit), so no float sum ever forms. Shape: one token
+    hash agg (conditional sums — one pass for both halves), two
+    scalar frames; vocabulary-sized everything after the first agg."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("tok"))
+    c = (toks.groupBy("tok")
+         .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+              .alias("c0"),
+              F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+              .alias("c1")))
+    c = c.localCheckpoint()  # totals + numerator both read it
+    n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"),
+              F.count(F.lit(1)).alias("vocab"))
+    num = (c.crossJoin(F.broadcast(n))
+           .agg(F.sum(F.abs(F.col("c0") * F.col("n1")
+                            - F.col("c1") * F.col("n0"))).alias("s"),
+                F.first("n0").alias("n0"), F.first("n1").alias("n1"),
+                F.first("vocab").alias("vocab")))
+    den = 2 * F.col("n0") * F.col("n1")
+    return num.select(
+        F.col("n0").cast("bigint").alias("n_tokens_a"),
+        F.col("n1").cast("bigint").alias("n_tokens_b"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        ((F.col("s") - F.pmod(F.col("s"), den)) / den).cast("bigint")
+        .alias("tv_millionths_floor"),
+        (F.pmod(F.col("s"), den).cast("double") / den.cast("double"))
+        .alias("tv_frac_part"),
+    )
+
+
+_SPLIT_TEST_PCT = 20  # exact test share per stratum, percent
+
+
+@register(
+    "q174_split_stratified_exact",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CONCAT('0x', SUBSTRING(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                            doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    labeled AS (
+        SELECT lang, doc_id,
+               CASE WHEN rn * 100 <= n * {_SPLIT_TEST_PCT}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM r
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def q174_split_stratified_exact(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """STRATIFIED exact-proportion train/test split: within every
+    language stratum, exactly floor(n·{p}%) documents go to test —
+    chosen by md5-hash order (deterministic, unbiased w.r.t. any
+    data attribute), not by doc_id order (ingestion-correlated) and
+    not by per-row Bernoulli (q119's hash-mod split — correct in
+    expectation but ±√n off per stratum, which breaks small-stratum
+    eval sets). The floor(rn·100 <= n·pct) form is pure integer
+    arithmetic.
+
+    Shape: one stratum-keyed window (rank by hash) + a grouped
+    summary; the split column itself is row-level output in
+    production — aggregated here so the contract row count stays
+    bounded while min/max doc ids still pin membership."""
+    d = load_table(spark, sf_dir, "documents")
+    hash_ord = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")
+                          .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(hash_ord, "doc_id")
+    r = d.select(
+        "lang", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"))
+    labeled = r.select(
+        "lang", "doc_id",
+        F.when(F.col("rn") * 100 <= F.col("n") * _SPLIT_TEST_PCT,
+               "test").otherwise("train").alias("split"))
+    return (labeled.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("min_doc"),
+                 F.max("doc_id").cast("bigint").alias("max_doc")))

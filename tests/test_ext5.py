@@ -355,3 +355,37 @@ def test_weighted_jaccard_matches_bruteforce(spark, registry):
            registry["q172_dedup_weighted_jaccard"]
            .fn(spark, SF_SMALL).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stratified_split_exact_proportions(spark, registry):
+    """q174: test count per stratum is EXACTLY floor(n*0.2) and
+    train+test == n."""
+    rows = registry["q174_split_stratified_exact"].fn(
+        spark, SF_SMALL).collect()
+    per = defaultdict(dict)
+    for r in rows:
+        per[r["lang"]][r["split"]] = r["n_docs"]
+    assert per
+    for lang, d in per.items():
+        n = d.get("train", 0) + d.get("test", 0)
+        assert d.get("test", 0) == (n * 20) // 100, (lang, d)
+
+
+def test_token_drift_tv_bruteforce(spark, registry):
+    from collections import Counter
+    from fractions import Fraction
+    row = registry["q173_token_drift_tv"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("text").isNotNull()).select("doc_id", "text").collect()
+    c0, c1 = Counter(), Counter()
+    for r in docs:
+        (c0 if r["doc_id"] % 2 == 0 else c1).update(r["text"].split(" "))
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    s = sum(abs(c0[t] * n1 - c1[t] * n0) for t in set(c0) | set(c1))
+    tv = Fraction(s, 2 * n0 * n1)
+    assert row["n_tokens_a"] == n0 and row["n_tokens_b"] == n1
+    assert row["vocab"] == len(set(c0) | set(c1))
+    got = Fraction(row["tv_millionths_floor"]) + Fraction(
+        row["tv_frac_part"]).limit_denominator(2 * n0 * n1)
+    assert got == tv
+    assert 0 <= tv < 1
