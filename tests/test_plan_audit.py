@@ -54,7 +54,10 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q169_largest_remainder_alloc",
                   # q171 rides its 1-row grand-total frame onto the
                   # <=31-row rollup levels (same scalar shape)
-                  "q171_share_of_parent"}
+                  "q171_share_of_parent",
+                  # q173 rides its 1-row token-totals frame onto the
+                  # vocabulary counts (q107's scalar shape)
+                  "q173_token_drift_tv"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
