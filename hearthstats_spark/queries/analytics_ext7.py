@@ -973,3 +973,138 @@ def q174_split_stratified_exact(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.min("doc_id").cast("bigint").alias("min_doc"),
                  F.max("doc_id").cast("bigint").alias("max_doc")))
+
+
+@register(
+    "q175_srm_check",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id,
+               CAST(CONCAT('0x', SUBSTRING(
+                   md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+          FROM a)
+    SELECT CAST(n0 AS BIGINT) AS n_arm0,
+           CAST(n1 AS BIGINT) AS n_arm1,
+           {fratio_sql('(n0 - n1) * (n0 - n1)', 'n0 + n1', 'chi2')},
+           (n0 - n1) * (n0 - n1) >= 4 * (n0 + n1) AS srm_flag
+    FROM c
+    """,
+)
+def q175_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail: users hash into two
+    50/50 experiment arms (the q164 md5 discipline — both engines
+    agree on every assignment); the chi-square statistic against the
+    designed split is χ² = (n0 − n1)²/(n0 + n1) for 1 df, and the
+    flag fires at χ² ≥ 4 (p < 0.05 territory) — the FIRST check any
+    A/B readout must pass, because a biased assignment invalidates
+    every downstream metric (q148's z-test assumes this one passed).
+
+    Exactness: counts are exact; χ² is one half-away-rounded ratio
+    of exact integers (dratio); the flag comparison is cleared of
+    the division entirely ((n0−n1)² ≥ 4·(n0+n1) — integer products).
+    Shape: distinct users, one map-side hash, two scalar aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (ev.select("user_id").distinct()
+           .select(F.pmod(
+               F.conv(F.substring(
+                   F.md5(F.col("user_id").cast("string").cast("binary")),
+                   1, 8), 16, 10).cast("bigint"), F.lit(2)).alias("arm")))
+    c = arm.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"))
+    diff2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    return c.select(
+        F.col("n0").cast("bigint").alias("n_arm0"),
+        F.col("n1").cast("bigint").alias("n_arm1"),
+        dratio(diff2, F.col("n0") + F.col("n1"), "chi2"),
+        (diff2 >= 4 * (F.col("n0") + F.col("n1"))).alias("srm_flag"),
+    )
+
+
+@register(
+    "q176_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 0 ELSE 1 END AS g,
+               o_orderkey
+        FROM orders
+    ),
+    n AS (SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+                 SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1
+          FROM s),
+    cum AS (
+        SELECT v, g,
+               SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY v, g, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c0,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY v, g, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c1,
+               LEAD(v) OVER (ORDER BY v, g, o_orderkey) AS nxt
+        FROM s
+    ),
+    d AS (
+        SELECT MAX(ABS(c0 * n.n1 - c1 * n.n0)) AS dnum
+        FROM cum, n
+        WHERE nxt IS NULL OR nxt <> v  -- evaluate CDFs between ties only
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n_urgent,
+           CAST(n.n1 AS BIGINT) AS n_other,
+           CAST(d.dnum AS BIGINT) AS d_numerator,
+           CAST(d.dnum AS DOUBLE) / (CAST(n.n0 AS DOUBLE) * n.n1)
+               AS ks_d
+    FROM n, d
+    """,
+)
+def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the order-value
+    distributions of URGENT vs other orders: D = sup_x |F₀(x) −
+    F₁(x)| — the CONTINUOUS-distribution companion to q173's
+    categorical total variation, and the standard 'did this segment's
+    value distribution shift' test (no binning choices, unlike a
+    histogram comparison).
+
+    Exact formulation: with common denominator n₀·n₁,
+    D = max over distinct values of |c₀(x)·n₁ − c₁(x)·n₀| / (n₀·n₁).
+    The engine aggregates to DISTINCT-VALUE grain first (per-value
+    group counts — ties absorbed by construction; evaluating a CDF
+    mid-tie reads a half-updated count, which is why the oracle's
+    window form filters to tie-run ends), then builds both cumulative
+    counts with the two-pass range-partitioned distributed prefix sum
+    (operators/rankops.with_global_prefix_sum, q89's kernel) — NO
+    single-task global window over the data anywhere; the max
+    numerator is an exact integer and ks_d is ONE IEEE division of
+    exact integers."""
+    from hearthstats_spark.operators.rankops import with_global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
+        .alias("g"))
+    vals = (s.groupBy("v")
+            .agg(F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+                 .alias("a0"),
+                 F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+                 .alias("a1")))
+    c0, n0 = with_global_prefix_sum(vals, "v", "a0", cum_col="c0")
+    c01, n1 = with_global_prefix_sum(c0, "v", "a1", cum_col="c1")
+    d = c01.agg(
+        F.max(F.abs(F.col("c0") * F.lit(n1)
+                    - F.col("c1") * F.lit(n0))).alias("dnum"))
+    return d.select(
+        F.lit(n0).cast("bigint").alias("n_urgent"),
+        F.lit(n1).cast("bigint").alias("n_other"),
+        F.col("dnum").cast("bigint").alias("d_numerator"),
+        (F.col("dnum").cast("double")
+         / (F.lit(float(n0)) * F.lit(float(n1)))).alias("ks_d"),
+    )

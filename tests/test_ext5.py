@@ -389,3 +389,35 @@ def test_token_drift_tv_bruteforce(spark, registry):
         row["tv_frac_part"]).limit_denominator(2 * n0 * n1)
     assert got == tv
     assert 0 <= tv < 1
+
+
+def test_ks_two_sample_bruteforce(spark, registry):
+    """q176 vs scipy-free python KS over collected orders."""
+    from fractions import Fraction
+    row = registry["q176_ks_two_sample"].fn(spark, SF_SMALL).collect()[0]
+    rows = load_table(spark, SF_SMALL, "orders").select(
+        "o_totalprice", "o_orderpriority").collect()
+    s0 = sorted(r["o_totalprice"] for r in rows
+                if r["o_orderpriority"] == "1-URGENT")
+    s1 = sorted(r["o_totalprice"] for r in rows
+                if r["o_orderpriority"] != "1-URGENT")
+    n0, n1 = len(s0), len(s1)
+    import bisect
+    vals = sorted(set(s0) | set(s1))
+    dnum = max(abs(bisect.bisect_right(s0, v) * n1
+                   - bisect.bisect_right(s1, v) * n0) for v in vals)
+    assert (row["n_urgent"], row["n_other"]) == (n0, n1)
+    assert row["d_numerator"] == dnum
+    assert Fraction(row["ks_d"]).limit_denominator(n0 * n1) \
+        == Fraction(dnum, n0 * n1)
+
+
+def test_srm_check_balanced(spark, registry):
+    row = registry["q175_srm_check"].fn(spark, SF_SMALL).collect()[0]
+    n = row["n_arm0"] + row["n_arm1"]
+    assert n == (load_table(spark, SF_SMALL, "events")
+                 .select("user_id").distinct().count())
+    # a hash split of real users must not trip its own guardrail
+    assert not row["srm_flag"]
+    assert row["chi2"] == round(
+        (row["n_arm0"] - row["n_arm1"]) ** 2 / n, 4)

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 174 declared
-queries q01–q174 + 21 side-effect/streaming ops s01–s21; 160
+"""The registry IS the driver contract (SURVEY.md §2): 176 declared
+queries q01–q176 + 21 side-effect/streaming ops s01–s21; 160
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 175)
+    f"q{i:02d}" for i in range(1, 177)
 } | {f"s{i:02d}" for i in range(1, 22)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -36,7 +36,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 168
+    assert len(with_oracle) == 170
 
 
 def test_names_well_formed(registry):
