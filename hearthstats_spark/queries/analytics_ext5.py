@@ -131,7 +131,9 @@ def q152_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count(F.lit(1)).cast("bigint").alias("n_islands")))
     return (
         per_supp
-        .join(F.broadcast(sup),
+        # supplier is SF-linear — no broadcast hint (AQE decides);
+        # nation (25 rows) keeps its hint.
+        .join(sup,
               per_supp["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -488,10 +490,11 @@ def q157_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED value with (item_a, item_b) tie-breaks (q61/q108
     discipline). Plan: the capped-basket self-join (q98's declared
     winsorization bounds fan-out per order), pair-count agg with a
-    min-support HAVING prune, item counts broadcast back, the 1-row
-    N frame riding on via broadcast cross join (the scalar-subquery
-    shape, plan-audit allowlisted), then orderBy+LIMIT top-k
-    (per-partition heaps, no global sort)."""
+    min-support HAVING prune, item counts joined back key-equi
+    (O(parts) — AQE promotes to broadcast only when the runtime size
+    fits), the 1-row N frame riding on via broadcast cross join (the
+    scalar-subquery shape, plan-audit allowlisted), then
+    orderBy+LIMIT top-k (per-partition heaps, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     po0 = li.select("l_orderkey", "l_partkey").distinct()
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
@@ -518,8 +521,13 @@ def q157_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("ni").alias("nb"))
     scored = (
         pair.crossJoin(F.broadcast(n_tot))
-        .join(F.broadcast(ia), "item_a")
-        .join(F.broadcast(ib), "item_b")
+        # ia/ib are O(parts) — SF-linear, so no broadcast hint: a
+        # forced hint bypasses AQE's size check and OOMs at the
+        # 100 TB design point.  These are key-equi joins; AQE
+        # promotes them to broadcast when (and only when) the
+        # runtime size fits (VERDICT r4 #1).
+        .join(ia, "item_a")
+        .join(ib, "item_b")
         .select("item_a", "item_b", F.col("co").cast("bigint").alias("co"),
                 dratio(F.col("co") * F.col("n"),
                        F.col("na") * F.col("nb"), "lift"))

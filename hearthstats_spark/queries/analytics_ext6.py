@@ -242,7 +242,9 @@ def q161_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping (one Exchange)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cnt = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+    # customer is SF-linear — no broadcast hint; AQE decides at
+    # runtime (a forced hint is never demoted: VERDICT r4 #1).
+    cnt = (o.join(c.select("c_custkey", "c_nationkey"),
                   o["o_custkey"] == F.col("c_custkey"))
            .groupBy("c_nationkey", "o_custkey")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))

@@ -274,8 +274,8 @@ def q52_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by tf·idf. Two hash aggs (tf, df) + a
-    broadcast of the tiny df/n side + one window — no O(corpus²)
-    anywhere; df table is vocabulary-sized. n_docs stays IN the plan
+    key-equi df join (vocabulary-sized — AQE broadcasts it only when
+    it fits) + one window — no O(corpus²) anywhere. n_docs stays IN the plan
     as a broadcast one-row aggregate cross-joined into the weight
     expression (a 1-row broadcast NLJ — the scalar-subquery shape),
     so the query is a single job instead of count()-then-plan."""
@@ -286,7 +286,9 @@ def q53_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
-    w = (tf.join(F.broadcast(df), "term")
+    # df is vocabulary-sized — unbounded on web-scale corpora, so no
+    # broadcast hint (AQE decides); the 1-row nd frame keeps its hint
+    w = (tf.join(df, "term")
          .crossJoin(F.broadcast(nd))
          .select(
              "doc_id", "term",

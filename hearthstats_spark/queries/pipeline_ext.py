@@ -394,7 +394,9 @@ def q94_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
     scored = (
-        co.join(F.broadcast(ca), "item_a").join(F.broadcast(cb), "item_b")
+        # ca/cb are item-cardinality (catalog-scale) — no broadcast
+        # hint; AQE promotes when the runtime size fits (VERDICT r4 #1)
+        co.join(ca, "item_a").join(cb, "item_b")
         .select(
             "item_a", "item_b", F.col("co").cast("bigint").alias("co"),
             F.round(F.col("co").cast("double")

@@ -220,7 +220,9 @@ def s09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(col).alias(f"u_{col}")
           for col in ("c_name", "c_nationkey", "c_acctbal")])
     merged = (
-        target.join(F.broadcast(upd),
+        # updates are a filter of the SF-linear target — no broadcast
+        # hint; AQE promotes small update batches at runtime
+        target.join(upd,
                     target["c_custkey"] == upd["u_key"], "left")
         .select(
             "c_custkey",

@@ -383,8 +383,10 @@ def s07_stream_processing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the dimension-lookup pattern
     every streaming pipeline runs: the purchase event stream joins
-    the STATIC customer table (re-planned per micro-batch, broadcast
-    because dims are small), then aggregates revenue per nation in
+    the STATIC customer table (re-planned per micro-batch; the
+    planner auto-broadcasts it when its size stats say it fits —
+    no forced hint, the dim is SF-linear), then aggregates revenue
+    per nation in
     ``complete`` mode to a bounded ``memory`` sink (one row per
     nation).
 
@@ -403,7 +405,10 @@ def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(ev.schema).parquet(src)
         .filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cust), "user_id")
+        # customer is SF-linear — no forced hint; the per-batch
+        # planner auto-broadcasts from parquet size stats when the
+        # static side fits (at 100 TB: pre-agg or bucketed map join)
+        .join(cust, "user_id")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),

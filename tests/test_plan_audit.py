@@ -61,6 +61,170 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
+
+#: Queries allowed to FORCE-broadcast a frame whose lineage touches a
+#: fact-scale table (VERDICT r4 #1: `F.broadcast` is never demoted by
+#: AQE, so a hint on an SF-linear frame OOMs at the 100 TB design
+#: point). Every entry here is bounded BY CONSTRUCTION — a property
+#: the textual plan can't prove (rank filters, enum-valued group
+#: keys, constant-selective predicates), so each carries its bound:
+FORCED_BROADCAST_OK = {
+    # top-10-per-language marker table (rank filter) + distinct-lang
+    # enum frame: O(langs · 10) and O(langs) at any corpus size
+    "q56_text_langid": 2,
+    # composes q56 twice (train/eval halves) → inherits its 2 sites
+    # per branch
+    "q165_eval_confusion_metrics": 4,
+    # the probe set: vec_id < N_QUERIES (10 rows) — a constant
+    # equality-selective predicate, not SF-linear
+    "q61_ann_ivf": 1,
+    "q87_ann_ivf_multiprobe": 1,
+    # same probe set, one hint per OR-ed LSH table branch
+    "q85_ann_lsh": 2,
+    # the eval/benchmark shingle set: at the design point this is a
+    # fixed benchmark suite (MMLU/GSM8K/…), bounded regardless of
+    # corpus size (docstring: "GPT-3 appendix C" decontamination)
+    "q91_contamination": 1,
+    # per-term df over the 3 constant query terms (isin filter)
+    "q92_bm25_topk": 1,
+    # k=8 centroid frame (groupBy on a pmod-k key: ≤ k rows)
+    "q101_kmeans_assign": 1,
+    # misra-gries candidate set: ≤ partitions/s rows by the sketch's
+    # own space bound (operators/heavyhitters.py)
+    "q107_heavy_hitters": 1,
+    # per-event_type median/MAD frames: event_type is an enum
+    # (~5 values), not SF-linear (3 sites: med, mad ×2 branches)
+    "q110_mad_outliers": 3,
+    # CMS sketch cells: groupBy (depth j, bucket b) ≤ d·w rows by
+    # the sketch's fixed geometry
+    "q139_sketch_cms": 1,
+}
+
+
+def forced_broadcast_offenses(plan: str) -> list[str]:
+    """BroadcastExchange nodes in a formatted plan that broadcast a
+    frame scanning a fact-scale table without a bounding aggregation.
+
+    Caller contract: explain with BOTH auto-broadcast thresholds set
+    to -1, so every surviving BroadcastExchange is a forced
+    ``F.broadcast``/hint — except inside InMemoryRelation subtrees,
+    whose physical plans were compiled when ``.cache()`` ran (under
+    the session's normal conf): those are auto decisions and are NOT
+    counted as offense candidates (but their leaves still count as
+    sources when they feed an OUTER forced broadcast).
+
+    Bounded shapes the text can prove: keyless aggregate
+    (``Keys: []`` → ≤1 row), GlobalLimit/CollectLimit/
+    TakeOrderedAndProject (≤ limit rows). Driver-made frames
+    (ExistingRDD/LocalTableScan/Range) are the rankops bucket-
+    boundary metadata — ≤ n_buckets rows, already capped by
+    test_no_driver_materialization_in_sources."""
+    import re
+
+    fact = {"lineitem", "orders", "customer", "part", "supplier",
+            "partsupp", "documents", "embeddings", "events"}
+
+    tree = plan.split("\n\n")[0]
+    nodes: list[tuple[int, str, int | None]] = []
+    for line in tree.splitlines():
+        m = re.match(
+            r"^([\s:+|-]*)(\*?\s*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(3).strip(),
+                          int(m.group(4))))
+    details: dict[int, str] = {}
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) ", block)
+        if m:
+            details[int(m.group(1))] = block
+
+    offenses = []
+    for i, (col, name, nid) in enumerate(nodes):
+        if not name.startswith("BroadcastExchange"):
+            continue
+        # skip cache-embedded plans: any ancestor InMemoryRelation
+        if any(c < col and n.startswith("InMemoryRelation")
+               for (c, n, _) in nodes[:i]):
+            continue
+        srcs: set[str] = set()
+        bounded = False
+        for (c, n, d) in nodes[i + 1:]:
+            if c <= col:
+                break  # left the subtree
+            if n.startswith("Scan parquet"):
+                blk = details.get(d, "")
+                m = re.search(r"/(\w+)\.parquet", blk)
+                srcs.add(m.group(1) if m else "parquet?")
+            if ("Aggregate" in n and d in details
+                    and re.search(r"^Keys: \[\]", details[d], re.M)):
+                bounded = True
+            if n.startswith(("GlobalLimit", "CollectLimit",
+                             "TakeOrderedAndProject")):
+                bounded = True
+        if srcs & fact and not bounded:
+            offenses.append(f"BroadcastExchange({nid}) over {sorted(srcs & fact)}")
+    return offenses
+
+
+def test_forced_broadcast_detector_positive():
+    """The detector must fire on a forced fact-table broadcast and
+    stay quiet on bounded/cache-embedded shapes."""
+    flagged = (
+        "* Project (5)\n+- BroadcastHashJoin Inner BuildRight (4)\n"
+        "   :- Scan parquet  (1)\n"
+        "   +- BroadcastExchange (3)\n"
+        "      +- Scan parquet  (2)\n\n"
+        "(2) Scan parquet \nLocation: [/x/customer.parquet]\n\n"
+        "(1) Scan parquet \nLocation: [/x/orders.parquet]\n"
+    )
+    keyless_ok = (
+        "* Project (5)\n+- BroadcastNestedLoopJoin (4)\n"
+        "   :- Scan parquet  (1)\n"
+        "   +- BroadcastExchange (3)\n"
+        "      +- HashAggregate (2)\n"
+        "         +- Scan parquet  (6)\n\n"
+        "(6) Scan parquet \nLocation: [/x/customer.parquet]\n\n"
+        "(2) HashAggregate\nInput: []\nKeys: []\n"
+    )
+    cached_ok = (
+        "* Project (5)\n+- SortMergeJoin Inner (4)\n"
+        "   :- Scan parquet  (1)\n"
+        "   +- InMemoryTableScan (9)\n"
+        "         +- InMemoryRelation (8)\n"
+        "               +- BroadcastExchange (3)\n"
+        "                  +- Scan parquet  (2)\n\n"
+        "(2) Scan parquet \nLocation: [/x/customer.parquet]\n"
+    )
+    assert forced_broadcast_offenses(flagged)
+    assert not forced_broadcast_offenses(keyless_ok)
+    assert not forced_broadcast_offenses(cached_ok)
+
+
+def test_no_forced_broadcast_of_fact_frames(spark, registry):
+    """VERDICT r4 #1's missing rule: a forced ``F.broadcast`` on a
+    frame derived from a fact-scale table (without a bounding
+    aggregation) defeats AQE's size check — fine at sf0.1, an OOM at
+    the 100 TB design point. Thresholds go to -1 AFTER the query
+    builds (the registry wrapper's ensure_conf re-pins the session
+    default) and BEFORE the lazy planning that explain triggers, so
+    only hint-forced exchanges survive in the non-cached plan."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    offenders: dict[str, list[str]] = {}
+    try:
+        for name, q in sorted(registry.items()):
+            if not name.startswith("q"):
+                continue
+            df = q.fn(spark, SF_MED)  # ensure_conf runs here
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            off = forced_broadcast_offenses(explain_str(df))
+            if len(off) > FORCED_BROADCAST_OK.get(name, 0):
+                offenders[name] = off
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert not offenders, offenders
 # q28 pre-aggregates to one row per ORDER DAY before its global
 # cumulative window — the single sort task sees ~2.4k rows regardless
 # of fact-table size, which is the documented safe use of an
