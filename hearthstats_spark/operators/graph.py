@@ -22,7 +22,13 @@ graph unit tests here.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+#: serializes the AQE-off window in ``checkpoint_partitioned`` so
+#: overlapping calls can't restore each other's stale conf value
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def checkpoint_partitioned(df: DataFrame, cols: list[str],
@@ -41,14 +47,25 @@ def checkpoint_partitioned(df: DataFrame, cols: list[str],
     self-join kept both src Exchanges). Toggling AQE off around the
     checkpoint action preserves HashPartitioning(cols, n) in the
     LogicalRDD; AQE is restored immediately after and still optimizes
-    every downstream stage."""
+    every downstream stage.
+
+    Concurrency (ADVICE r4): the toggle mutates SESSION-global conf,
+    so a query compiled on the same SparkSession during the
+    checkpoint action would silently plan without AQE. The lock below
+    serializes concurrent ``checkpoint_partitioned`` calls (so a
+    second call can't restore the wrong prior value); callers running
+    OTHER queries concurrently on one session should compile them on
+    ``spark.newSession()`` (separate runtime conf, shared state) —
+    the bench/driver harness is single-threaded per session, where
+    the window is harmless."""
     spark = df.sparkSession
-    before = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.repartition(num_partitions, *cols).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", before)
+    with _AQE_TOGGLE_LOCK:
+        before = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.repartition(num_partitions, *cols).localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
 def triangle_census(oriented: DataFrame) -> DataFrame:

@@ -263,12 +263,18 @@ def q161_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
              WHEN f.ts IS NULL THEN 'back'
              WHEN b.ts IS NULL THEN 'fwd'
-             WHEN p.ts - b.ts <= f.ts - p.ts THEN 'back'
+             -- gaps compared at SECOND granularity (boundary
+             -- crossings), the engine's declared tie rule — a
+             -- full-precision interval compare can disagree when
+             -- microsecond gaps straddle a second boundary
+             WHEN datediff('second', b.ts, p.ts)
+                  <= datediff('second', p.ts, f.ts) THEN 'back'
              ELSE 'fwd' END AS direction,
            CASE
              WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
              WHEN f.ts IS NULL
-                  OR (b.ts IS NOT NULL AND p.ts - b.ts <= f.ts - p.ts)
+                  OR (b.ts IS NOT NULL AND datediff('second', b.ts, p.ts)
+                      <= datediff('second', p.ts, f.ts))
              THEN datediff('second', b.ts, p.ts)
              ELSE datediff('second', p.ts, f.ts) END AS gap_s
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -27,8 +27,12 @@ _BPE_TOPN = 20
         FROM documents WHERE text IS NOT NULL
     ),
     pairs AS (
+        -- series bound 4096 (matching the shingle oracles), not a
+        -- tight cap: the Spark side enumerates positions unbounded,
+        -- so a token longer than the bound would silently drop
+        -- pairs on the oracle side only (ADVICE r4)
         SELECT substr(w, i, 2) AS pair, COUNT(*) AS cnt
-        FROM words CROSS JOIN generate_series(1, 64) g(i)
+        FROM words CROSS JOIN generate_series(1, 4096) g(i)
         WHERE i <= length(w) - 1
         GROUP BY 1
     )
@@ -507,12 +511,17 @@ _ALLOC_TOTAL = 1_000_000  # budget units to allocate across nations
     ),
     t AS (SELECT SUM(r) AS tot, COUNT(*) AS n_grp FROM rev),
     q AS (
+        -- remainder arithmetic in exact 10^-4 units on BOTH engines
+        -- (r and tot are DECIMAL(.,4): ×10000 is integral, so the
+        -- casts are exact — no whole-unit rounding of tot that
+        -- could reorder near-tied remainders)
         SELECT n_name, r,
-               CAST((r * {_ALLOC_TOTAL} - (CAST(r * {_ALLOC_TOTAL}
-                     AS HUGEINT) % CAST(tot AS HUGEINT)))
-                    / tot AS BIGINT) AS fl,
-               CAST(r * {_ALLOC_TOTAL} AS HUGEINT)
-                   % CAST(tot AS HUGEINT) AS rem
+               CAST((CAST(r * 10000 AS HUGEINT) * {_ALLOC_TOTAL}
+                     - (CAST(r * 10000 AS HUGEINT) * {_ALLOC_TOTAL}
+                        % CAST(tot * 10000 AS HUGEINT)))
+                    // CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS fl,
+               CAST(r * 10000 AS HUGEINT) * {_ALLOC_TOTAL}
+                   % CAST(tot * 10000 AS HUGEINT) AS rem
         FROM rev, t
     ),
     short AS (
@@ -558,14 +567,20 @@ def q169_largest_remainder_alloc(spark: SparkSession,
            .agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
                 .alias("r")))
     t = rev.agg(F.sum("r").alias("tot"))
+    # remainder arithmetic in exact 10^-4 units (ADVICE r4): both
+    # engines share ONE integer formula — r·10⁴ and tot·10⁴ are
+    # integral (scale-4 decimals), so floor and remainder come from
+    # exact integer-valued decimal(38,0) arithmetic with no
+    # whole-unit rounding of tot
+    rnum = (F.col("r") * 10000).cast("decimal(38,0)") \
+        * F.lit(_ALLOC_TOTAL).cast("decimal(38,0)")
+    tden = (F.col("tot") * 10000).cast("decimal(38,0)")
     q = (rev.crossJoin(F.broadcast(t))
          .select(
              "n_name", "r",
-             # exact floor((r*T)/tot): subtract the remainder first
-             (((F.col("r") * _ALLOC_TOTAL)
-               - ((F.col("r") * _ALLOC_TOTAL) % F.col("tot")))
-              / F.col("tot")).cast("bigint").alias("fl"),
-             ((F.col("r") * _ALLOC_TOTAL) % F.col("tot")).alias("rem")))
+             # exact floor(rnum/tden): subtract the remainder first
+             ((rnum - (rnum % tden)) / tden).cast("bigint").alias("fl"),
+             (rnum % tden).alias("rem")))
     q = q.localCheckpoint()  # shortfall agg + rank both read it
     short = q.agg((F.lit(_ALLOC_TOTAL) - F.sum("fl")).alias("k"))
     w = Window.orderBy(F.col("rem").desc(), "n_name")

@@ -493,7 +493,17 @@ def s20_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropmalformed long, modes_agree boolean",
         )
     finally:
-        spark.catalog.clearCache()
+        # unpersist ONLY this query's two cached frames — a session-
+        # wide clearCache() would evict every caller-held cache when
+        # s20 composes with a bench sweep or cache-reusing query
+        # (ADVICE r4); blocking=False, the files vanish with base
+        for name in ("permissive", "dropped"):
+            frame = locals().get(name)
+            if frame is not None:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
         shutil.rmtree(base, ignore_errors=True)
 
 
