@@ -89,23 +89,61 @@ def with_global_prefix_sum(
     This is the distributed prefix-sum a 100 TB pipeline uses for
     token-budget shard packing (q89), byte-offset assignment, or
     quota-fill sampling."""
+    out, totals = with_global_prefix_sums(
+        df, order_col, [measure], tiebreak=tiebreak, n_buckets=n_buckets,
+        cum_cols=[cum_col], boundaries=boundaries)
+    return out, totals[0]
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    measures: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    n_buckets: int = 32,
+    cum_cols: Sequence[str] | None = None,
+    boundaries: str = "quantile",
+) -> tuple[DataFrame, list[int]]:
+    """Multi-measure :func:`with_global_prefix_sum`: ONE bucketing
+    pass + ONE tiny per-bucket aggregate producing an exact inclusive
+    prefix sum column for EVERY measure at once; returns
+    ``(df_with_cums, [grand_total per measure])``.
+
+    N sequential single-measure calls re-bucket and re-sort the same
+    frame N times; two-sided CDFs (q176's KS statistic needs cum
+    counts of BOTH groups over one value order) and quota ladders
+    want all the running sums from one pass. Cost is identical to the
+    single-measure kernel: driver traffic ≤ ``n_buckets`` rows of
+    ``len(measures)`` integer scalars, one per-bucket window sort
+    shared by every cumulative column. Measures must be integral
+    (LONG offsets, as in the single-measure kernel)."""
+    if cum_cols is None:
+        cum_cols = [f"__cum_{m}" for m in measures]
+    if len(cum_cols) != len(measures):
+        raise ValueError("cum_cols must match measures 1:1")
     b = _range_bucketed(df, order_col, n_buckets, boundaries)
-    sums = {r["__b"]: r["s"] for r in
-            b.groupBy("__b").agg(F.sum(measure).alias("s")).collect()}
-    total = sum(sums.values())
-    offsets, acc = [], 0
+    rows = b.groupBy("__b").agg(
+        *[F.sum(m).alias(f"__s{i}") for i, m in enumerate(measures)]
+    ).collect()
+    sums = {r["__b"]: [r[f"__s{i}"] or 0 for i in range(len(measures))]
+            for r in rows}
+    totals = [sum(v[i] for v in sums.values())
+              for i in range(len(measures))]
+    offsets, acc = [], [0] * len(measures)
     for bk in sorted(sums):
-        offsets.append((bk, acc))
-        acc += sums[bk]
-    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+        offsets.append((bk, *acc))
+        acc = [a + s for a, s in zip(acc, sums[bk])]
+    off_cols = [f"__off{i}" for i in range(len(measures))]
+    off = df.sparkSession.createDataFrame(
+        offsets, "__b int, " + ", ".join(f"{c} long" for c in off_cols))
     w = (Window.partitionBy("__b").orderBy(order_col, *tiebreak)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (
-        b.join(F.broadcast(off), "__b")
-        .withColumn(cum_col, F.col("__off") + F.sum(measure).over(w))
-        .drop("__b", "__off")
-    )
-    return out, total
+    out = b.join(F.broadcast(off), "__b").select(
+        "*",
+        *[(F.col(oc) + F.sum(m).over(w)).alias(cc)
+          for oc, m, cc in zip(off_cols, measures, cum_cols)],
+    ).drop("__b", *off_cols)
+    return out, totals
 
 
 def with_global_running_max(

@@ -1104,11 +1104,15 @@ def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-tie reads a half-updated count, which is why the oracle's
     window form filters to tie-run ends), then builds both cumulative
     counts with the two-pass range-partitioned distributed prefix sum
-    (operators/rankops.with_global_prefix_sum, q89's kernel) — NO
-    single-task global window over the data anywhere; the max
-    numerator is an exact integer and ks_d is ONE IEEE division of
-    exact integers."""
-    from hearthstats_spark.operators.rankops import with_global_prefix_sum
+    — the MULTI-MEASURE kernel
+    (operators/rankops.with_global_prefix_sums): both CDFs come out
+    of ONE bucketing pass and one shared per-bucket sort, instead of
+    two sequential single-measure passes re-bucketing the same
+    v-ordered frame. NO single-task global window over the data
+    anywhere; the max numerator is an exact integer and ks_d is ONE
+    IEEE division of exact integers."""
+    from hearthstats_spark.operators.rankops import \
+        with_global_prefix_sums
 
     o = load_table(spark, sf_dir, "orders")
     s = o.select(
@@ -1120,8 +1124,8 @@ def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("a0"),
                  F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
                  .alias("a1")))
-    c0, n0 = with_global_prefix_sum(vals, "v", "a0", cum_col="c0")
-    c01, n1 = with_global_prefix_sum(c0, "v", "a1", cum_col="c1")
+    c01, (n0, n1) = with_global_prefix_sums(
+        vals, "v", ["a0", "a1"], cum_cols=["c0", "c1"])
     d = c01.agg(
         F.max(F.abs(F.col("c0") * F.lit(n1)
                     - F.col("c1") * F.lit(n0))).alias("dnum"))

@@ -134,6 +134,37 @@ def test_global_prefix_sum_matches_sequential(spark, rows, n_buckets,
 
 @given(rows=st.lists(
     st.tuples(st.integers(0, 10_000),           # unique order key
+              st.integers(0, 1_000),            # measure a
+              st.integers(0, 1_000)),           # measure b
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+), n_buckets=st.integers(1, 5),
+    boundaries=st.sampled_from(["quantile", "uniform"]))
+@_SETTINGS
+def test_global_prefix_sums_multi_measure(spark, rows, n_buckets,
+                                          boundaries):
+    """with_global_prefix_sums (the multi-measure kernel q176's
+    two-sided CDF uses) must equal the per-measure sequential running
+    sums — both cumulative columns from ONE bucketing pass agree with
+    independent single-measure computation for any distribution."""
+    from hearthstats_spark.operators.rankops import \
+        with_global_prefix_sums
+
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got_df, totals = with_global_prefix_sums(
+        df, "id", ["a", "b"], n_buckets=n_buckets,
+        cum_cols=["ca", "cb"], boundaries=boundaries)
+    got = {r["id"]: (r["ca"], r["cb"]) for r in got_df.collect()}
+    want, acc_a, acc_b = {}, 0, 0
+    for rid, a, b in sorted(rows):
+        acc_a += a
+        acc_b += b
+        want[rid] = (acc_a, acc_b)
+    assert totals == [acc_a, acc_b]
+    assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 10_000),           # unique order key
               st.integers(-50, 50)),            # integer measure
     min_size=1, max_size=40, unique_by=lambda t: t[0],
 ), n_buckets=st.integers(1, 5), strict=st.booleans())
