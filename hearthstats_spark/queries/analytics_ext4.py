@@ -890,8 +890,15 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union of the small checkpointed layers, assembled once at the
     end. Anti-joining per layer instead of against one union frame
     is the same row count either way and each probe side is already
-    materialized. Oracle: recursive CTE with the UNION-dedup doing
-    the visited-set work, MIN(d) per vertex outside the recursion."""
+    materialized. Layers are checkpointed HASH-PARTITIONED on v with
+    the edge side's partition count (VERDICT r4 item 5): hash(v, N)
+    satisfies both the frontier⋈edges key (src == v) and every
+    anti-join key, so each BFS round plans exactly ONE
+    frontier-sized Exchange — the dst re-key inside distinct(), the
+    dataflow minimum — instead of re-deriving the frontier layout
+    per depth (plan-pinned in tests/test_ext4.py). Oracle: recursive
+    CTE with the UNION-dedup doing the visited-set work, MIN(d) per
+    vertex outside the recursion."""
     from functools import reduce
 
     from hearthstats_spark.queries.analytics_ext import co_order_edges
@@ -899,6 +906,7 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.operators.graph import checkpoint_partitioned
 
     e = co_order_edges(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # materialize src-partitioned (layout preserved through the
     # checkpoint): all 3 rounds join on src, so the edge side never
     # re-exchanges — only the frontier moves, the BFS invariant
@@ -906,23 +914,27 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"),
                            F.col("a").alias("dst"))),
-        ["src"], int(spark.conf.get("spark.sql.shuffle.partitions")))
+        ["src"], n_part)
     # seed from the CHECKPOINTED frame — e.agg(min) would re-run the
     # whole basket-expansion pipeline a second time just for one
     # scalar (min(src) over both directions == min vertex == min(a),
     # since co_order_edges emits a < b)
     seed = und.agg(F.min("src").alias("v"))
-    layers = [seed.select("v", F.lit(0).alias("depth")).localCheckpoint()]
+    layers = [checkpoint_partitioned(
+        seed.select("v", F.lit(0).alias("depth")), ["v"], n_part)]
     frontier = layers[0].select("v")
     for depth in range(1, 4):
         nxt = (und.join(frontier, und["src"] == frontier["v"])
                .select(F.col("dst").alias("v")).distinct())
         for prev in layers:
             nxt = nxt.join(prev.select("v"), "v", "left_anti")
-        # checkpoint the LAYER (frontier-sized): the next round's join
-        # must not re-run this round's expansion, and the final union
-        # reads materialized blocks only
-        layer = nxt.withColumn("depth", F.lit(depth)).localCheckpoint()
+        # checkpoint the LAYER (frontier-sized) v-partitioned: the
+        # next round's join must not re-run this round's expansion,
+        # the final union reads materialized blocks only, and the
+        # preserved hash(v, N) layout feeds the next round's
+        # frontier join + all later anti-joins exchange-free
+        layer = checkpoint_partitioned(
+            nxt.withColumn("depth", F.lit(depth)), ["v"], n_part)
         layers.append(layer)
         frontier = layer.select("v")
     visited = reduce(lambda a, b: a.unionByName(b), layers)
