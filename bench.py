@@ -26,6 +26,13 @@ sees) — both recorded per query in BENCH_DETAIL.json.
 
 Side-effect/streaming smoke ops (s01–s12) are excluded: they time
 file-system round-trips, not query execution.
+
+A second phase re-times the 10 most expensive queries in ONE fresh
+JVM (warmup + median-of-3 → ``steady_top`` in BENCH_DETAIL.json):
+in-bench cold numbers for late-alphabet heavyweights carry ~2× JVM
+history noise (code cache, GC state after 170 prior queries), so
+cross-round perf comparisons should read ``steady_top`` first.
+Set ``SPARK_GRAFT_SKIP_STEADY=1`` to skip (fast local iteration).
 """
 
 from __future__ import annotations
@@ -141,6 +148,32 @@ def main() -> int:
     # comparable across rounds as query coverage grows
     headline_total = round(sum(timings[k] for k in HEADLINE
                                if timings.get(k, -1) >= 0), 3)
+
+    # Phase 2 — reproducible heavyweight timings (VERDICT r4 item 4):
+    # the 10 most expensive queries re-timed in ONE fresh JVM
+    # (warmup + median-of-3), after this session's JVM is torn down,
+    # so BENCH_DETAIL carries a steady number free of the
+    # 170-queries-of-history interference that made in-bench colds
+    # for late-alphabet heavyweights ~2x their isolated times.
+    # Round-over-round perf diffs should read `steady_top` first and
+    # treat cold as the cross-round trend line only.
+    steady: dict[str, float] = {}
+    top = sorted(ok, key=lambda k: ok[k], reverse=True)[:10]
+    if top and not os.environ.get("SPARK_GRAFT_SKIP_STEADY"):
+        spark.stop()  # free the 128 GiB JVM before forking another
+        import subprocess
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts", "steady_bench.py"),
+               *top, "--sf", sf_dir]
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1800)
+            sys.stderr.write(res.stderr[-4000:])
+            steady = json.loads(res.stdout.strip().splitlines()[-1])
+        except Exception as e:  # steady phase is additive, never fatal
+            print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     detail = {
         "metric": "headline6_total_latency",
         "value": headline_total,
@@ -149,6 +182,7 @@ def main() -> int:
         "headline": {k: timings.get(k) for k in HEADLINE},
         "queries": {k: {"cold": v, "warm": warm.get(k)}
                     for k, v in timings.items()},
+        "steady_top": steady,
         "total_all_queries": round(sum(ok.values()), 3),
         "total_all_queries_warm": round(
             sum(v for v in warm.values() if v >= 0), 3),
