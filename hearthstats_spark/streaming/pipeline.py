@@ -875,3 +875,309 @@ def s19_stream_stream_left_outer(spark: SparkSession,
         "n_stream_matched long, n_batch_matched long, "
         "n_stream_unmatched long, n_batch_unmatched long",
     )
+
+
+class _ShimValueState:
+    """API-shape-faithful stand-in for
+    ``pyspark.sql.streaming.stateful_processor.ValueState``, backed by
+    a plain dict slot — lets a ``StatefulProcessor`` subclass run
+    UNMODIFIED over the old ``applyInPandasWithState`` runtime when
+    the new API's protobuf state-server dependency is absent (s22's
+    fallback lane). Same get()/exists()/update()/clear() signatures,
+    same tuple-valued rows."""
+
+    def __init__(self, store: dict, name: str):
+        self._store, self._name = store, name
+
+    def exists(self) -> bool:
+        return self._name in self._store
+
+    def get(self):
+        v = self._store.get(self._name)
+        return tuple(v) if v is not None else None
+
+    def update(self, value) -> None:
+        self._store[self._name] = list(value)
+
+    def clear(self) -> None:
+        self._store.pop(self._name, None)
+
+
+class _ShimListState:
+    """``ListState`` shim: get() iterates tuple rows, appendValue
+    appends one, appendList extends — the subset the processor
+    contract uses, with the real API's row-tuple shapes."""
+
+    def __init__(self, store: dict, name: str):
+        self._store, self._name = store, name
+
+    def exists(self) -> bool:
+        return bool(self._store.get(self._name))
+
+    def get(self):
+        return iter(tuple(v) for v in self._store.get(self._name, []))
+
+    def appendValue(self, value) -> None:
+        self._store.setdefault(self._name, []).append(list(value))
+
+    def appendList(self, values) -> None:
+        for v in values:
+            self.appendValue(v)
+
+    def put(self, values) -> None:
+        self._store[self._name] = [list(v) for v in values]
+
+    def clear(self) -> None:
+        self._store.pop(self._name, None)
+
+
+class _ShimMapState:
+    """``MapState`` shim: user keys and values are row tuples exactly
+    like the real API (keys() yields key tuples, getValue returns the
+    value tuple); backing storage is a JSON-able list-pair dict."""
+
+    def __init__(self, store: dict, name: str):
+        self._store, self._name = store, name
+
+    def _m(self) -> dict:
+        return self._store.setdefault(self._name, {})
+
+    def exists(self) -> bool:
+        return bool(self._store.get(self._name))
+
+    def containsKey(self, key) -> bool:
+        return json.dumps(list(key)) in self._m()
+
+    def getValue(self, key):
+        return tuple(self._m()[json.dumps(list(key))])
+
+    def updateValue(self, key, value) -> None:
+        self._m()[json.dumps(list(key))] = list(value)
+
+    def keys(self):
+        return iter(tuple(json.loads(k)) for k in self._m())
+
+    def values(self):
+        return iter(tuple(v) for v in self._m().values())
+
+    def iterator(self):
+        return iter((tuple(json.loads(k)), tuple(v))
+                    for k, v in self._m().items())
+
+    def removeKey(self, key) -> None:
+        self._m().pop(json.dumps(list(key)), None)
+
+    def clear(self) -> None:
+        self._store.pop(self._name, None)
+
+
+class _ShimHandle:
+    """``StatefulProcessorHandle`` shim over one dict (schemas are
+    accepted and ignored — the old runtime serializes the dict as a
+    JSON blob in its single state tuple; TTL/timers raise, they need
+    the real runtime)."""
+
+    def __init__(self, store: dict):
+        self._store = store
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _ShimValueState(self._store, name)
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return _ShimListState(self._store, name)
+
+    def getMapState(self, name, user_key_schema, value_schema,
+                    ttlDurationMs=None):
+        return _ShimMapState(self._store, name)
+
+
+def _s22_processor():
+    """The user-facing ``StatefulProcessor`` for s22 — defined once,
+    run by BOTH lanes (real transformWithStateInPandas when protobuf
+    exists, the shim lane otherwise): three independently-typed state
+    variables per user, the capability the old single-tuple API
+    lacked.
+
+    Imported lazily: ``stateful_processor`` itself imports cleanly
+    without protobuf (only the runtime's state server needs it)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n long, total double")
+            self.batch_sums = handle.getListState("batch_sums", "s double")
+            self.type_counts = handle.getMapState(
+                "type_counts", "t string", "c long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (self.totals.get() if self.totals.exists()
+                        else (0, 0.0))
+            batch_n, batch_sum = 0, 0.0
+            for pdf in rows:
+                batch_n += len(pdf)
+                batch_sum += float(pdf["value"].sum())
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (self.type_counts.getValue((t,))[0]
+                            if self.type_counts.containsKey((t,)) else 0)
+                    self.type_counts.updateValue((t,), (prev + int(c),))
+            n += batch_n
+            total += batch_sum
+            self.totals.update((n, total))
+            self.batch_sums.appendValue((batch_sum,))
+            entries = [v[0] for v in self.batch_sums.get()]
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_types": [sum(1 for _ in self.type_counts.keys())],
+                "n_batches": [len(entries)],
+                "list_total": [float(sum(entries))],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+S22_OUTPUT_SCHEMA = ("user_id long, n_events long, total_value double, "
+                     "n_types long, n_batches long, list_total double")
+
+
+@register("s22_stream_transform_with_state", oracle=None)  # rows-only
+def s22_stream_transform_with_state(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` — the new-generation
+    arbitrary-stateful API that supersedes s05's
+    ``applyInPandasWithState``: a ``StatefulProcessor`` holds MULTIPLE
+    independently-typed state variables per key (ValueState +
+    ListState + MapState; the old API packs everything into one state
+    tuple), plus timers and per-state TTL (VERDICT r4 item 6).
+
+    Per-user state, one variable of each type:
+    - ValueState ``totals``     — running (n_events, value_sum);
+    - ListState  ``batch_sums`` — one subtotal appended per
+      micro-batch the key appears in; its sum must rebuild the
+      ValueState total (cross-variable consistency, test-asserted);
+    - MapState   ``type_counts`` — event_type → count.
+
+    Each batch emits the key's running row tagged with the
+    foreachBatch ``batch_id``; the LAST emission per user must equal
+    the batch groupBy answer (tests/test_streaming.py), identically
+    on either lane:
+
+    - ``transformWithState`` lane: the real API on the RocksDB
+      provider (REQUIRED by it — typed variables map onto RocksDB
+      column families; it's also the disk-backed store a 100 TB
+      deployment runs). Its Python state server speaks protobuf to
+      the JVM, and this container ships no ``google.protobuf`` (and
+      no pip), so the lane is probed at import and SELF-FLIPS the
+      round the wheel appears — the s01 sqlite-jdbc offline-dep
+      protocol (BASELINE.md).
+    - ``shim`` lane (what runs here): the SAME processor object over
+      ``applyInPandasWithState``, with dict-backed shims exposing the
+      exact state-variable API shapes; the three variables serialize
+      as one JSON blob in the old runtime's state tuple. Proves the
+      processor contract + migration path; timers/TTL stay
+      real-lane-only (the shims raise nothing silently — they don't
+      define those methods at all).
+
+    Timers aren't asserted on either lane: under an AvailableNow
+    drain, processing-time expiry is nondeterministic relative to the
+    final batch; ``timeMode='None'`` keeps batch-equivalence exact."""
+    import importlib.util
+
+    src, ev = write_replay_source(spark, sf_dir)
+    try:  # find_spec raises if even the 'google' namespace is absent
+        have_proto = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_proto = False
+    out = tempfile.mkdtemp(prefix="hs_s22_out_")
+
+    if have_proto:
+        lane = "transformWithState"
+        rocksdb = ("org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        before = spark.conf.get(prov_key, None)
+        spark.conf.set(prov_key, rocksdb)
+        try:
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)  # one replay file per micro-batch
+                .parquet(src)
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    statefulProcessor=_s22_processor(),
+                    outputStructType=S22_OUTPUT_SCHEMA,
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            )
+            _s22_drain(stream, out)
+        finally:
+            if before is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, before)
+    else:
+        lane = "shim"
+        from pyspark.sql.streaming.state import (
+            GroupState, GroupStateTimeout)
+
+        def shim_handler(key, pdfs, state: GroupState):
+            store = json.loads(state.get[0]) if state.exists else {}
+            proc = _s22_processor()
+            proc.init(_ShimHandle(store))
+            emissions = list(proc.handleInputRows(key, pdfs, None))
+            state.update((json.dumps(store),))
+            yield from emissions
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)  # one replay file per micro-batch
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                shim_handler,
+                outputStructType=S22_OUTPUT_SCHEMA,
+                stateStructType="js string",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        _s22_drain(stream, out)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        spark.read.parquet(out)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events",
+                F.round("total_value", 4).alias("total_value"),
+                "n_types", "n_batches",
+                F.round("list_total", 4).alias("list_total"),
+                F.lit(lane).alias("lane"))
+    )
+
+
+def _s22_drain(stream: DataFrame, out: str) -> None:
+    """AvailableNow-drain ``stream`` through the batch_id-tagging
+    foreachBatch parquet sink both s22 lanes share."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out))
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()

@@ -191,3 +191,30 @@ def test_stream_foreachbatch_merge_equals_batch(spark, registry):
     assert row["n_batches"] > 1
     assert row["n_only_stream"] == 0
     assert row["n_only_batch"] == 0
+
+
+def test_s22_transform_with_state_equals_batch(spark, registry):
+    """s22 (transformWithStateInPandas / shim lane): the final
+    per-user emission must equal the batch groupBy answer, the
+    MapState type cardinality must equal the batch distinct count,
+    and the ListState per-batch subtotals must rebuild the ValueState
+    total exactly (cross-variable consistency) across all 5
+    micro-batches."""
+    from hearthstats_spark.io import load_table
+
+    rows = registry["s22_stream_transform_with_state"] \
+        .fn(spark, SF_SMALL).collect()
+    got = {r["user_id"]: r for r in rows}
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {r["user_id"]: r for r in ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("t"),
+        F.countDistinct("event_type").alias("k")).collect()}
+    assert set(got) == set(want)
+    for u, w in want.items():
+        g = got[u]
+        assert g["n_events"] == w["n"]
+        assert abs(g["total_value"] - w["t"]) <= 1e-3
+        assert g["n_types"] == w["k"]
+        assert g["n_batches"] >= 2  # replay really spanned micro-batches
+        assert abs(g["list_total"] - g["total_value"]) <= 1e-6
