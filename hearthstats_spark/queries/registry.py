@@ -77,6 +77,7 @@ QUERY_MODULES = (
     "hearthstats_spark.queries.analytics_ext5",
     "hearthstats_spark.queries.analytics_ext6",
     "hearthstats_spark.queries.analytics_ext7",
+    "hearthstats_spark.queries.analytics_ext8",
     "hearthstats_spark.queries.ann",
     "hearthstats_spark.queries.multimodal",
     "hearthstats_spark.queries.sketches",

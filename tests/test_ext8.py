@@ -1,0 +1,25 @@
+"""Round-5 operators: the sketch-vs-exact agreement contracts the
+oracle hash can't check (q177 is rows-only — DuckDB can't reproduce
+Spark's GK cut placement)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_MED, SF_SMALL
+
+
+def test_q177_bounds_bracket_exact_ks(spark, registry):
+    """q177's [d_est, d_upper] must BRACKET q176's exact two-sample
+    D at both small SFs — d_est is a max over a subset of the sup's
+    candidate points (never above), d_upper adds each bucket's larger
+    side-mass (never below) — and the bracket must be tight enough
+    to be useful (width ≤ 2·2/B + slack; B=64 cuts)."""
+    for sf in (SF_SMALL, SF_MED):
+        exact = registry["q176_ks_two_sample"].fn(spark, sf).head()
+        approx = registry["q177_ks_sketch_drift"].fn(spark, sf).head()
+        d = exact["ks_d"]
+        assert approx["ks_d_est"] <= d + 1e-12, (sf, approx, d)
+        assert d <= approx["ks_d_upper"] + 1e-12, (sf, approx, d)
+        assert approx["ks_d_upper"] - approx["ks_d_est"] <= 0.1
+        # sanity: same populations on both sides
+        assert approx["n_urgent"] == exact["n_urgent"]
+        assert approx["n_other"] == exact["n_other"]

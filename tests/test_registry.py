@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 176 declared
-queries q01–q176 + 22 side-effect/streaming ops s01–s22; 170
+queries q01–q177 + 22 side-effect/streaming ops s01–s22; 170
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,13 +7,13 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 177)
+    f"q{i:02d}" for i in range(1, 178)
 } | {f"s{i:02d}" for i in range(1, 23)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
     "q139_sketch_cms", "q140_sketch_quantile_rollup",
-    "q151_hll_window_rollup", "s19_stream_stream_left_outer",
+    "q151_hll_window_rollup", "q177_ks_sketch_drift", "s19_stream_stream_left_outer",
     "s20_csv_corrupt_records", "s21_binary_file_source",
     "s22_stream_transform_with_state",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
