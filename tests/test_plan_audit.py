@@ -248,7 +248,11 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
                     "q135_ewma_revenue",
                     # q169's remainder rank runs AFTER aggregation to
                     # nation cardinality (25 rows at any raw scale)
-                    "q169_largest_remainder_alloc"}
+                    "q169_largest_remainder_alloc",
+                    # q177's cumulative CDF windows run AFTER the
+                    # bucket-count aggregation to ≤ B+1 = 65 rows at
+                    # any raw scale (the sketch bounds the frame)
+                    "q177_ks_sketch_drift"}
 
 
 def _has_global_window(plan: str) -> bool:
