@@ -170,7 +170,14 @@ def main() -> int:
             res = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=1800)
             sys.stderr.write(res.stderr[-4000:])
-            steady = json.loads(res.stdout.strip().splitlines()[-1])
+            # distinguish "steady subprocess died" (OOM, crash —
+            # returncode/empty stdout) from a parse issue (ADVICE r5)
+            if res.returncode != 0 or not res.stdout.strip():
+                print(f"[bench] steady phase crashed: returncode="
+                      f"{res.returncode}, stdout_bytes="
+                      f"{len(res.stdout)}", file=sys.stderr)
+            else:
+                steady = json.loads(res.stdout.strip().splitlines()[-1])
         except Exception as e:  # steady phase is additive, never fatal
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)

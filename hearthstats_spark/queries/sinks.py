@@ -457,6 +457,7 @@ def s20_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = ("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
               "_corrupt_record STRING")
+    permissive = dropped = None
     try:
         permissive = (
             spark.read.schema(schema)
@@ -497,8 +498,7 @@ def s20_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wide clearCache() would evict every caller-held cache when
         # s20 composes with a bench sweep or cache-reusing query
         # (ADVICE r4); blocking=False, the files vanish with base
-        for name in ("permissive", "dropped"):
-            frame = locals().get(name)
+        for frame in (permissive, dropped):
             if frame is not None:
                 try:
                     frame.unpersist()

@@ -980,14 +980,24 @@ class _ShimHandle:
     def __init__(self, store: dict):
         self._store = store
 
+    @staticmethod
+    def _no_ttl(ttlDurationMs) -> None:
+        if ttlDurationMs is not None:
+            raise NotImplementedError(
+                "state TTL needs the real transformWithStateInPandas "
+                "runtime; the shim lane would silently never expire")
+
     def getValueState(self, name, schema, ttlDurationMs=None):
+        self._no_ttl(ttlDurationMs)
         return _ShimValueState(self._store, name)
 
     def getListState(self, name, schema, ttlDurationMs=None):
+        self._no_ttl(ttlDurationMs)
         return _ShimListState(self._store, name)
 
     def getMapState(self, name, user_key_schema, value_schema,
                     ttlDurationMs=None):
+        self._no_ttl(ttlDurationMs)
         return _ShimMapState(self._store, name)
 
 

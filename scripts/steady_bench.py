@@ -45,7 +45,14 @@ def main() -> int:
 
     out: dict[str, float] = {}
     for prefix in args.queries:
-        for name in [n for n in sorted(reg) if n.startswith(prefix)]:
+        # exact registry name first — `q17` must not also time
+        # q170-q179 (ADVICE r5); prefix expansion only as a fallback
+        # convenience for standalone use like `steady_bench.py q144_`
+        if prefix in reg:
+            matches = [prefix]
+        else:
+            matches = [n for n in sorted(reg) if n.startswith(prefix)]
+        for name in matches:
             runs: list[float] = []
             try:
                 for i in range(args.n + 1):  # run 0 = untimed warmup
