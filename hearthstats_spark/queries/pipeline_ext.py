@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
+from hearthstats_spark.operators.bounded import broadcast_bounded
 from hearthstats_spark.queries.registry import register
 
 # RE2- and Java-compatible patterns (no lookaround, no back-refs)
@@ -127,12 +128,17 @@ def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     == 0), with the count of distinct shared shingles per doc.
 
     Plan: shingles via built-in HOFs (sequence → transform(slice) →
-    explode — no Python); the eval shingle set is tiny (1/{_EVAL_MOD}
-    of the corpus) and broadcast, so the screen is a map-side hash
+    explode — no Python); the eval shingle set is small here
+    (1/{_EVAL_MOD} of the corpus) so the screen is a map-side hash
     join over the training shingle stream plus one count aggregate.
-    At 100 TB the eval set is benchmarks (MMLU/GSM8K/…): still
-    broadcast-sized; this is the standard n-gram decontamination
-    pass (e.g. GPT-3 appendix C) as one Spark job."""
+    At 100 TB the eval set is benchmarks (MMLU/GSM8K/…) — bounded by
+    workload, NOT by construction — so the broadcast goes through
+    ``broadcast_bounded``: the hint only applies if a limit-probe
+    proves ≤ 1M distinct eval shingles, and a bigger eval side
+    degrades to a shuffle join instead of an executor OOM (VERDICT
+    r5 item 4 — this was the allowlist's riskiest narrative bound).
+    This is the standard n-gram decontamination pass (e.g. GPT-3
+    appendix C) as one Spark job."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     sh = toks.select(
@@ -150,7 +156,7 @@ def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = (sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
                 .select("doc_id", "g").distinct())
     return (
-        train_sh.join(F.broadcast(eval_sh), "g")
+        train_sh.join(broadcast_bounded(eval_sh, 1_000_000), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -229,8 +235,11 @@ def q92_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = tok.filter(F.col("term").isin(*_BM25_TERMS))
     tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df is ≤ |query terms| rows by the isin filter, but the bound
+    # lives in the expression, not the plan text — enforce it with
+    # the runtime guard instead of a plan-audit allowlist entry
     contrib = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(broadcast_bounded(df, 16), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(

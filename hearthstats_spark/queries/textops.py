@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
+from hearthstats_spark.operators.bounded import broadcast_bounded
 from hearthstats_spark.queries.registry import register
 
 _STOPWORDS = ("a", "the")
@@ -69,7 +70,11 @@ def q56_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by marker hits (integer counts — hash-exact) and argmax'd
     with a deterministic tie-break.
 
-    Scale: marker table is O(langs × 10) → broadcast; scoring is one
+    Scale: marker table is O(langs × 10) and the lang frame O(langs)
+    — but "langs is small" is a data property, not a plan property,
+    so both broadcasts go through ``broadcast_bounded`` (runtime
+    limit-probe; above the cap the hint is withheld and Catalyst
+    plans a shuffle join — VERDICT r5 item 4). Scoring is one
     explode + hash agg, linear in tokens."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang",
@@ -79,13 +84,13 @@ def q56_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers = (lang_term.withColumn("rk", F.row_number().over(w))
                .filter(F.col("rk") <= 10)
                .select(F.col("lang").alias("pred_lang"), "term"))
-    scores = (tok.join(F.broadcast(markers), "term")
+    scores = (tok.join(broadcast_bounded(markers, 4096), "term")
               .groupBy("doc_id", "pred_lang")
               .agg(F.count(F.lit(1)).alias("score")))
     langs = d.select(F.col("lang").alias("pred_lang")).distinct()
     dense = (
         d.select("doc_id", F.col("lang").alias("true_lang"))
-        .crossJoin(F.broadcast(langs))
+        .crossJoin(broadcast_bounded(langs, 512))
         .join(scores, ["doc_id", "pred_lang"], "left")
         .withColumn("score", F.coalesce("score", F.lit(0)))
     )

@@ -69,24 +69,20 @@ PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
 #: the textual plan can't prove (rank filters, enum-valued group
 #: keys, constant-selective predicates), so each carries its bound:
 FORCED_BROADCAST_OK = {
-    # top-10-per-language marker table (rank filter) + distinct-lang
-    # enum frame: O(langs · 10) and O(langs) at any corpus size
-    "q56_text_langid": 2,
-    # composes q56 twice (train/eval halves) → inherits its 2 sites
-    # per branch
+    # Static allowlist — ONLY bounds visible by construction in the
+    # query's own geometry (VERDICT r5 item 4 shrank this from 11
+    # entries to 4: q56/q165/q91/q92 now route every fact-frame hint
+    # through operators/bounded.broadcast_bounded, whose limit-probe
+    # ENFORCES the bound at build time and is credited below via
+    # GUARDED_SITES; q61/q87/q85's probe frames are recognized by
+    # the detector's pushed-LessThan-on-key rule).
+    #
+    # q165 calls q56 ONCE (2 runtime-guarded sites recorded), but its
+    # two confusion branches (groupBy true_lang / pred_lang) duplicate
+    # the q56 subplan, so the SAME 2 enforced-bounded hints appear as
+    # 4 exchanges; nothing here is un-guarded. (Caching preds would
+    # collapse this to 0 but touches the r6 stale band — round 7.)
     "q165_eval_confusion_metrics": 4,
-    # the probe set: vec_id < N_QUERIES (10 rows) — a constant
-    # equality-selective predicate, not SF-linear
-    "q61_ann_ivf": 1,
-    "q87_ann_ivf_multiprobe": 1,
-    # same probe set, one hint per OR-ed LSH table branch
-    "q85_ann_lsh": 2,
-    # the eval/benchmark shingle set: at the design point this is a
-    # fixed benchmark suite (MMLU/GSM8K/…), bounded regardless of
-    # corpus size (docstring: "GPT-3 appendix C" decontamination)
-    "q91_contamination": 1,
-    # per-term df over the 3 constant query terms (isin filter)
-    "q92_bm25_topk": 1,
     # k=8 centroid frame (groupBy on a pmod-k key: ≤ k rows)
     "q101_kmeans_assign": 1,
     # misra-gries candidate set: ≤ partitions/s rows by the sketch's
@@ -115,7 +111,12 @@ def forced_broadcast_offenses(plan: str) -> list[str]:
 
     Bounded shapes the text can prove: keyless aggregate
     (``Keys: []`` → ≤1 row), GlobalLimit/CollectLimit/
-    TakeOrderedAndProject (≤ limit rows). Driver-made frames
+    TakeOrderedAndProject (≤ limit rows), and — the ANN probe-set
+    shape — EVERY fact scan in the subtree carrying a pushed
+    ``LessThan[OrEqual](<col>_id, k)`` with k ≤ 1024: the schema's
+    ``*_id`` columns are dense surrogate keys from 0, so a pushed
+    less-than on one bounds the scan to ≤ k rows (q61/q87/q85's
+    ``vec_id < 10`` probe frames). Driver-made frames
     (ExistingRDD/LocalTableScan/Range) are the rankops bucket-
     boundary metadata — ≤ n_buckets rows, already capped by
     test_no_driver_materialization_in_sources."""
@@ -148,19 +149,28 @@ def forced_broadcast_offenses(plan: str) -> list[str]:
             continue
         srcs: set[str] = set()
         bounded = False
+        all_scans_key_bounded = True
+        saw_scan = False
         for (c, n, d) in nodes[i + 1:]:
             if c <= col:
                 break  # left the subtree
             if n.startswith("Scan parquet"):
+                saw_scan = True
                 blk = details.get(d, "")
                 m = re.search(r"/(\w+)\.parquet", blk)
                 srcs.add(m.group(1) if m else "parquet?")
+                km = re.search(
+                    r"LessThan(?:OrEqual)?\(\w+_id,(\d+)\)", blk)
+                if not (km and int(km.group(1)) <= 1024):
+                    all_scans_key_bounded = False
             if ("Aggregate" in n and d in details
                     and re.search(r"^Keys: \[\]", details[d], re.M)):
                 bounded = True
             if n.startswith(("GlobalLimit", "CollectLimit",
                              "TakeOrderedAndProject")):
                 bounded = True
+        if saw_scan and all_scans_key_bounded:
+            bounded = True  # dense-key probe set: ≤ k rows per scan
         if srcs & fact and not bounded:
             offenses.append(f"BroadcastExchange({nid}) over {sorted(srcs & fact)}")
     return offenses
@@ -195,9 +205,30 @@ def test_forced_broadcast_detector_positive():
         "                  +- Scan parquet  (2)\n\n"
         "(2) Scan parquet \nLocation: [/x/customer.parquet]\n"
     )
+    probe_ok = (  # pushed LessThan on a dense *_id key: ≤ k rows
+        "* Project (5)\n+- BroadcastHashJoin Inner BuildLeft (4)\n"
+        "   :- BroadcastExchange (3)\n"
+        "   :  +- Scan parquet  (2)\n"
+        "   +- Scan parquet  (1)\n\n"
+        "(2) Scan parquet \nLocation: [/x/embeddings.parquet]\n"
+        "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]\n\n"
+        "(1) Scan parquet \nLocation: [/x/embeddings.parquet]\n"
+        "PushedFilters: [IsNotNull(vec_id)]\n"
+    )
+    nonkey_flagged = (  # LessThan on a NON-key column does not bound
+        "* Project (5)\n+- BroadcastHashJoin Inner BuildLeft (4)\n"
+        "   :- BroadcastExchange (3)\n"
+        "   :  +- Scan parquet  (2)\n"
+        "   +- Scan parquet  (1)\n\n"
+        "(2) Scan parquet \nLocation: [/x/part.parquet]\n"
+        "PushedFilters: [LessThanOrEqual(p_size,20)]\n\n"
+        "(1) Scan parquet \nLocation: [/x/part.parquet]\n"
+    )
     assert forced_broadcast_offenses(flagged)
     assert not forced_broadcast_offenses(keyless_ok)
     assert not forced_broadcast_offenses(cached_ok)
+    assert not forced_broadcast_offenses(probe_ok)
+    assert forced_broadcast_offenses(nonkey_flagged)
 
 
 def test_no_forced_broadcast_of_fact_frames(spark, registry):
@@ -207,19 +238,29 @@ def test_no_forced_broadcast_of_fact_frames(spark, registry):
     the 100 TB design point. Thresholds go to -1 AFTER the query
     builds (the registry wrapper's ensure_conf re-pins the session
     default) and BEFORE the lazy planning that explain triggers, so
-    only hint-forced exchanges survive in the non-cached plan."""
+    only hint-forced exchanges survive in the non-cached plan.
+
+    Allowance per query = static FORCED_BROADCAST_OK entry + the
+    number of ``broadcast_bounded`` guard sites recorded while THIS
+    query built (operators/bounded.GUARDED_SITES): a hint that went
+    through the runtime limit-probe is enforced-bounded, not
+    narrated — a bare F.broadcast of a fact frame stays banned."""
+    from hearthstats_spark.operators.bounded import GUARDED_SITES
+
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     offenders: dict[str, list[str]] = {}
     try:
         for name, q in sorted(registry.items()):
             if not name.startswith("q"):
                 continue
+            n_sites0 = len(GUARDED_SITES)
             df = q.fn(spark, SF_MED)  # ensure_conf runs here
+            guarded = len(GUARDED_SITES) - n_sites0
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
             off = forced_broadcast_offenses(explain_str(df))
-            if len(off) > FORCED_BROADCAST_OK.get(name, 0):
+            if len(off) > FORCED_BROADCAST_OK.get(name, 0) + guarded:
                 offenders[name] = off
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
