@@ -1,0 +1,204 @@
+"""Round-6 pipeline extensions (q182): incremental dedup.
+
+Every dedup lane through round 5 (q48/q49/q83/q118/q136/q155/q172…)
+self-joins the WHOLE corpus — the right shape for a one-shot backfill,
+but a production crawl dedups INCREMENTALLY: each ingestion batch is
+screened against the signature index of everything already accepted,
+and only survivors append to the corpus (the Delta-ingest shape —
+VERDICT r5 item 3). q182 is that operator:
+
+- the **corpus side** is q118's deterministic MinHash band table —
+  scan → one 16-min hash agg → constant ×8 band explode, NO join
+  anywhere in its plan (test_pipeline_ext3 pins this): at 100 TB this
+  frame is PERSISTED once and appended per batch, so per-ingestion
+  cost is a parquet read of the index, never a corpus re-shingle;
+- the **new batch** (here the doc_id % 10 == 0 slice; in production
+  the day's crawl) builds the same signatures over batch-sized input
+  only;
+- the screen is a plain band **equi-join** (new × corpus — never
+  corpus × corpus), candidate pairs verified by full-signature match
+  count, and every batch doc emits a row: its candidate count, best
+  match, and the kept/dropped decision (est_jaccard ≥ 0.5 ⇒ drop).
+
+The MinHash family, banding geometry, and md5 base hash are imported
+from q118 (pipeline_ext2) — one deterministic signature definition
+shared by the backfill and the incremental lane, so an index built by
+either is readable by the other. The oracle replays the identical
+algorithm in DuckDB, so the WHOLE incremental screen is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hearthstats_spark.io import load_table
+from hearthstats_spark.queries.pipeline_ext2 import (
+    _MH_BANDS, _MH_K, _MH_P, _MH_ROWS, _mh_consts, _mh_hash_sql,
+)
+from hearthstats_spark.queries.registry import register
+
+_BATCH_MOD = 10          # doc_id % 10 == 0 ⇒ "today's batch"
+_DROP_AT = _MH_K // 2    # n_match ≥ 8 of 16 ⇒ est_jaccard ≥ 0.5 ⇒ drop
+
+
+def _signatures(spark: SparkSession, sf_dir: str, batch: bool) -> DataFrame:
+    """q118's 16-slot MinHash signature frame over ONE slice of the
+    corpus (batch=True: the new batch; False: the accepted corpus).
+    scan → shingle explode → one 16-min hash agg — no joins, which is
+    what lets the corpus side stand in for a persisted index read."""
+    from hearthstats_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = (F.col("doc_id") % _BATCH_MOD == 0) if batch \
+        else (F.col("doc_id") % _BATCH_MOD != 0)
+    base = F.pmod(
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(_MH_P),
+    )
+    sh = (d.filter(pred)
+          .select(F.col("doc_id").alias("id"),
+                  shingles("text", 3).alias("arr"))
+          .select("id", F.explode("arr").alias("s"))
+          .select("id", base.alias("b")))
+    consts = _mh_consts()
+
+    def h(j: int):
+        a, c = consts[j]
+        return F.pmod(F.lit(a) * F.col("b") + F.lit(c), F.lit(_MH_P))
+
+    return sh.groupBy("id").agg(
+        *[F.min(h(j)).alias(f"m{j}") for j in range(_MH_K)])
+
+
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(id, band, k0, k1) — q118's banding, 8 bands × 2 rows."""
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"m{b * _MH_ROWS + r}").alias(f"k{r}")
+                  for r in range(_MH_ROWS)],
+            )
+            for b in range(_MH_BANDS)
+        ])).alias("bk"),
+    ).select("id", "bk.*")
+
+
+def _q182_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN({_mh_hash_sql(j, 'b')}) AS m{j}" for j in range(_MH_K))
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + ", ".join(f"m{b * _MH_ROWS + r} AS k{r}" for r in range(_MH_ROWS))
+        + " FROM {src}"
+        for b in range(_MH_BANDS))
+    corpus_bands = band_selects.format(src="corpus")
+    new_bands = band_selects.format(src="newb")
+    band_eq = " AND ".join(f"n.k{r} = c.k{r}" for r in range(_MH_ROWS))
+    n_match = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(_MH_K))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+           FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+           WHERE i <= greatest(len(t) - 3, 0)),
+    based AS (SELECT doc_id AS id,
+                     CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 8))
+                          AS BIGINT) % {_MH_P} AS b
+              FROM sh),
+    sig AS (SELECT id, {mins} FROM based GROUP BY id),
+    corpus AS (SELECT * FROM sig WHERE id % {_BATCH_MOD} <> 0),
+    newb AS (SELECT * FROM sig WHERE id % {_BATCH_MOD} = 0),
+    cb AS ({corpus_bands}),
+    nb AS ({new_bands}),
+    cand AS (
+        SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+        FROM nb n JOIN cb c ON n.band = c.band AND {band_eq}
+    ),
+    best AS (
+        SELECT cand.new_id,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MAX({n_match}) AS n_match_best
+        FROM cand
+        JOIN sig sa ON sa.id = cand.new_id
+        JOIN sig sb ON sb.id = cand.corpus_id
+        GROUP BY cand.new_id
+    )
+    SELECT d.doc_id,
+           COALESCE(b.n_candidates, 0) AS n_candidates,
+           CAST(COALESCE(b.n_match_best, 0) AS INT) AS n_match_best,
+           CAST(COALESCE(b.n_match_best, 0) < {_DROP_AT} AS INT) AS kept
+    FROM (SELECT doc_id FROM documents
+          WHERE text IS NOT NULL AND doc_id % {_BATCH_MOD} = 0) d
+    LEFT JOIN best b ON b.new_id = d.doc_id
+    """
+
+
+@register("q182_dedup_incremental", oracle=_q182_oracle())
+def q182_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs signature-index) near-dup screen —
+    one row per batch doc: (doc_id, n_candidates, n_match_best,
+    kept). kept = 0 iff the best full-signature match against the
+    accepted corpus reaches n_match ≥ {_DROP_AT}/{_MH_K}
+    (est_jaccard ≥ 0.5).
+
+    Plan: the corpus lane is scan → 16-min agg → constant band
+    explode with NO join (the persisted-index stand-in; pinned by
+    tests/test_pipeline_ext3.py); the batch lane is the same over
+    batch-sized input; ONE band equi-join screens new against
+    corpus (hash join on (band, k0, k1) — never corpus × corpus),
+    two id-keyed joins fetch both signatures for the match count,
+    and a left join from the batch id list keeps zero-candidate
+    docs. At 100 TB: per-batch cost is O(batch shingles) + an
+    index-sized join keyed by bands — the corpus is touched only
+    through its (persisted) signature index, which is the entire
+    point of the operator."""
+    corpus_sig = _signatures(spark, sf_dir, batch=False).cache()
+    new_sig = _signatures(spark, sf_dir, batch=True).cache()
+    cand = (
+        _band_table(new_sig).alias("n")
+        .join(_band_table(corpus_sig).alias("c"),
+              [F.col("n.band") == F.col("c.band"),
+               *[F.col(f"n.k{r}") == F.col(f"c.k{r}")
+                 for r in range(_MH_ROWS)]])
+        .select(F.col("n.id").alias("new_id"),
+                F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("new_id"),
+                        *[F.col(f"m{j}").alias(f"a{j}")
+                          for j in range(_MH_K)])
+    sb = corpus_sig.select(F.col("id").alias("corpus_id"),
+                           *[F.col(f"m{j}").alias(f"b{j}")
+                             for j in range(_MH_K)])
+    n_match = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(_MH_K)),
+        start=F.lit(0),
+    )
+    best = (
+        cand.join(sa, "new_id").join(sb, "corpus_id")
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+             F.max(n_match).alias("n_match_best"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    batch_ids = (d.filter(F.col("text").isNotNull()
+                          & (F.col("doc_id") % _BATCH_MOD == 0))
+                 .select("doc_id"))
+    return (
+        batch_ids.join(best, batch_ids["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_match_best", F.lit(0)).cast("int")
+            .alias("n_match_best"),
+            (F.coalesce("n_match_best", F.lit(0)) < _DROP_AT)
+            .cast("int").alias("kept"),
+        )
+    )

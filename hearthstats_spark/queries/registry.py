@@ -78,7 +78,9 @@ QUERY_MODULES = (
     "hearthstats_spark.queries.analytics_ext6",
     "hearthstats_spark.queries.analytics_ext7",
     "hearthstats_spark.queries.analytics_ext8",
+    "hearthstats_spark.queries.pipeline_ext3",
     "hearthstats_spark.queries.ann",
+    "hearthstats_spark.queries.ann2",
     "hearthstats_spark.queries.multimodal",
     "hearthstats_spark.queries.sketches",
     "hearthstats_spark.queries.sinks",

@@ -1,0 +1,90 @@
+"""q183 product-quantization ANN: the recall contract (VERDICT r5
+item 5 — PQ/ADC must recall at least as much as the IVF nprobe=1
+probe on the same query set) plus structural sanity of the trained
+codebook and the ADC output. Ground truth is an independent numpy
+brute force; absolute recall on this synthetic corpus is low by
+construction (near-uniform embeddings — the test_ann.py finding),
+but ADC's quantization loss must still beat IVF's candidate loss."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb():
+    import duckdb
+
+    df = duckdb.connect().execute(
+        f"select vec_id, embedding from "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') order by vec_id"
+    ).fetchdf()
+    return df["vec_id"].values, np.stack(
+        df["embedding"].values).astype(np.float64)
+
+
+def _exact_top5(ids, mat, metric):
+    q_mask = ids < 10
+    out = {}
+    for qi, q in zip(np.nonzero(q_mask)[0], ids[q_mask]):
+        if metric == "l2":
+            score = ((mat - mat[qi]) ** 2).sum(axis=1)
+        else:  # cosine, larger = closer -> negate
+            n = np.linalg.norm(mat, axis=1)
+            score = -(mat @ mat[qi]) / (n * n[qi])
+        score[ids == q] = np.inf
+        out[q] = set(ids[np.argsort(score, kind="stable")[:5]])
+    return out
+
+
+def _recall(rows, exact):
+    hits = tot = 0
+    for q, ex in exact.items():
+        got = {r["neighbor_id"] for r in rows if r["query_id"] == q}
+        hits += len(got & ex)
+        tot += len(ex)
+    return hits / tot
+
+
+def test_pq_recall_beats_ivf(spark, registry, emb):
+    """recall@5 of PQ/ADC (vs exact L2) must be ≥ the IVF probe's
+    (vs exact cosine, its own metric) on the same 10 queries.
+    Measured at pin time: PQ 0.22 vs IVF 0.04 — exhaustive-but-
+    quantized beats exact-but-candidate-truncated on uniform data."""
+    ids, mat = emb
+    pq = registry["q183_ann_pq"].fn(spark, SF_SMALL).collect()
+    ivf = registry["q61_ann_ivf"].fn(spark, SF_SMALL).collect()
+    pq_recall = _recall(pq, _exact_top5(ids, mat, "l2"))
+    ivf_recall = _recall(ivf, _exact_top5(ids, mat, "cos"))
+    assert pq_recall >= ivf_recall, (pq_recall, ivf_recall)
+    assert pq_recall >= 0.10, pq_recall  # guard against degeneration
+
+
+def test_codebook_shape(spark):
+    from hearthstats_spark.queries.ann2 import (
+        _K, _M, _SUBD, _subvectors, _trained_codebook,
+    )
+
+    cb = _trained_codebook(_subvectors(spark, SF_SMALL)).collect()
+    assert 0 < len(cb) <= _M * _K
+    assert {r["m"] for r in cb} == set(range(_M))
+    for r in cb:
+        assert 0 <= r["cid"] < _K
+        assert len(r["cv"]) == _SUBD
+
+
+def test_adc_output_structure(spark, registry):
+    rows = registry["q183_ann_pq"].fn(spark, SF_SMALL).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == [1, 2, 3, 4, 5]
+        d = [r["adc_d2"] for r in rs]
+        assert d == sorted(d)
+        assert all(r["neighbor_id"] != q for r in rs)

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 176 declared
-queries q01–q181 + 22 side-effect/streaming ops s01–s22; 174
+"""The registry IS the driver contract (SURVEY.md §2): 183 declared
+queries q01–q183 + 22 side-effect/streaming ops s01–s22; 176
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 182)
+    f"q{i:02d}" for i in range(1, 184)
 } | {f"s{i:02d}" for i in range(1, 23)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -37,7 +37,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 174
+    assert len(with_oracle) == 176
 
 
 def test_names_well_formed(registry):
