@@ -157,8 +157,19 @@ def main() -> int:
     # for late-alphabet heavyweights ~2x their isolated times.
     # Round-over-round perf diffs should read `steady_top` first and
     # treat cold as the cross-round trend line only.
+    #
+    # VERDICT r5 item 6: beyond the fixed top-10, every query whose
+    # in-bench cold exceeds 2x its own warm (and isn't trivially
+    # fast) also gets a steady timing — exactly the population whose
+    # cold number is JVM-history noise rather than work.
     steady: dict[str, float] = {}
     top = sorted(ok, key=lambda k: ok[k], reverse=True)[:10]
+    noisy = [k for k in ok
+             if k not in top and ok[k] >= 0.5
+             and warm.get(k, -1) > 0 and ok[k] / warm[k] > 2.0]
+    # worst ratios first; cap keeps the fresh-JVM phase bounded
+    top = top + sorted(noisy, key=lambda k: ok[k] / warm[k],
+                       reverse=True)[:20]
     if top and not os.environ.get("SPARK_GRAFT_SKIP_STEADY"):
         spark.stop()  # free the 128 GiB JVM before forking another
         import subprocess
