@@ -42,24 +42,20 @@ _BATCH_MOD = 10          # doc_id % 10 == 0 ⇒ "today's batch"
 _DROP_AT = _MH_K // 2    # n_match ≥ 8 of 16 ⇒ est_jaccard ≥ 0.5 ⇒ drop
 
 
-def _signatures(spark: SparkSession, sf_dir: str, batch: bool) -> DataFrame:
-    """q118's 16-slot MinHash signature frame over ONE slice of the
-    corpus (batch=True: the new batch; False: the accepted corpus).
-    scan → shingle explode → one 16-min hash agg — no joins, which is
-    what lets the corpus side stand in for a persisted index read."""
+def signatures_of(docs: DataFrame) -> DataFrame:
+    """q118's 16-slot MinHash signature frame over ANY (doc_id, text)
+    frame: shingle explode → one 16-min hash agg — no joins. Shared
+    by q182's two lanes and s23's per-micro-batch screen, so every
+    consumer reads/writes ONE signature-index format."""
     from hearthstats_spark.operators.dedup import shingles
 
-    d = load_table(spark, sf_dir, "documents")
-    pred = (F.col("doc_id") % _BATCH_MOD == 0) if batch \
-        else (F.col("doc_id") % _BATCH_MOD != 0)
     base = F.pmod(
         F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8),
                16, 10).cast("long"),
         F.lit(_MH_P),
     )
-    sh = (d.filter(pred)
-          .select(F.col("doc_id").alias("id"),
-                  shingles("text", 3).alias("arr"))
+    sh = (docs.select(F.col("doc_id").alias("id"),
+                      shingles("text", 3).alias("arr"))
           .select("id", F.explode("arr").alias("s"))
           .select("id", base.alias("b")))
     consts = _mh_consts()
@@ -70,6 +66,16 @@ def _signatures(spark: SparkSession, sf_dir: str, batch: bool) -> DataFrame:
 
     return sh.groupBy("id").agg(
         *[F.min(h(j)).alias(f"m{j}") for j in range(_MH_K)])
+
+
+def _signatures(spark: SparkSession, sf_dir: str, batch: bool) -> DataFrame:
+    """Signature frame over ONE slice of the corpus (batch=True: the
+    new batch; False: the accepted corpus). scan → agg only, which is
+    what lets the corpus side stand in for a persisted index read."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = (F.col("doc_id") % _BATCH_MOD == 0) if batch \
+        else (F.col("doc_id") % _BATCH_MOD != 0)
+    return signatures_of(d.filter(pred))
 
 
 def _band_table(sig: DataFrame) -> DataFrame:
@@ -139,6 +145,42 @@ def _q182_oracle() -> str:
     """
 
 
+def best_match_against_index(new_sig: DataFrame,
+                             index_sig: DataFrame) -> DataFrame:
+    """(new_id, n_candidates, n_match_best) for every new-side doc
+    sharing ≥ 1 band with the signature index: ONE band equi-join
+    (never new × new or index × index), then two id-keyed joins fetch
+    both signatures for the full match count. Shared by q182 (static
+    corpus slice) and s23 (growing per-batch index)."""
+    cand = (
+        _band_table(new_sig).alias("n")
+        .join(_band_table(index_sig).alias("c"),
+              [F.col("n.band") == F.col("c.band"),
+               *[F.col(f"n.k{r}") == F.col(f"c.k{r}")
+                 for r in range(_MH_ROWS)]])
+        .select(F.col("n.id").alias("new_id"),
+                F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("new_id"),
+                        *[F.col(f"m{j}").alias(f"a{j}")
+                          for j in range(_MH_K)])
+    sb = index_sig.select(F.col("id").alias("corpus_id"),
+                          *[F.col(f"m{j}").alias(f"b{j}")
+                            for j in range(_MH_K)])
+    n_match = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(_MH_K)),
+        start=F.lit(0),
+    )
+    return (
+        cand.join(sa, "new_id").join(sb, "corpus_id")
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+             F.max(n_match).alias("n_match_best"))
+    )
+
+
 @register("q182_dedup_incremental", oracle=_q182_oracle())
 def q182_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (new-batch vs signature-index) near-dup screen —
@@ -160,33 +202,7 @@ def q182_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of the operator."""
     corpus_sig = _signatures(spark, sf_dir, batch=False).cache()
     new_sig = _signatures(spark, sf_dir, batch=True).cache()
-    cand = (
-        _band_table(new_sig).alias("n")
-        .join(_band_table(corpus_sig).alias("c"),
-              [F.col("n.band") == F.col("c.band"),
-               *[F.col(f"n.k{r}") == F.col(f"c.k{r}")
-                 for r in range(_MH_ROWS)]])
-        .select(F.col("n.id").alias("new_id"),
-                F.col("c.id").alias("corpus_id"))
-        .distinct()
-    )
-    sa = new_sig.select(F.col("id").alias("new_id"),
-                        *[F.col(f"m{j}").alias(f"a{j}")
-                          for j in range(_MH_K)])
-    sb = corpus_sig.select(F.col("id").alias("corpus_id"),
-                           *[F.col(f"m{j}").alias(f"b{j}")
-                             for j in range(_MH_K)])
-    n_match = sum(
-        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-         for j in range(_MH_K)),
-        start=F.lit(0),
-    )
-    best = (
-        cand.join(sa, "new_id").join(sb, "corpus_id")
-        .groupBy("new_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-             F.max(n_match).alias("n_match_best"))
-    )
+    best = best_match_against_index(new_sig, corpus_sig)
     d = load_table(spark, sf_dir, "documents")
     batch_ids = (d.filter(F.col("text").isNotNull()
                           & (F.col("doc_id") % _BATCH_MOD == 0))

@@ -1191,3 +1191,155 @@ def _s22_drain(stream: DataFrame, out: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str,
+                        results_dir: str | None = None) -> DataFrame:
+    """s23's engine, shared with tests/test_streaming.py: when
+    ``results_dir`` is given, every micro-batch also appends its
+    per-doc decisions (doc_id, batch_id, n_match_best, kept) there
+    so the test can assert the q182-superset invariant doc by doc;
+    the registered op itself returns only the 1-row counter frame.
+    See s23's docstring for semantics."""
+    return _streaming_dedup_impl(spark, sf_dir, results_dir)
+
+
+@register("s23_stream_incremental_dedup", oracle=None)  # rows-only
+def s23_stream_incremental_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming lane of q182: each micro-batch of newly-crawled
+    documents is near-dup-screened against a PERSISTED MinHash
+    signature index, and survivors' signatures are APPENDED to the
+    index before the next batch — so later batches dedup against
+    earlier survivors too, which is the semantics of a continuously
+    ingesting crawl (q182 is the one-shot screen of a single batch
+    against a frozen corpus; this op closes the loop by growing the
+    index as batches commit).
+
+    Mechanics: the accepted-corpus signature index (q182's
+    ``signatures_of`` over the doc_id % 10 != 0 slice) is
+    materialized to parquet ONCE — at 100 TB this table already
+    exists, maintained by exactly this op. The new-batch slice
+    replays as one file per micro-batch (maxFilesPerTrigger=1,
+    AvailableNow). ``foreachBatch``: signature agg over the batch
+    docs only, band equi-join against the CURRENT index read fresh
+    from parquet (so earlier batches' appends are visible), drop at
+    n_match ≥ 8 of 16, append survivors' signatures. Every
+    step is the batch lane's own kernel (shared functions — one
+    index format), per-batch cost is O(batch) + an index-keyed
+    join, and nothing but scalar counters crosses the driver.
+
+    Self-verification (returned 1-row frame): docs seen == kept +
+    dropped == the batch slice's size; final index rows == initial
+    corpus rows + kept; and a replay invariant — every doc q182's
+    frozen-corpus screen drops must also be dropped here (the index
+    only GROWS, so the incremental screen can only drop MORE; the
+    exact superset identity is asserted doc-by-doc in
+    tests/test_streaming.py)."""
+    return _streaming_dedup_impl(spark, sf_dir, None)
+
+
+def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
+                          results_dir: str | None) -> DataFrame:
+    from hearthstats_spark.queries.pipeline_ext3 import (
+        _BATCH_MOD, _DROP_AT, best_match_against_index, signatures_of,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    batch_docs = d.filter(
+        d.text.isNotNull() & (d.doc_id % _BATCH_MOD == 0))
+    corpus_docs = d.filter(
+        d.text.isNotNull() & (d.doc_id % _BATCH_MOD != 0))
+
+    base = tempfile.mkdtemp(prefix="hs_s23_")
+    index_dir = os.path.join(base, "sig_index")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    try:
+        # 1. materialize the persisted index (one-time at test scale;
+        # the standing table of the design point)
+        signatures_of(corpus_docs).write.mode("overwrite").parquet(
+            index_dir)
+        n_index0 = spark.read.parquet(index_dir).count()
+
+        # 2. the crawl replay: 5 files, one micro-batch each
+        for i in range(5):
+            (batch_docs
+             .filter(F.pmod(F.col("doc_id") / _BATCH_MOD, F.lit(5)) == i)
+             .select("doc_id", "text")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(base, f"chunk_{i}")))
+        n_files = 0
+        for i in range(5):
+            cdir = os.path.join(base, f"chunk_{i}")
+            for f in sorted(os.listdir(cdir)):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(cdir, f),
+                            os.path.join(src_dir, f"b{i}_{n_files}.parquet"))
+                    n_files += 1
+
+        counters = {"batches": 0, "seen": 0, "kept": 0, "dropped": 0}
+
+        def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sig = signatures_of(batch_df).cache()
+            index = spark.read.parquet(index_dir)
+            # localCheckpoint, NOT cache: the append below triggers
+            # refreshByPath(index_dir), which re-materializes any
+            # CACHED plan reading that path against the post-append
+            # listing — the batch would then match its own survivors
+            # (n_match=16) and drop everything (found live). A
+            # checkpoint TRUNCATES lineage, so no later evaluation
+            # can re-list the index.
+            best = best_match_against_index(sig, index).localCheckpoint()
+            dropped = best.filter(
+                F.col("n_match_best") >= _DROP_AT).select("new_id")
+            survivors = sig.join(
+                dropped, sig["id"] == dropped["new_id"], "left_anti")
+            # append BEFORE counting so a count failure can't lose
+            # docs; parquet append is one new file per batch
+            survivors.write.mode("append").parquet(index_dir)
+            if results_dir is not None:  # test lane: per-doc decisions
+                (sig.select("id")
+                 .join(best, sig["id"] == best["new_id"], "left")
+                 .select(F.col("id").alias("doc_id"),
+                         F.lit(batch_id).alias("batch_id"),
+                         F.coalesce("n_match_best", F.lit(0)).cast("int")
+                         .alias("n_match_best"),
+                         (F.coalesce("n_match_best", F.lit(0)) < _DROP_AT)
+                         .cast("int").alias("kept"))
+                 .write.mode("append").parquet(results_dir))
+            n_seen = sig.count()
+            n_drop = dropped.count()
+            counters["batches"] += 1
+            counters["seen"] += n_seen
+            counters["dropped"] += n_drop
+            counters["kept"] += n_seen - n_drop
+            sig.unpersist()
+
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir))
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(screen_batch)
+             .trigger(availableNow=True)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="hs_ckpt_"))
+             .start())
+        q.awaitTermination()
+
+        n_index1 = spark.read.parquet(index_dir).count()
+        n_batch_docs = batch_docs.count()
+        return spark.createDataFrame(
+            [(counters["batches"], counters["seen"], counters["kept"],
+              counters["dropped"], n_index0, n_index1,
+              bool(counters["seen"] == n_batch_docs
+                   and counters["kept"] + counters["dropped"]
+                   == counters["seen"]
+                   and n_index1 == n_index0 + counters["kept"]))],
+            "n_batches long, n_seen long, n_kept long, n_dropped long, "
+            "index_rows_before long, index_rows_after long, "
+            "consistent boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -218,3 +218,34 @@ def test_s22_transform_with_state_equals_batch(spark, registry):
         assert g["n_types"] == w["k"]
         assert g["n_batches"] >= 2  # replay really spanned micro-batches
         assert abs(g["list_total"] - g["total_value"]) <= 1e-6
+
+
+def test_s23_incremental_dedup_superset_of_frozen_screen(
+        spark, registry, tmp_path):
+    """s23's growing-index screen must (a) self-verify its counters,
+    (b) drop a SUPERSET of q182's frozen-corpus drops — the index
+    only ever gains signatures, so a doc q182 drops against the
+    corpus alone cannot survive the incremental screen — and (c)
+    never report a lower best-match than the frozen screen for any
+    doc (same monotonicity, per doc)."""
+    from hearthstats_spark.streaming.pipeline import run_streaming_dedup
+
+    results = str(tmp_path / "s23_results")
+    summary = run_streaming_dedup(spark, SF_SMALL, results).collect()[0]
+    assert summary["consistent"], summary
+    assert summary["n_batches"] == 5
+
+    frozen = {r["doc_id"]: r for r in
+              registry["q182_dedup_incremental"].fn(spark, SF_SMALL)
+              .collect()}
+    stream = {r["doc_id"]: r for r in
+              spark.read.parquet(results).collect()}
+    assert set(stream) == set(frozen)  # same batch-doc universe
+    assert len(stream) == summary["n_seen"]
+    for doc_id, fr in frozen.items():
+        sr = stream[doc_id]
+        assert sr["n_match_best"] >= fr["n_match_best"], doc_id
+        if fr["kept"] == 0:       # frozen screen dropped it
+            assert sr["kept"] == 0, doc_id
+    n_kept = sum(r["kept"] for r in stream.values())
+    assert n_kept == summary["n_kept"]
