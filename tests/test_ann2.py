@@ -88,3 +88,21 @@ def test_adc_output_structure(spark, registry):
         d = [r["adc_d2"] for r in rs]
         assert d == sorted(d)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_q183_partition_count_independent(spark, registry):
+    """Training means (exact decimal), distances (fold-left rounded
+    doubles on identical inputs), and ADC sums (exact decimal) must
+    not move with parallelism — the codebook and the ranking are
+    the same on any cluster size."""
+    fn = registry["q183_ann_pq"].fn
+    base = {(r["query_id"], r["rk"]): tuple(r)
+            for r in fn(spark, SF_SMALL).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {(r["query_id"], r["rk"]): tuple(r)
+               for r in fn(spark, SF_SMALL).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt

@@ -76,3 +76,19 @@ def test_every_batch_doc_emits_one_row(spark, registry):
     out = registry["q182_dedup_incremental"].fn(spark, SF_SMALL)
     assert out.count() == n_batch
     assert out.select("doc_id").distinct().count() == n_batch
+
+
+def test_q182_partition_count_independent(spark, registry):
+    """The screen's outputs (integer match counts, exact decimal
+    aggregation) must be identical under different parallelism —
+    the property that makes the incremental screen's decisions
+    reproducible from local[4] to 1000 executors."""
+    fn = registry["q182_dedup_incremental"].fn
+    base = {r["doc_id"]: tuple(r) for r in fn(spark, SF_SMALL).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {r["doc_id"]: tuple(r) for r in fn(spark, SF_SMALL).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
