@@ -435,3 +435,26 @@ def test_no_driver_materialization_in_sources():
     assert not offenders, (
         f"driver-side materialization outside the audited lanes: "
         f"{offenders}")
+
+
+def test_broadcast_bounded_degrades_above_cap(spark):
+    """The guard's two behaviors, observed in the physical plan: a
+    frame within the cap gets a BroadcastExchange; the same join
+    above the cap falls back to Catalyst's choice with NO forced
+    broadcast (thresholds at -1 → a shuffle join)."""
+    from hearthstats_spark.operators.bounded import broadcast_bounded
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    small = spark.range(0, 50).withColumnRenamed("id", "k")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        hinted = left.join(broadcast_bounded(small, 100), "k")
+        assert "BroadcastExchange" in explain_str(hinted)
+        unhinted = left.join(broadcast_bounded(small, 10), "k")
+        assert "BroadcastExchange" not in explain_str(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
