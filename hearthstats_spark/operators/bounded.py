@@ -40,10 +40,22 @@ from pyspark.sql import DataFrame, functions as F
 GUARDED_SITES: list[int] = []
 
 
-def broadcast_bounded(df: DataFrame, max_rows: int) -> DataFrame:
+def broadcast_bounded(df: DataFrame, max_rows: int,
+                      probe: DataFrame | None = None,
+                      per_probe_row: int = 1) -> DataFrame:
     """``F.broadcast(df)`` iff df provably holds ≤ max_rows rows
-    right now (limit-probe count); otherwise df unhinted, leaving
-    the join strategy to Catalyst/AQE's size statistics."""
-    n = df.limit(max_rows + 1).count()
+    right now; otherwise df unhinted, leaving the join strategy to
+    Catalyst/AQE's size statistics.
+
+    Default probe is df itself (limit-probe count). When df is
+    expensive to evaluate but STRUCTURALLY bounded by a cheaper
+    frame — q56's rank-filtered marker table is ≤ 10 rows per
+    language — pass that frame as ``probe`` with ``per_probe_row``
+    the static multiplier: df ≤ |probe| · per_probe_row, and only
+    the cheap frame is counted (at 100 TB the difference is a
+    column-pruned enum scan vs re-running a token aggregation)."""
+    src = df if probe is None else probe
+    budget = max_rows // per_probe_row
+    n = src.limit(budget + 1).count()
     GUARDED_SITES.append(max_rows)
-    return F.broadcast(df) if n <= max_rows else df
+    return F.broadcast(df) if n * per_probe_row <= max_rows else df

@@ -84,10 +84,15 @@ def q56_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers = (lang_term.withColumn("rk", F.row_number().over(w))
                .filter(F.col("rk") <= 10)
                .select(F.col("lang").alias("pred_lang"), "term"))
-    scores = (tok.join(broadcast_bounded(markers, 4096), "term")
+    langs = d.select(F.col("lang").alias("pred_lang")).distinct()
+    # markers ≤ 10 rows/language by the rank filter, so the CHEAP
+    # enum frame (column-pruned lang scan) is the probe — counting
+    # markers itself would re-run the token aggregation
+    scores = (tok.join(broadcast_bounded(markers, 4096,
+                                         probe=langs, per_probe_row=10),
+                       "term")
               .groupBy("doc_id", "pred_lang")
               .agg(F.count(F.lit(1)).alias("score")))
-    langs = d.select(F.col("lang").alias("pred_lang")).distinct()
     dense = (
         d.select("doc_id", F.col("lang").alias("true_lang"))
         .crossJoin(broadcast_bounded(langs, 512))
