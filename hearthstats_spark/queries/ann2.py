@@ -15,11 +15,12 @@ embeddings and scanning a 16-byte code per vector.
 Spark shape (every step a DataFrame op, no driver matrix):
 - **codebook training** = one k-means half-step per subspace (q101's
   machinery run M times in a single plan): deterministic init (the
-  subvectors of vec_id < K), one broadcast-assign + argmin window,
-  one per-(subspace, code, dim) exact mean — davg_signed, the q141
-  centroid discipline, so the trained codebook is hash-exact
-  cross-engine. Empty clusters drop deterministically on both
-  engines.
+  subvectors of vec_id < K), broadcast-assign with the argmin as a
+  map-side-combinable ``min_by`` hash agg (q181's argmax-shortcut
+  discipline — no candidate-row window sort), one per-(subspace,
+  code, dim) exact mean — davg_signed, the q141 centroid
+  discipline, so the trained codebook is hash-exact cross-engine.
+  Empty clusters drop deterministically on both engines.
 - **encoding** = subvectors ⋈ codebook (runtime-guarded broadcast)
   → argmin per (vec_id, subspace): the code table, O(n·M) narrow
   rows.
@@ -148,12 +149,19 @@ def _trained_codebook(sub: DataFrame) -> DataFrame:
     init = (sub.filter(F.col("vec_id") < _K)
             .select("m", F.col("vec_id").alias("cid"),
                     F.col("sv").alias("cv")))
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    # argmin as ONE min_by hash agg, not a row_number window: the
+    # agg pair is map-side combinable (ships one row per (vec, m)
+    # per partition), where a window must sort all n·M·K candidate
+    # rows through the exchange — q181's argmax-shortcut discipline.
+    # (d2, cid) is unique per group, so min_by is deterministic.
     assign = (
         sub.join(F.broadcast(init), "m")  # init: pushed vec_id < K
         .select("vec_id", "m", "cid", "sv", _d2("sv", "cv").alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("cid", "sv"),
+                      F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"),
+                F.col("best.sv").alias("sv"))
     )
     upd = (
         assign.select("m", "cid", F.posexplode("sv").alias("dim0", "x"))
@@ -180,13 +188,11 @@ def q183_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guarded per site, hinting a cached frame once would duplicate
     # one guard across two exchanges and fail the audit's accounting)
     cb = _trained_codebook(sub).cache()
-    enc_w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    enc = (
+    enc = (  # same min_by argmin as the training assign (no window)
         sub.join(broadcast_bounded(cb, _M * _K), "m")
         .select("vec_id", "m", "cid", _d2("sv", "cv").alias("d2"))
-        .withColumn("rk", F.row_number().over(enc_w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "cid")
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
     )
     dtab = (
         sub.filter(F.col("vec_id") < _N_QUERIES)
