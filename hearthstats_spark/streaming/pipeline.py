@@ -1221,13 +1221,20 @@ def s23_stream_incremental_dedup(spark: SparkSession,
     materialized to parquet ONCE — at 100 TB this table already
     exists, maintained by exactly this op. The new-batch slice
     replays as one file per micro-batch (maxFilesPerTrigger=1,
-    AvailableNow). ``foreachBatch``: signature agg over the batch
-    docs only, band equi-join against the CURRENT index read fresh
-    from parquet (so earlier batches' appends are visible), drop at
-    n_match ≥ 8 of 16, append survivors' signatures. Every
-    step is the batch lane's own kernel (shared functions — one
-    index format), per-batch cost is O(batch) + an index-keyed
-    join, and nothing but scalar counters crosses the driver.
+    AvailableNow). ``foreachBatch`` → ``screen_and_commit``:
+    signature agg over the batch docs only, band equi-join against
+    the index layers committed by EARLIER batches, drop at n_match
+    ≥ 8 of 16, survivors overwritten into this batch's OWN layer
+    directory. The layer-per-batch layout is what makes the commit
+    exactly-once: a crash-replayed batch overwrites its own layer
+    and reads exactly the same earlier layers, converging to the
+    identical index state (an append-based index re-appends on
+    replay and then drops every doc as a dup of its own first
+    attempt — s17's idempotency discipline, solved structurally
+    instead of with marker files). Every step is the batch lane's
+    own kernel (shared functions — one index format), per-batch
+    cost is O(batch) + an index-keyed join, and nothing but scalar
+    counters crosses the driver.
 
     Self-verification (returned 1-row frame): docs seen == kept +
     dropped == the batch slice's size; final index rows == initial
@@ -1239,10 +1246,77 @@ def s23_stream_incremental_dedup(spark: SparkSession,
     return _streaming_dedup_impl(spark, sf_dir, None)
 
 
+def _sig_schema() -> str:
+    from hearthstats_spark.queries.pipeline_ext3 import _MH_K
+
+    return "id long, " + ", ".join(f"m{j} long" for j in range(_MH_K))
+
+
+def _index_paths(idx_base: str, upto_batch: int) -> list[str]:
+    """The committed index as of batch ``upto_batch``: the corpus
+    layer plus every EARLIER batch's survivor layer. The current
+    batch's own layer is never read, so (a) a replayed batch cannot
+    match its own half-committed survivors and (b) the screen's
+    input set is a pure function of batch_id — exactly-once without
+    markers."""
+    paths = [os.path.join(idx_base, "corpus")]
+    for i in range(upto_batch):
+        p = os.path.join(idx_base, f"batch_{i}")
+        if os.path.isdir(p):
+            paths.append(p)
+    return paths
+
+
+def screen_and_commit(spark: SparkSession, batch_df: DataFrame,
+                      batch_id: int, idx_base: str,
+                      results_dir: str | None) -> tuple[int, int]:
+    """One micro-batch of the incremental screen: signature agg over
+    the batch docs, band screen against the committed index layers,
+    survivors OVERWRITTEN into this batch's own layer directory —
+    ``mode("overwrite")`` + the layer-per-batch layout makes a
+    crash-replay of the same batch_id converge to the identical
+    index state (an append-based index would re-append on replay and
+    then match the docs against their own first-attempt copies,
+    n_match=16, dropping everything — pinned in
+    tests/test_streaming.py). Returns (n_seen, n_dropped)."""
+    from hearthstats_spark.queries.pipeline_ext3 import (
+        _DROP_AT, best_match_against_index, signatures_of,
+    )
+
+    sig = signatures_of(batch_df).cache()
+    index = spark.read.schema(_sig_schema()).parquet(
+        *_index_paths(idx_base, batch_id))
+    # localCheckpoint: one evaluation of the band screen serves the
+    # survivor write, the results write, and the counts (and stays
+    # immune to any cache refresh the writes below may trigger)
+    best = best_match_against_index(sig, index).localCheckpoint()
+    dropped = best.filter(
+        F.col("n_match_best") >= _DROP_AT).select("new_id")
+    survivors = sig.join(
+        dropped, sig["id"] == dropped["new_id"], "left_anti")
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(idx_base, f"batch_{batch_id}"))
+    if results_dir is not None:  # test lane: per-doc decisions
+        (sig.select("id")
+         .join(best, sig["id"] == best["new_id"], "left")
+         .select(F.col("id").alias("doc_id"),
+                 F.lit(batch_id).alias("batch_id"),
+                 F.coalesce("n_match_best", F.lit(0)).cast("int")
+                 .alias("n_match_best"),
+                 (F.coalesce("n_match_best", F.lit(0)) < _DROP_AT)
+                 .cast("int").alias("kept"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(results_dir, f"batch_{batch_id}")))
+    n_seen = sig.count()
+    n_drop = dropped.count()
+    sig.unpersist()
+    return n_seen, n_drop
+
+
 def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
                           results_dir: str | None) -> DataFrame:
     from hearthstats_spark.queries.pipeline_ext3 import (
-        _BATCH_MOD, _DROP_AT, best_match_against_index, signatures_of,
+        _BATCH_MOD, signatures_of,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -1252,15 +1326,16 @@ def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
         d.text.isNotNull() & (d.doc_id % _BATCH_MOD != 0))
 
     base = tempfile.mkdtemp(prefix="hs_s23_")
-    index_dir = os.path.join(base, "sig_index")
+    idx_base = os.path.join(base, "sig_index")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir, exist_ok=True)
     try:
-        # 1. materialize the persisted index (one-time at test scale;
-        # the standing table of the design point)
+        # 1. materialize the persisted index's corpus layer (one-time
+        # at test scale; the standing table of the design point)
         signatures_of(corpus_docs).write.mode("overwrite").parquet(
-            index_dir)
-        n_index0 = spark.read.parquet(index_dir).count()
+            os.path.join(idx_base, "corpus"))
+        n_index0 = spark.read.parquet(
+            os.path.join(idx_base, "corpus")).count()
 
         # 2. the crawl replay: 5 files, one micro-batch each
         for i in range(5):
@@ -1281,40 +1356,12 @@ def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
         counters = {"batches": 0, "seen": 0, "kept": 0, "dropped": 0}
 
         def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
-            sig = signatures_of(batch_df).cache()
-            index = spark.read.parquet(index_dir)
-            # localCheckpoint, NOT cache: the append below triggers
-            # refreshByPath(index_dir), which re-materializes any
-            # CACHED plan reading that path against the post-append
-            # listing — the batch would then match its own survivors
-            # (n_match=16) and drop everything (found live). A
-            # checkpoint TRUNCATES lineage, so no later evaluation
-            # can re-list the index.
-            best = best_match_against_index(sig, index).localCheckpoint()
-            dropped = best.filter(
-                F.col("n_match_best") >= _DROP_AT).select("new_id")
-            survivors = sig.join(
-                dropped, sig["id"] == dropped["new_id"], "left_anti")
-            # append BEFORE counting so a count failure can't lose
-            # docs; parquet append is one new file per batch
-            survivors.write.mode("append").parquet(index_dir)
-            if results_dir is not None:  # test lane: per-doc decisions
-                (sig.select("id")
-                 .join(best, sig["id"] == best["new_id"], "left")
-                 .select(F.col("id").alias("doc_id"),
-                         F.lit(batch_id).alias("batch_id"),
-                         F.coalesce("n_match_best", F.lit(0)).cast("int")
-                         .alias("n_match_best"),
-                         (F.coalesce("n_match_best", F.lit(0)) < _DROP_AT)
-                         .cast("int").alias("kept"))
-                 .write.mode("append").parquet(results_dir))
-            n_seen = sig.count()
-            n_drop = dropped.count()
+            n_seen, n_drop = screen_and_commit(
+                spark, batch_df, batch_id, idx_base, results_dir)
             counters["batches"] += 1
             counters["seen"] += n_seen
             counters["dropped"] += n_drop
             counters["kept"] += n_seen - n_drop
-            sig.unpersist()
 
         stream = (spark.readStream
                   .schema("doc_id long, text string")
@@ -1328,7 +1375,8 @@ def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
              .start())
         q.awaitTermination()
 
-        n_index1 = spark.read.parquet(index_dir).count()
+        n_index1 = spark.read.schema(_sig_schema()).parquet(
+            *_index_paths(idx_base, counters["batches"])).count()
         n_batch_docs = batch_docs.count()
         return spark.createDataFrame(
             [(counters["batches"], counters["seen"], counters["kept"],

@@ -239,7 +239,7 @@ def test_s23_incremental_dedup_superset_of_frozen_screen(
               registry["q182_dedup_incremental"].fn(spark, SF_SMALL)
               .collect()}
     stream = {r["doc_id"]: r for r in
-              spark.read.parquet(results).collect()}
+              spark.read.parquet(results + "/batch_*").collect()}
     assert set(stream) == set(frozen)  # same batch-doc universe
     assert len(stream) == summary["n_seen"]
     for doc_id, fr in frozen.items():
@@ -249,3 +249,33 @@ def test_s23_incremental_dedup_superset_of_frozen_screen(
             assert sr["kept"] == 0, doc_id
     n_kept = sum(r["kept"] for r in stream.values())
     assert n_kept == summary["n_kept"]
+
+
+def test_s23_batch_commit_is_replay_idempotent(spark, tmp_path):
+    """Crash-replay of a micro-batch (same batch_id redelivered
+    after an incomplete run) must converge to the identical index
+    state: the layer-per-batch overwrite guarantees it structurally.
+    An append-based index would duplicate survivor signatures and
+    then drop every replayed doc as a dup of its own first
+    attempt."""
+    from hearthstats_spark.queries.pipeline_ext3 import signatures_of
+    from hearthstats_spark.streaming.pipeline import (
+        _index_paths, _sig_schema, screen_and_commit,
+    )
+    from hearthstats_spark.io import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").filter("text IS NOT NULL")
+    idx_base = str(tmp_path / "idx")
+    signatures_of(d.filter("doc_id % 10 != 0")).write.parquet(
+        idx_base + "/corpus")
+    batch = d.filter("doc_id % 10 = 0").select("doc_id", "text")
+
+    first = screen_and_commit(spark, batch, 0, idx_base, None)
+    state1 = sorted(tuple(r) for r in spark.read.schema(_sig_schema())
+                    .parquet(*_index_paths(idx_base, 1)).collect())
+    replay = screen_and_commit(spark, batch, 0, idx_base, None)
+    state2 = sorted(tuple(r) for r in spark.read.schema(_sig_schema())
+                    .parquet(*_index_paths(idx_base, 1)).collect())
+    assert replay == first          # same (n_seen, n_dropped)
+    assert state1 == state2         # identical committed index
+    assert first[1] > 0             # the screen actually dropped some
