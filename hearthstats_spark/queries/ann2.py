@@ -117,9 +117,10 @@ def _pq_oracle() -> str:
     """
 
 
-def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, sv): the M per-subspace views of every vector."""
-    e = load_table(spark, sf_dir, "embeddings")
+def subvectors_of(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the M per-subspace views of every vector in
+    any (vec_id, embedding) frame — shared by q183 and s24's
+    streaming serving lane (one subvector definition everywhere)."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     return (
         e.select("vec_id", v.alias("v"))
@@ -130,6 +131,10 @@ def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("s"))
         .select("vec_id", "s.*")
     )
+
+
+def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subvectors_of(load_table(spark, sf_dir, "embeddings"))
 
 
 def _d2(a: str, b: str):
@@ -176,6 +181,46 @@ def _trained_codebook(sub: DataFrame) -> DataFrame:
     )
 
 
+def encode_against(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid) PQ code table: argmin as ONE min_by hash agg
+    (map-side combinable — q181's argmax-shortcut discipline), never
+    a candidate-row window sort."""
+    return (
+        sub.join(broadcast_bounded(cb, _M * _K), "m")
+        .select("vec_id", "m", "cid", _d2("sv", "cv").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+
+
+def adc_topk(qsub: DataFrame, enc: DataFrame, cb: DataFrame,
+             max_queries: int, top_k: int = _TOP_K) -> DataFrame:
+    """ADC scan: per-(query, subspace, code) distance table
+    (≤ max_queries·M·K rows, runtime-guarded broadcast) equi-joined
+    to the code table, parts summed per (query, vector) in exact
+    decimal, self excluded, top_k ranked on (adc_d2, neighbor_id).
+    Shared by q183 (one-shot probe) and s24 (per-micro-batch
+    serving)."""
+    dtab = (
+        qsub.select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(broadcast_bounded(cb, _M * _K), "m")
+        .select("query_id", "m", "cid", _d2("sv", "cv").alias("part"))
+    )
+    adc = (
+        enc.join(broadcast_bounded(dtab, max_queries * _M * _K),
+                 ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("part").cast("decimal(28,4)")).cast("double")
+             .alias("adc_d2"))
+    )
+    pick = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(pick).cast("int"))
+        .filter(F.col("rk") <= top_k)
+    )
+
+
 @register("q183_ann_pq", oracle=_pq_oracle())
 def q183_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC top-{_TOP_K} neighbor probe for queries vec_id <
@@ -188,28 +233,6 @@ def q183_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guarded per site, hinting a cached frame once would duplicate
     # one guard across two exchanges and fail the audit's accounting)
     cb = _trained_codebook(sub).cache()
-    enc = (  # same min_by argmin as the training assign (no window)
-        sub.join(broadcast_bounded(cb, _M * _K), "m")
-        .select("vec_id", "m", "cid", _d2("sv", "cv").alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
-    dtab = (
-        sub.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), "m", "sv")
-        .join(broadcast_bounded(cb, _M * _K), "m")
-        .select("query_id", "m", "cid", _d2("sv", "cv").alias("part"))
-    )
-    adc = (
-        enc.join(broadcast_bounded(dtab, _N_QUERIES * _M * _K),
-                 ["m", "cid"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("part").cast("decimal(28,4)")).cast("double")
-             .alias("adc_d2"))
-    )
-    pick = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (
-        adc.withColumn("rk", F.row_number().over(pick).cast("int"))
-        .filter(F.col("rk") <= _TOP_K)
-    )
+    enc = encode_against(sub, cb)
+    return adc_topk(sub.filter(F.col("vec_id") < _N_QUERIES), enc, cb,
+                    max_queries=_N_QUERIES)

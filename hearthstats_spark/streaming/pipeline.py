@@ -1391,3 +1391,106 @@ def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register("s24_stream_ann_serving", oracle=None)  # rows-only
+def s24_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving on the PQ index (q183's kernels): query
+    vectors arrive as a STREAM and each micro-batch is ADC-scored
+    against a PRECOMPUTED code table — the vector-store serving
+    pattern (train/encode offline, score online) as a Structured
+    Streaming pipeline.
+
+    Mechanics: codebook + code table are built ONCE from the corpus
+    (q183's ``_trained_codebook`` / ``encode_against``) and the code
+    table lands in parquet — at scale that table is the index a
+    serving tier loads, M small ints per vector instead of the
+    embeddings. The query stream (vec_id < 50, replayed one file
+    per micro-batch) is scored per batch by ``adc_topk``: per-batch
+    distance table vs the broadcast codebook, equi-join to the code
+    table, exact-decimal part sums, top-5 per query appended to a
+    results sink.
+
+    Self-verification (returned 1-row frame): because every kernel
+    is deterministic and per-query independent, the UNION of the
+    per-batch results must equal the ONE-SHOT batch ADC of all 50
+    queries EXACTLY — (query_id, rk) → (neighbor_id, adc_d2)
+    row-for-row. n_mismatches is computed distributively (full
+    outer join on the key, zero tolerated); counters cross the
+    driver, rows never do."""
+    from hearthstats_spark.queries.ann2 import (
+        _trained_codebook, adc_topk, encode_against, subvectors_of,
+    )
+
+    _N_STREAM_Q = 50
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = subvectors_of(e)
+    cb = _trained_codebook(sub).cache()
+
+    base = tempfile.mkdtemp(prefix="hs_s24_")
+    codes_dir = os.path.join(base, "codes")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "results")
+    os.makedirs(src_dir, exist_ok=True)
+    try:
+        # offline phase: the persisted code table (the serving index)
+        encode_against(sub, cb).write.mode("overwrite").parquet(codes_dir)
+
+        # query replay: 5 files -> 5 micro-batches
+        queries = e.filter(F.col("vec_id") < _N_STREAM_Q)
+        for i in range(5):
+            (queries.filter(F.col("vec_id") % 5 == i)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(base, f"chunk_{i}")))
+        n = 0
+        for i in range(5):
+            cdir = os.path.join(base, f"chunk_{i}")
+            for f in sorted(os.listdir(cdir)):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(cdir, f),
+                            os.path.join(src_dir, f"b{i}_{n}.parquet"))
+                    n += 1
+
+        enc = spark.read.parquet(codes_dir)
+
+        def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (adc_topk(subvectors_of(batch_df), enc, cb,
+                      max_queries=_N_STREAM_Q)
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch_{batch_id}")))
+
+        stream = (spark.readStream
+                  .schema(queries.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir))
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(serve_batch)
+             .trigger(availableNow=True)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="hs_ckpt_"))
+             .start())
+        q.awaitTermination()
+
+        streamed = spark.read.parquet(os.path.join(out_dir, "batch_*"))
+        batch_ans = adc_topk(subvectors_of(queries), enc, cb,
+                             max_queries=_N_STREAM_Q)
+        joined = streamed.alias("s").join(
+            batch_ans.alias("b"), ["query_id", "rk"], "full")
+        n_mismatch = joined.filter(
+            F.col("s.neighbor_id").isNull()
+            | F.col("b.neighbor_id").isNull()
+            | (F.col("s.neighbor_id") != F.col("b.neighbor_id"))
+            | (F.col("s.adc_d2") != F.col("b.adc_d2"))).count()
+        n_stream_rows = streamed.count()
+        n_batch_rows = batch_ans.count()
+        n_queries = streamed.select("query_id").distinct().count()
+        return spark.createDataFrame(
+            [(n_queries, n_stream_rows, n_batch_rows, n_mismatch,
+              bool(n_mismatch == 0 and n_stream_rows == n_batch_rows
+                   and n_queries == _N_STREAM_Q))],
+            "n_queries long, n_stream_rows long, n_batch_rows long, "
+            "n_mismatches long, consistent boolean",
+        )
+    finally:
+        cb.unpersist()
+        shutil.rmtree(base, ignore_errors=True)

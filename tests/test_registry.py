@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 183 declared
-queries q01–q183 + 23 side-effect/streaming ops s01–s23; 176
+queries q01–q183 + 24 side-effect/streaming ops s01–s24; 176
 oracle-checked."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 184)
-} | {f"s{i:02d}" for i in range(1, 24)}
+} | {f"s{i:02d}" for i in range(1, 25)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -17,6 +17,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s20_csv_corrupt_records", "s21_binary_file_source",
     "s22_stream_transform_with_state",
     "s23_stream_incremental_dedup",
+    "s24_stream_ann_serving",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",

@@ -279,3 +279,14 @@ def test_s23_batch_commit_is_replay_idempotent(spark, tmp_path):
     assert replay == first          # same (n_seen, n_dropped)
     assert state1 == state2         # identical committed index
     assert first[1] > 0             # the screen actually dropped some
+
+
+def test_s24_stream_serving_equals_batch_adc(spark, registry):
+    """s24's self-verification must hold: union of per-micro-batch
+    ADC results == the one-shot batch ADC, exactly, for all 50
+    streamed queries."""
+    row = registry["s24_stream_ann_serving"].fn(spark, SF_SMALL).collect()[0]
+    assert row["consistent"], row
+    assert row["n_mismatches"] == 0
+    assert row["n_queries"] == 50
+    assert row["n_stream_rows"] == row["n_batch_rows"] == 250
