@@ -57,7 +57,9 @@ _N_QUERIES = 10         # probe set: vec_id < 10 (q61's convention)
 _TOP_K = 5
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """The shared WITH-body (training → codebook → codes → query
+    distance tables) q183's and q184's oracles both replay."""
     d2 = ("ROUND(list_sum(list_transform(generate_series(1, {n}), "
           "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 4)")
     return f"""
@@ -101,7 +103,11 @@ def _pq_oracle() -> str:
                {d2.format(n=_SUBD, a='q.sv', b='cb.cv')} AS part
         FROM sub q JOIN cb USING (m)
         WHERE q.vec_id < {_N_QUERIES}
-    ),
+    )"""
+
+
+def _pq_oracle() -> str:
+    return _pq_ctes() + f""",
     adc AS (
         SELECT t.query_id, c.vec_id AS neighbor_id,
                CAST(SUM(CAST(t.part AS DECIMAL(28,4))) AS DOUBLE)
@@ -236,3 +242,91 @@ def q183_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_against(sub, cb)
     return adc_topk(sub.filter(F.col("vec_id") < _N_QUERIES), enc, cb,
                     max_queries=_N_QUERIES)
+
+
+# ---- q184: IVF-PQ — the composed production architecture ----------
+#
+# FAISS's IVFPQ shape (Jégou et al. 2011 §V): a coarse quantizer
+# routes every vector to a cell, and the PQ/ADC machinery scores ONLY
+# the query's own cell. q61 contributes the coarse quantizer (sign
+# bits of the first 8 dims — deterministic, the cells a production
+# system would train with k-means), q183 the codebooks/codes; the
+# scoring join gains one extra equi-key (the cell id), which is
+# exactly how the candidate pruning reaches the PLAN: the join
+# output shrinks from n·Q pairs to same-cell pairs before any
+# distance math or aggregation runs.
+
+def _ivf_pq_oracle() -> str:
+    from hearthstats_spark.queries.ann import _BUCKET_SQL
+
+    return _pq_ctes() + f""",
+    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+    adc AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(t.part AS DECIMAL(28,4))) AS DOUBLE)
+                   AS adc_d2
+        FROM enc c
+        JOIN bkt bc ON bc.vec_id = c.vec_id
+        JOIN dtab t ON c.m = t.m AND c.cid = t.cid
+        JOIN bkt bq ON bq.vec_id = t.query_id
+                   AND bq.bucket = bc.bucket
+        WHERE c.vec_id <> t.query_id
+        GROUP BY t.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_d2, neighbor_id) AS rk FROM adc)
+    WHERE rk <= {_TOP_K}
+    """
+
+
+@register("q184_ann_ivf_pq", oracle=_ivf_pq_oracle())
+def q184_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe: top-{_TOP_K} by ADC distance among the
+    candidates in the query's OWN coarse cell (q61's sign-bit
+    quantizer × q183's PQ codebooks — see the section comment).
+
+    Plan: the code table carries its cell id (one equi-join of two
+    narrow frames), the query distance table carries the query's
+    cell, and the scoring join keys on (bucket, m, cid) — candidate
+    pruning happens IN the hash join, before any part is summed. At
+    scale this is the standard two-level index: cells bound the
+    candidate set, codes bound the per-candidate cost; with the
+    code+cell table bucketed by cell id the probe becomes a
+    partition-pruned scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # q61's coarse quantizer (sign bits of the first 8 dims)
+    bucket = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            for i in range(8)
+        ),
+        start=F.lit(0),
+    )
+    bkt = e.select("vec_id", bucket.alias("bucket"))
+    sub = subvectors_of(e)
+    cb = _trained_codebook(sub).cache()
+    enc = encode_against(sub, cb).join(bkt, "vec_id")
+    qsub = sub.filter(F.col("vec_id") < _N_QUERIES)
+    dtab = (
+        qsub.select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(broadcast_bounded(cb, _M * _K), "m")
+        .select("query_id", "m", "cid", _d2("sv", "cv").alias("part"))
+        .join(bkt.filter(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"), "bucket"),
+              "query_id")
+    )
+    adc = (
+        enc.join(broadcast_bounded(dtab, _N_QUERIES * _M * _K),
+                 ["bucket", "m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("part").cast("decimal(28,4)")).cast("double")
+             .alias("adc_d2"))
+    )
+    pick = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(pick).cast("int"))
+        .filter(F.col("rk") <= _TOP_K)
+    )

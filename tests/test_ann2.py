@@ -106,3 +106,30 @@ def test_q183_partition_count_independent(spark, registry):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt
+
+
+def test_q184_candidates_stay_in_cell(spark, registry, emb):
+    """IVF-PQ's defining property: every reported neighbor shares
+    the query's coarse cell (sign-bit bucket), ranks are contiguous
+    from 1, and the ADC distances are the SAME numbers q183 assigns
+    (cell pruning filters candidates; it must not change scores)."""
+    ids, mat = emb
+    bucket = (mat[:, :8] >= 0) @ (1 << np.arange(8))
+    bkt = dict(zip(ids, bucket))
+    rows = registry["q184_ann_ivf_pq"].fn(spark, SF_SMALL).collect()
+    assert rows, "q184 returned nothing"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert bkt[r["neighbor_id"]] == bkt[r["query_id"]], r
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rks = sorted(r["rk"] for r in rs)
+        assert rks == list(range(1, len(rks) + 1)), (q, rks)
+    # same scores as the unpruned ADC scan where both report a pair
+    pq = {(r["query_id"], r["neighbor_id"]): r["adc_d2"]
+          for r in registry["q183_ann_pq"].fn(spark, SF_SMALL).collect()}
+    shared = [(r, pq[(r["query_id"], r["neighbor_id"])])
+              for r in rows if (r["query_id"], r["neighbor_id"]) in pq]
+    assert shared, "no overlap between q183 and q184 top-k"
+    for r, d in shared:
+        assert r["adc_d2"] == d, r

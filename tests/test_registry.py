@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 183 declared
-queries q01–q183 + 24 side-effect/streaming ops s01–s24; 176
+queries q01–q184 + 24 side-effect/streaming ops s01–s24; 177
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 184)
+    f"q{i:02d}" for i in range(1, 185)
 } | {f"s{i:02d}" for i in range(1, 25)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -39,7 +39,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 176
+    assert len(with_oracle) == 177
 
 
 def test_names_well_formed(registry):
