@@ -165,8 +165,13 @@ def _trained_codebook(sub: DataFrame) -> DataFrame:
     # per partition), where a window must sort all n·M·K candidate
     # rows through the exchange — q181's argmax-shortcut discipline.
     # (d2, cid) is unique per group, so min_by is deterministic.
+    # init is ≤ K·M rows by construction, but q186 trains on the
+    # RESIDUAL frame whose lineage includes the centroid agg (no
+    # pushed vec_id filter on every scan), so the hint goes through
+    # the runtime guard rather than relying on the audit's
+    # pushed-LessThan rule.
     assign = (
-        sub.join(F.broadcast(init), "m")  # init: pushed vec_id < K
+        sub.join(broadcast_bounded(init, _K * _M), "m")
         .select("vec_id", "m", "cid", "sv", _d2("sv", "cv").alias("d2"))
         .groupBy("vec_id", "m")
         .agg(F.min_by(F.struct("cid", "sv"),

@@ -1494,3 +1494,128 @@ def s24_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cb.unpersist()
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---- s25: signature-index compaction — s23's maintenance lane -----
+
+def compact_index(spark: SparkSession, idx_base: str, n_batches: int,
+                  dest_base: str) -> int:
+    """Rewrite the corpus layer plus every committed batch layer into
+    ONE base layer under ``dest_base`` — the LSM/Delta "major
+    compaction" shape. s23's layer-per-batch layout is what makes
+    commits exactly-once, but it accretes one directory per
+    micro-batch: after N batches every screen re-lists and re-scans
+    1 + N directories of small files. Compaction restores O(1)
+    listing (and is where a production deployment would re-cluster
+    or bucket the base on the band keys). ``mode("overwrite")`` into
+    the versioned destination makes compaction itself
+    replay-idempotent — same input layers, same base, converging on
+    rerun with no marker files (s23's discipline applied to the
+    maintenance job). Returns the compacted row count."""
+    layers = spark.read.schema(_sig_schema()).parquet(
+        *_index_paths(idx_base, n_batches))
+    layers.write.mode("overwrite").parquet(
+        os.path.join(dest_base, "corpus"))
+    return spark.read.parquet(os.path.join(dest_base, "corpus")).count()
+
+
+@register("s25_stream_index_compaction", oracle=None)  # rows-only
+def s25_stream_index_compaction(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Major compaction of s23's layered signature index, with the
+    two invariants that make it safe to run against a live screen:
+
+    1. **Losslessness** — the compacted base holds exactly the union
+       of the input layers (row counts equal; content equality is
+       implied by 3.).
+    2. **Replay idempotence** — running the compaction twice
+       converges to the identical base (overwrite semantics; content
+       compared both ways via exceptAll against a localCheckpoint
+       snapshot, distributively — nothing but counters crosses the
+       driver).
+    3. **Screen equivalence** — a held-out NEXT batch screened
+       against the compacted base produces the IDENTICAL per-doc
+       decisions (n_match_best, kept) as against the layered index:
+       the screen is a pure function of index CONTENT, so compaction
+       is invisible to it. This is the property that lets the
+       maintenance job run concurrently with ingestion in a
+       production deployment (swap the base pointer between
+       batches).
+
+    Setup mirrors s23: corpus layer from the accepted slice, 4
+    micro-batches committed layer-per-batch via ``screen_and_commit``
+    (slices 0–3 of the new-batch docs), slice 4 held out as the
+    next batch for the equivalence check."""
+    from hearthstats_spark.queries.pipeline_ext3 import (
+        _BATCH_MOD, signatures_of,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    batch_docs = d.filter(
+        d.text.isNotNull() & (d.doc_id % _BATCH_MOD == 0))
+    corpus_docs = d.filter(
+        d.text.isNotNull() & (d.doc_id % _BATCH_MOD != 0))
+
+    def slice_of(i: int) -> DataFrame:
+        return (batch_docs
+                .filter(F.pmod(F.col("doc_id") / _BATCH_MOD, F.lit(5)) == i)
+                .select("doc_id", "text"))
+
+    base = tempfile.mkdtemp(prefix="hs_s25_")
+    idx_base = os.path.join(base, "layered")
+    dest_base = os.path.join(base, "compacted")
+    res_a = os.path.join(base, "res_layered")
+    res_b = os.path.join(base, "res_compacted")
+    try:
+        # layered index: corpus + 4 committed batch layers
+        signatures_of(corpus_docs).write.mode("overwrite").parquet(
+            os.path.join(idx_base, "corpus"))
+        for i in range(4):
+            screen_and_commit(spark, slice_of(i), i, idx_base, None)
+        n_layers = len(_index_paths(idx_base, 4))
+        rows_layered = spark.read.schema(_sig_schema()).parquet(
+            *_index_paths(idx_base, 4)).count()
+
+        # compact, snapshot, re-compact (crash-replay of the job);
+        # localCheckpoint: the snapshot must not lazily re-read the
+        # directory the second compaction overwrites
+        rows_out1 = compact_index(spark, idx_base, 4, dest_base)
+        snap = spark.read.parquet(
+            os.path.join(dest_base, "corpus")).localCheckpoint()
+        rows_out2 = compact_index(spark, idx_base, 4, dest_base)
+        fresh = spark.read.parquet(os.path.join(dest_base, "corpus"))
+        idempotent = bool(
+            rows_out1 == rows_out2
+            and fresh.exceptAll(snap).count() == 0
+            and snap.exceptAll(fresh).count() == 0)
+
+        # held-out batch: identical decisions on both index layouts
+        a = screen_and_commit(spark, slice_of(4), 4, idx_base, res_a)
+        b = screen_and_commit(spark, slice_of(4), 0, dest_base, res_b)
+        da = spark.read.parquet(os.path.join(res_a, "batch_4"))
+        db = spark.read.parquet(os.path.join(res_b, "batch_0"))
+        joined = (
+            da.select("doc_id", F.col("n_match_best").alias("na"),
+                      F.col("kept").alias("ka"))
+            .join(db.select("doc_id",
+                            F.col("n_match_best").alias("nb"),
+                            F.col("kept").alias("kb")),
+                  "doc_id", "full")
+        )
+        n_mismatch = joined.filter(
+            F.col("na").isNull() | F.col("nb").isNull()
+            | (F.col("na") != F.col("nb"))
+            | (F.col("ka") != F.col("kb"))).count()
+
+        return spark.createDataFrame(
+            [(n_layers, rows_layered, rows_out1, a[0], a[1], n_mismatch,
+              idempotent,
+              bool(rows_layered == rows_out1 and idempotent
+                   and n_mismatch == 0 and a == b and a[0] > 0))],
+            "n_layers long, rows_layered long, rows_compacted long, "
+            "n_next_docs long, n_next_dropped long, "
+            "n_decision_mismatch long, idempotent boolean, "
+            "consistent boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 183 declared
-queries q01–q184 + 24 side-effect/streaming ops s01–s24; 177
+"""The registry IS the driver contract (SURVEY.md §2): 186 declared
+queries q01–q186 + 25 side-effect/streaming ops s01–s25; 179
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,8 +7,8 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 185)
-} | {f"s{i:02d}" for i in range(1, 25)}
+    f"q{i:02d}" for i in range(1, 187)
+} | {f"s{i:02d}" for i in range(1, 26)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -18,6 +18,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s22_stream_transform_with_state",
     "s23_stream_incremental_dedup",
     "s24_stream_ann_serving",
+    "s25_stream_index_compaction",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
@@ -39,7 +40,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 177
+    assert len(with_oracle) == 179
 
 
 def test_names_well_formed(registry):

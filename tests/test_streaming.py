@@ -290,3 +290,18 @@ def test_s24_stream_serving_equals_batch_adc(spark, registry):
     assert row["n_mismatches"] == 0
     assert row["n_queries"] == 50
     assert row["n_stream_rows"] == row["n_batch_rows"] == 250
+
+
+def test_s25_compaction_invariants(spark, registry):
+    """Compaction must be lossless, replay-idempotent, and invisible
+    to the screen (identical per-doc decisions on layered vs
+    compacted index) — all three self-verified in the returned
+    counter row."""
+    row = registry["s25_stream_index_compaction"].fn(
+        spark, SF_SMALL).collect()[0]
+    assert row["consistent"], row
+    assert row["idempotent"]
+    assert row["n_decision_mismatch"] == 0
+    assert row["rows_compacted"] == row["rows_layered"]
+    assert row["n_layers"] == 5
+    assert row["n_next_docs"] > 0
