@@ -1269,7 +1269,8 @@ def _index_paths(idx_base: str, upto_batch: int) -> list[str]:
 
 def screen_and_commit(spark: SparkSession, batch_df: DataFrame,
                       batch_id: int, idx_base: str,
-                      results_dir: str | None) -> tuple[int, int]:
+                      results_dir: str | None,
+                      retention: int | None = None) -> tuple[int, int]:
     """One micro-batch of the incremental screen: signature agg over
     the batch docs, band screen against the committed index layers,
     survivors OVERWRITTEN into this batch's own layer directory —
@@ -1278,14 +1279,19 @@ def screen_and_commit(spark: SparkSession, batch_df: DataFrame,
     index state (an append-based index would re-append on replay and
     then match the docs against their own first-attempt copies,
     n_match=16, dropping everything — pinned in
-    tests/test_streaming.py). Returns (n_seen, n_dropped)."""
+    tests/test_streaming.py). With ``retention`` set, only layers
+    committed within the last ``retention`` batches are screened
+    against (s26's bounded-index policy; the visible set stays a
+    pure function of batch_id, so replay semantics are unchanged).
+    Returns (n_seen, n_dropped)."""
     from hearthstats_spark.queries.pipeline_ext3 import (
         _DROP_AT, best_match_against_index, signatures_of,
     )
 
     sig = signatures_of(batch_df).cache()
     index = spark.read.schema(_sig_schema()).parquet(
-        *_index_paths(idx_base, batch_id))
+        *(_index_paths(idx_base, batch_id) if retention is None
+          else _index_paths_retained(idx_base, batch_id, retention)))
     # localCheckpoint: one evaluation of the band screen serves the
     # survivor write, the results write, and the counts (and stays
     # immune to any cache refresh the writes below may trigger)
@@ -1615,6 +1621,126 @@ def s25_stream_index_compaction(spark: SparkSession,
             "n_layers long, rows_layered long, rows_compacted long, "
             "n_next_docs long, n_next_dropped long, "
             "n_decision_mismatch long, idempotent boolean, "
+            "consistent boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---- s26: retention-windowed screen — signatures expire ----------
+
+def _index_paths_retained(idx_base: str, upto_batch: int,
+                          retention: int) -> list[str]:
+    """The committed index as of ``upto_batch`` under a retention
+    policy of ``retention`` batches: a layer committed at batch i is
+    visible iff ``upto_batch - i <= retention`` (the corpus layer
+    counts as committed at batch -1, so it expires once
+    ``upto_batch > retention - 1``). Like ``_index_paths`` the
+    current batch's own layer is never read, and the visible set is
+    still a pure function of batch_id — retention keeps the
+    exactly-once structure while bounding index size to O(retention
+    × batch) instead of O(history), which is what a 100 TB crawl
+    with a "dedup against the last N days" policy actually runs."""
+    paths = []
+    if upto_batch - (-1) <= retention:
+        paths.append(os.path.join(idx_base, "corpus"))
+    for i in range(max(0, upto_batch - retention), upto_batch):
+        p = os.path.join(idx_base, f"batch_{i}")
+        if os.path.isdir(p):
+            paths.append(p)
+    return paths
+
+
+@register("s26_stream_index_retention", oracle=None)  # rows-only
+def s26_stream_index_retention(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """s23's incremental screen under a RETENTION window: index
+    layers expire after ``W`` batches, so a new document is dropped
+    only if it near-duplicates something seen in the last W batches
+    — the "dedup against the last N days of crawl" policy every
+    bounded-storage production pipeline ends up with (unbounded
+    index growth is s23's one open scale cost; s25 compacts it, this
+    op CAPS it).
+
+    Runs the SAME 5 micro-batch slices through both policies
+    (unlimited vs W = 2) on separate index trees and verifies the
+    defining properties distributively, per doc:
+
+    1. **Monotonicity** — expiring layers can only LOSE matches, so
+       every doc dropped under retention is also dropped under the
+       unlimited screen (n_match_best under retention ≤ unlimited;
+       kept-set is a superset). Violation count must be 0.
+    2. **Expiry fires** — some docs dropped by the unlimited screen
+       are RESCUED under retention (their only match lived in an
+       expired layer — here, the corpus once upto_batch > W-1).
+       Count must be > 0, or the window never excluded anything.
+    3. **Early-batch identity** — while every layer is younger than
+       W (batches 0..W-1 with the corpus still visible), the two
+       screens see identical indexes and must produce identical
+       per-doc decisions. Mismatch count must be 0.
+
+    Nothing but scalar counters crosses the driver."""
+    from hearthstats_spark.queries.pipeline_ext3 import (
+        _BATCH_MOD, signatures_of,
+    )
+
+    _W = 2
+    d = load_table(spark, sf_dir, "documents")
+    batch_docs = d.filter(
+        d.text.isNotNull() & (d.doc_id % _BATCH_MOD == 0))
+    corpus_docs = d.filter(
+        d.text.isNotNull() & (d.doc_id % _BATCH_MOD != 0))
+
+    def slice_of(i: int) -> DataFrame:
+        return (batch_docs
+                .filter(F.pmod(F.col("doc_id") / _BATCH_MOD, F.lit(5)) == i)
+                .select("doc_id", "text"))
+
+    base = tempfile.mkdtemp(prefix="hs_s26_")
+    try:
+        lanes = {}
+        for lane, retention in (("full", None), ("ttl", _W)):
+            idx = os.path.join(base, f"idx_{lane}")
+            res = os.path.join(base, f"res_{lane}")
+            signatures_of(corpus_docs).write.mode("overwrite").parquet(
+                os.path.join(idx, "corpus"))
+            for i in range(5):
+                screen_and_commit(spark, slice_of(i), i, idx, res,
+                                  retention=retention)
+            lanes[lane] = spark.read.parquet(
+                *[os.path.join(res, f"batch_{i}") for i in range(5)])
+
+        joined = (
+            lanes["full"].select("doc_id", "batch_id",
+                                 F.col("n_match_best").alias("nm_full"),
+                                 F.col("kept").alias("kept_full"))
+            .join(lanes["ttl"].select(
+                "doc_id", F.col("n_match_best").alias("nm_ttl"),
+                F.col("kept").alias("kept_ttl")), "doc_id")
+            .localCheckpoint()
+        )
+        n_docs = joined.count()
+        # 1. monotonicity: retention never matches MORE, never drops
+        #    a doc the full screen kept
+        n_mono_viol = joined.filter(
+            (F.col("nm_ttl") > F.col("nm_full"))
+            | ((F.col("kept_full") == 1) & (F.col("kept_ttl") == 0))
+        ).count()
+        # 2. expiry rescues: dropped under full, kept under TTL
+        n_rescued = joined.filter(
+            (F.col("kept_full") == 0) & (F.col("kept_ttl") == 1)).count()
+        # 3. early batches identical while nothing has expired
+        n_early_mismatch = joined.filter(
+            (F.col("batch_id") < _W)
+            & ((F.col("nm_full") != F.col("nm_ttl"))
+               | (F.col("kept_full") != F.col("kept_ttl")))).count()
+
+        return spark.createDataFrame(
+            [(_W, n_docs, n_mono_viol, n_rescued, n_early_mismatch,
+              bool(n_docs > 0 and n_mono_viol == 0 and n_rescued > 0
+                   and n_early_mismatch == 0))],
+            "retention long, n_docs long, n_monotonicity_violations "
+            "long, n_rescued_by_expiry long, n_early_mismatch long, "
             "consistent boolean",
         )
     finally:

@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 186 declared
-queries q01–q186 + 25 side-effect/streaming ops s01–s25; 179
+queries q01–q186 + 26 side-effect/streaming ops s01–s26; 179
 oracle-checked."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ import re
 
 EXPECTED_IDS = {
     f"q{i:02d}" for i in range(1, 187)
-} | {f"s{i:02d}" for i in range(1, 26)}
+} | {f"s{i:02d}" for i in range(1, 27)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -19,6 +19,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s23_stream_incremental_dedup",
     "s24_stream_ann_serving",
     "s25_stream_index_compaction",
+    "s26_stream_index_retention",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",

@@ -305,3 +305,15 @@ def test_s25_compaction_invariants(spark, registry):
     assert row["rows_compacted"] == row["rows_layered"]
     assert row["n_layers"] == 5
     assert row["n_next_docs"] > 0
+
+
+def test_s26_retention_invariants(spark, registry):
+    """Retention must be monotone (never drops a doc the full screen
+    kept), must actually expire something (rescues > 0), and must be
+    invisible while every layer is inside the window."""
+    row = registry["s26_stream_index_retention"].fn(
+        spark, SF_SMALL).collect()[0]
+    assert row["consistent"], row
+    assert row["n_monotonicity_violations"] == 0
+    assert row["n_rescued_by_expiry"] > 0
+    assert row["n_early_mismatch"] == 0
