@@ -346,3 +346,99 @@ def q186_ann_ivfadc_residual(spark: SparkSession,
         adc.withColumn("rk", F.row_number().over(pick).cast("int"))
         .filter(F.col("rk") <= _TOP_K)
     )
+
+
+# ---- q187: IVF-Flat with k-means-TRAINED coarse cells -------------
+#
+# The remaining coarse-quantizer variant beside the sign-bit cells
+# (q61/q184/q185/q186): production IVF trains its cells with k-means
+# so cell populations track the data distribution instead of the
+# 2^8 fixed orthants. The elegant bit: a PQ codebook with ONE
+# subspace covering all 64 dims IS k-means (M=1, K=16 — "product"
+# of one factor), so the trained quantizer reuses q183's
+# trainer/encoder verbatim on the full-vector frame; only the
+# scoring differs — IVF-Flat keeps exact vectors and computes true
+# distances inside the probed cell (no PQ approximation), which is
+# the accuracy ceiling for any cell-pruned index.
+
+def _q187_oracle() -> str:
+    d2 = _D2T
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    init AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
+    a0 AS (
+        SELECT e.vec_id, init.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {d2.format(n=_DIM, a='e.v', b='init.cv')},
+                            init.cid) AS rk
+        FROM e CROSS JOIN init
+    ),
+    upd AS (
+        SELECT cid, dim, {favg_signed_sql('v[dim]', 'c')}
+        FROM a0 CROSS JOIN generate_series(1, {_DIM}) gd(dim)
+        WHERE rk = 1
+        GROUP BY cid, dim
+    ),
+    cc AS (SELECT cid, list(c ORDER BY dim) AS cv
+           FROM upd GROUP BY cid),
+    asg AS (
+        SELECT e.vec_id, cc.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {d2.format(n=_DIM, a='e.v', b='cc.cv')},
+                            cc.cid) AS rk
+        FROM e CROSS JOIN cc
+    ),
+    cells AS (SELECT vec_id, cid, v FROM asg WHERE rk = 1),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {d2.format(n=_DIM, a='q.v', b='c.v')} AS d2
+        FROM cells q JOIN cells c
+          ON q.cid = c.cid AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, d2, CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY d2, neighbor_id) AS rk FROM pairs)
+    WHERE rk <= {_TOP_K}
+    """
+
+
+@register("q187_ann_ivf_kmeans", oracle=_q187_oracle())
+def q187_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat probe over k-means-trained cells: top-{_TOP_K} by
+    EXACT squared-L2 among the candidates sharing the query's
+    trained cell (see the section comment — the quantizer is q183's
+    trainer run with one 64-dim subspace, because 1-subspace PQ is
+    k-means).
+
+    Plan: trainer/encoder exactly as q183 (min_by argmin hash aggs,
+    exact davg_signed means, runtime-guarded codebook broadcasts);
+    scoring joins the ≤ {_N_QUERIES}-row query frame to the celled
+    vectors on the cell id, computes the true fold-left distance per
+    candidate pair, and ranks inside the query's window. At scale:
+    cells bound candidates exactly as q184, but the scan reads full
+    vectors (IVF-Flat's accuracy/IO trade vs PQ's code table)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    fullsub = e.select("vec_id", F.lit(0).alias("m"), v.alias("sv"))
+    cc = _trained_codebook(fullsub).cache()   # (m=0, cid, cv): cells
+    cells = (e.select("vec_id", v.alias("v"))
+             .join(encode_against(fullsub, cc), "vec_id"))  # + cid
+    qframe = (cells.filter(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"), "cid",
+                      F.col("v").alias("qv")))
+    pairs = (
+        cells.join(broadcast_bounded(qframe, _N_QUERIES), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                _d2("qv", "v").alias("d2"))
+    )
+    pick = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(pick).cast("int"))
+        .filter(F.col("rk") <= _TOP_K)
+    )

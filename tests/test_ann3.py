@@ -184,3 +184,40 @@ def test_q185_q186_partition_count_independent(spark, registry):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert base == alt, name
+
+
+def test_q187_trained_cells_recall_and_exact_scores(spark, registry, emb):
+    """IVF-Flat over trained cells is the accuracy ceiling of the
+    cell-pruned family: recall@5 = 0.90 at pin time (vs sign-bit
+    IVF's 0.04 — 16 trained cells hold ~n/16 candidates each, and
+    in-cell scoring is EXACT). Every reported distance must equal
+    the true squared-L2 rounded to 4dp (no quantization in the
+    scoring path), and ranks are contiguous."""
+    ids, mat = emb
+    pos = {v: i for i, v in enumerate(ids)}
+    rows = registry["q187_ann_ivf_kmeans"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        true = ((mat[pos[r["query_id"]]]
+                 - mat[pos[r["neighbor_id"]]]) ** 2).sum()
+        assert abs(r["d2"] - round(true, 4)) < 5e-4, (r, true)
+    exact = _exact_l2_top5(ids, mat)
+    r187 = _recall(rows, exact)
+    r61 = _recall(registry["q61_ann_ivf"].fn(spark, SF_SMALL).collect(),
+                  exact)
+    assert r187 >= r61, (r187, r61)
+    assert r187 >= 0.5, r187
+
+
+def test_q187_partition_count_independent(spark, registry):
+    fn = registry["q187_ann_ivf_kmeans"].fn
+    base = {(r["query_id"], r["rk"]): tuple(r)
+            for r in fn(spark, SF_SMALL).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {(r["query_id"], r["rk"]): tuple(r)
+               for r in fn(spark, SF_SMALL).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
