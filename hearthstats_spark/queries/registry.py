@@ -82,6 +82,7 @@ QUERY_MODULES = (
     "hearthstats_spark.queries.ann",
     "hearthstats_spark.queries.ann2",
     "hearthstats_spark.queries.ann3",
+    "hearthstats_spark.queries.tokenizer",
     "hearthstats_spark.queries.multimodal",
     "hearthstats_spark.queries.sketches",
     "hearthstats_spark.queries.sinks",

@@ -57,7 +57,16 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   "q171_share_of_parent",
                   # q173 rides its 1-row token-totals frame onto the
                   # vocabulary counts (q107's scalar shape)
-                  "q173_token_drift_tv"}
+                  "q173_token_drift_tv",
+                  # q187's M=1 quantizer makes the codebook join key
+                  # the literal 0 on both sides; Catalyst folds the
+                  # equi-condition away, so the ≤16-row runtime-guarded
+                  # codebook broadcast degenerates to a nested loop —
+                  # the bounded-k fan-out shape (q101's)
+                  "q187_ann_ivf_kmeans",
+                  # q189 rides its 1-row winning-pair frame onto the
+                  # vocabulary (q53's scalar-subquery broadcast shape)
+                  "q189_bpe_merge_apply"}
 #: q81 is the native Python UDTF demo (BatchEvalPythonUDTF) — the
 #: documented slow lane, same policy as q44's scalar UDF.
 PYTHON_ROW_OK = {"q44_udf_python", "q81_udtf_lateral"}
@@ -293,7 +302,10 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
                     # q177's cumulative CDF windows run AFTER the
                     # bucket-count aggregation to ≤ B+1 = 65 rows at
                     # any raw scale (the sketch bounds the frame)
-                    "q177_ks_sketch_drift"}
+                    "q177_ks_sketch_drift",
+                    # q188/q189 rank AFTER orderBy+LIMIT 20
+                    # (TakeOrderedAndProject — q92's bounded shape)
+                    "q188_bpe_pair_stats", "q189_bpe_merge_apply"}
 
 
 def _has_global_window(plan: str) -> bool:
