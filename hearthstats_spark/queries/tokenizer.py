@@ -36,7 +36,7 @@ _TOP_PAIRS = 20
 
 def _q188_oracle() -> str:
     return rf"""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq
         FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
               FROM documents WHERE text IS NOT NULL)
@@ -103,7 +103,7 @@ def q188_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q189_oracle() -> str:
     return rf"""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq
         FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
               FROM documents WHERE text IS NOT NULL)
@@ -186,8 +186,13 @@ def q189_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("pair", F.struct((-F.col("pair_count")).alias("n"),
                                   F.col("pair"))).alias("bp"))
     sym = apply_merge(vocab, best)
+    # size guard: a word equal to the winning pair collapses to ONE
+    # symbol, and Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # (step defaults to -1 when start > stop) — element_at(s, 0)
+    # would then throw. Single-symbol words carry no pairs anyway.
     p2 = (
-        sym.select("freq", F.explode(F.expr(
+        sym.filter(F.size("s") >= 2)
+        .select("freq", F.explode(F.expr(
             "transform(sequence(1, size(s) - 1), "
             "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"
         )).alias("pair"))
@@ -195,4 +200,225 @@ def q189_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = p2.orderBy(F.desc("pair_count"), "pair").limit(_TOP_PAIRS)
     rk = Window.orderBy(F.desc("pair_count"), "pair")
+    return top.withColumn("rk", F.row_number().over(rk).cast("int"))
+
+
+# ---- q190/q191: multi-iteration BPE training + corpus encoding ----
+#
+# q189 runs ONE merge; a real trainer loops. The loop forces the one
+# piece of machinery q189's single-char round could dodge: applying a
+# merge over MULTI-char symbols. A plain string replace on the spaced
+# form breaks there (the pattern " x y " shares its boundary spaces
+# with adjacent matches, so 'x y x y' only merges once per pass), so
+# the merge step works on the symbol ARRAY directly:
+#
+# - Spark: one aggregate() fold per word — scan left→right, merge
+#   whenever (last, current) == (x, y). Greedy leftmost
+#   non-overlapping by construction: a merged symbol x||y is strictly
+#   longer than x, so it can never re-match as the x of the next
+#   step, which is exactly the non-overlap rule.
+# - DuckDB oracle: the positional formulation — match positions
+#   p where (s[p], s[p+1]) = (x, y); consecutive positions conflict
+#   only when x = y (s[p+1] must equal both y and x), so greedy =
+#   "keep the odd-indexed positions of every consecutive run"
+#   (row_number alternation), then rebuild the list skipping p+1 of
+#   every kept p.
+#
+# Same truth, two independent kernels (the q181 discipline), equality
+# hash-checked; the toy semantics (overlap runs, post-merge
+# adjacency) are pinned in tests/test_tokenizer.py.
+#
+# Scale story unchanged from q188: the ONLY corpus-scale operation is
+# the word-frequency agg. Every iteration runs on the vocabulary
+# (pair counts, 1-row argmax, fold), each sym generation is
+# localCheckpoint'ed because two consumers read it (next iteration's
+# pair count + merge apply), and the winning pair rides a 1-row
+# broadcast — at 100 TB the trainer's per-iteration cost is
+# vocab-sized, which is why production BPE trainers run at corpus
+# scale at all.
+
+_N_MERGES = 5
+
+#: greedy leftmost non-overlapping merge of (x, y) over symbol array
+#: s — see the section comment for why this fold IS the greedy rule.
+#: try_element_at: acc is empty on the first step and ANSI element_at
+#: would throw; NULL = x is NULL → CASE falls through to append.
+_MERGE_FOLD = """
+aggregate(
+    s, cast(array() as array<string>),
+    (acc, t) -> CASE WHEN try_element_at(acc, -1) = x AND t = y
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(concat(x, y)))
+                ELSE concat(acc, array(t)) END)
+"""
+
+
+def char_symbols(vocab: DataFrame) -> DataFrame:
+    """(word, freq, s): each vocabulary word as its initial
+    single-character symbol array — BPE's starting state."""
+    return vocab.select("word", "freq", F.expr(
+        "transform(sequence(1, length(word)), "
+        "i -> substring(word, i, 1))").alias("s"))
+
+
+def sym_pair_counts(sym: DataFrame) -> DataFrame:
+    """(pair, pair_count): adjacent SYMBOL pairs ('x y' spaced —
+    symbols never contain whitespace, words were split on it) over a
+    symbol frame, weighted by word freq. Single-symbol words are
+    filtered (no pairs, and Spark's sequence(1, 0) is descending)."""
+    return (
+        sym.filter(F.size("s") >= 2)
+        .select("freq", F.explode(F.expr(
+            "transform(sequence(1, size(s) - 1), "
+            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"
+        )).alias("pair"))
+        .groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_train(vocab: DataFrame, n_merges: int):
+    """Run ``n_merges`` BPE iterations over a (word, freq) vocabulary.
+    Returns (merge_table, final_sym): the merge table is
+    (rk, pair, pair_count) — pair_count at selection time — and
+    final_sym is (word, freq, s) after all merges. Each iteration:
+    ONE min_by hash agg picks the winner (no sort of the pair table),
+    the 1-row winner broadcasts onto the vocabulary, and the fold
+    applies it greedily."""
+    sym = char_symbols(vocab).localCheckpoint()
+    bests = []
+    for i in range(1, n_merges + 1):
+        best = (
+            sym_pair_counts(sym)
+            .agg(F.min_by(F.struct("pair", "pair_count"),
+                          F.struct((-F.col("pair_count")).alias("n"),
+                                   F.col("pair"))).alias("b"))
+            .select(F.lit(i).alias("rk"), F.col("b.pair").alias("pair"),
+                    F.col("b.pair_count").alias("pair_count"))
+            .localCheckpoint()
+        )
+        bests.append(best)
+        xy = best.select(
+            F.element_at(F.split("pair", " "), 1).alias("x"),
+            F.element_at(F.split("pair", " "), 2).alias("y"))
+        sym = (
+            sym.crossJoin(F.broadcast(xy))  # 1 row: keyless-agg bound
+            .select("word", "freq", F.expr(_MERGE_FOLD).alias("s"))
+            .localCheckpoint()
+        )
+    merges = bests[0]
+    for b in bests[1:]:
+        merges = merges.unionByName(b)
+    return merges, sym
+
+
+def _bpe_ctes(n: int) -> str:
+    """WITH-clause prefix replaying ``n`` BPE iterations in DuckDB:
+    w → sym0 → (pc_i, best_i, sel_i, sym_i) per iteration. sel_i is
+    the positional greedy rule (run alternation); sym_i rebuilds each
+    word's list skipping the consumed p+1 slots."""
+    parts = [r"""
+    w AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ),
+    sym0 AS MATERIALIZED (
+        SELECT word, freq,
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)) AS s
+        FROM w
+    )"""]
+    for i in range(1, n + 1):
+        p = i - 1
+        parts.append(f""",
+    pc{i} AS MATERIALIZED (
+        SELECT s[p] AS x, s[p + 1] AS y,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1))
+                  AS p
+              FROM sym{p})
+        GROUP BY x, y
+    ),
+    best{i} AS MATERIALIZED (SELECT x, y, pair_count FROM pc{i}
+                ORDER BY pair_count DESC, x || ' ' || y LIMIT 1),
+    sel{i} AS MATERIALIZED (
+        SELECT word, p,
+               ROW_NUMBER() OVER (PARTITION BY word, p - rn
+                                  ORDER BY p) AS k
+        FROM (SELECT word, p,
+                     ROW_NUMBER() OVER (PARTITION BY word
+                                        ORDER BY p) AS rn
+              FROM (SELECT m.word, unnest(list_filter(
+                        generate_series(1, len(m.s) - 1),
+                        p -> m.s[p] = b.x AND m.s[p + 1] = b.y)) AS p
+                    FROM sym{p} m CROSS JOIN best{i} b))
+    ),
+    sym{i} AS MATERIALIZED (
+        SELECT t.word, t.freq,
+               list(CASE WHEN sl.p IS NOT NULL THEN b.x || b.y
+                         ELSE t.s[t.q] END ORDER BY t.q) AS s
+        FROM (SELECT word, freq, s,
+                     unnest(generate_series(1, len(s))) AS q
+              FROM sym{p}) t
+        CROSS JOIN best{i} b
+        LEFT JOIN (SELECT word, p FROM sel{i} WHERE k % 2 = 1) sl
+               ON sl.word = t.word AND sl.p = t.q
+        LEFT JOIN (SELECT word, p FROM sel{i} WHERE k % 2 = 1) c
+               ON c.word = t.word AND c.p = t.q - 1
+        WHERE c.p IS NULL
+        GROUP BY t.word, t.freq
+    )""")
+    return "WITH" + "".join(parts)
+
+
+def _q190_oracle() -> str:
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS rk, x || ' ' || y AS pair, pair_count "
+        f"FROM best{i}" for i in range(1, _N_MERGES + 1))
+    return _bpe_ctes(_N_MERGES) + f"""
+    SELECT CAST(rk AS INT) AS rk, pair, pair_count
+    FROM ({unions})
+    """
+
+
+@register("q190_bpe_merge_table", oracle=_q190_oracle())
+def q190_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training, {_N_MERGES} iterations: the ranked
+    merge list (rk, pair, pair_count-at-selection) a tokenizer trainer
+    emits — merge #2 can pick a pair CONTAINING merge #1's new symbol,
+    which is what the multi-char greedy fold machinery exists for
+    (see the section comment for the two-kernel semantics proof)."""
+    vocab = word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, _ = bpe_train(vocab, _N_MERGES)
+    return merges
+
+
+def _q191_oracle() -> str:
+    return _bpe_ctes(_N_MERGES) + f""",
+    tc AS (SELECT tok, CAST(SUM(freq) AS BIGINT) AS tok_count
+           FROM (SELECT freq, unnest(s) AS tok FROM sym{_N_MERGES})
+           GROUP BY tok)
+    SELECT tok AS token, tok_count, CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY tok_count DESC, tok)
+              AS rk FROM tc)
+    WHERE rk <= {_TOP_PAIRS}
+    """
+
+
+@register("q191_bpe_encode_stats", oracle=_q191_oracle())
+def q191_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with the trained merge table: top-{_TOP_PAIRS}
+    TOKENS by corpus frequency after {_N_MERGES} BPE merges — the
+    token-distribution head a pipeline inspects before committing to
+    a tokenizer (multi-char merged symbols compete with surviving
+    single chars). Same iteration machinery as q190; the encode side
+    is the final sym frame exploded once, weighted by word freq."""
+    vocab = word_freqs(load_table(spark, sf_dir, "documents"))
+    _, sym = bpe_train(vocab, _N_MERGES)
+    tc = (sym.select("freq", F.explode("s").alias("token"))
+          .groupBy("token").agg(F.sum("freq").alias("tok_count")))
+    top = tc.orderBy(F.desc("tok_count"), "token").limit(_TOP_PAIRS)
+    rk = Window.orderBy(F.desc("tok_count"), "token")
     return top.withColumn("rk", F.row_number().over(rk).cast("int"))

@@ -47,6 +47,53 @@ def test_merge_apply_is_greedy_leftmost(spark):
     assert syms == {("aa",): 3, ("a", "b"): 2, ("aa", "a"): 1}
 
 
+def test_merge_fold_greedy_on_multichar_symbols(spark):
+    """The aggregate() fold must be greedy leftmost non-overlapping
+    over SYMBOL arrays — the case q189's string replace can't handle.
+    Overlap only matters when x == y: runs of k matches merge
+    ceil(k/2) pairs, leftmost first."""
+    from hearthstats_spark.queries.tokenizer import _MERGE_FOLD
+
+    cases = [
+        # (symbols, x, y, expected)
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "a", "a", "a", "a"], "a", "a", ["aa", "aa", "a"]),
+        (["x", "y", "x", "y"], "x", "y", ["xy", "xy"]),
+        (["y", "x", "y"], "x", "y", ["y", "xy"]),
+        # multi-char symbols: merged symbol never re-matches as x
+        (["ab", "c", "ab", "c"], "ab", "c", ["abc", "abc"]),
+        (["q"], "a", "b", ["q"]),  # no pair positions at all
+    ]
+    df = spark.createDataFrame(
+        [(i, s, x, y) for i, (s, x, y, _) in enumerate(cases)],
+        "i long, s array<string>, x string, y string")
+    got = {r["i"]: r["m"] for r in
+           df.selectExpr("i", f"{_MERGE_FOLD} AS m").collect()}
+    for i, (_, _, _, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bpe_train_merge_table_on_toy(spark):
+    """5 docs of 'low lower lowest' flavors — merge order is
+    hand-checkable and iteration 2+ merges pairs CONTAINING merged
+    symbols (the multi-iteration machinery q190 exists for)."""
+    from hearthstats_spark.queries.tokenizer import bpe_train, word_freqs
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower lowest")],
+        "doc_id long, text string")
+    merges, sym = bpe_train(word_freqs(docs), 3)
+    got = [(r["rk"], r["pair"], r["pair_count"])
+           for r in merges.orderBy("rk").collect()]
+    # vocab: low x3, lower x2, lowest x1 → 'l o' and 'o w' tie at 6,
+    # 'l o' wins on pair order; then 'lo w' (6); then 'e r'(2)/'e s'(1)
+    # /'s t'(1)/'low e'(3) → 'low e' wins with 3
+    assert got == [(1, "l o", 6), (2, "lo w", 6), (3, "low e", 3)]
+    toks = {tuple(r["s"]) for r in sym.collect()}
+    assert toks == {("low",), ("lowe", "r"), ("lowe", "s", "t")}
+
+
 def test_q188_q189_registered_shapes(spark, registry):
     r188 = registry["q188_bpe_pair_stats"].fn(spark, SF_SMALL).collect()
     assert [r["rk"] for r in r188] == list(range(1, len(r188) + 1))
@@ -57,3 +104,25 @@ def test_q188_q189_registered_shapes(spark, registry):
     assert [r["rk"] for r in r189] == list(range(1, len(r189) + 1))
     # round-2 pairs are spaced two-symbol strings
     assert all(" " in r["pair"] for r in r189)
+
+
+def test_q190_first_merge_matches_q188_top_pair(spark, registry):
+    """Cross-query identity: q190's merge #1 IS q188's rank-1 pair
+    (same corpus, same tie rule), and q189's recount equals what
+    q190's iteration-2 candidates would start from."""
+    m = registry["q190_bpe_merge_table"].fn(spark, SF_SMALL)
+    first = m.filter(F.col("rk") == 1).collect()[0]
+    top188 = (registry["q188_bpe_pair_stats"].fn(spark, SF_SMALL)
+              .filter(F.col("rk") == 1).collect()[0])
+    assert (first["pair"].replace(" ", ""), first["pair_count"]) == \
+        (top188["pair"], top188["pair_count"])
+
+
+def test_q191_token_conservation(spark, registry):
+    """Every token in q191's head is a substring-concatenation of
+    chars (non-empty), ranks are dense, counts non-increasing."""
+    rows = registry["q191_bpe_encode_stats"].fn(spark, SF_SMALL).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["tok_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["token"] and " " not in r["token"] for r in rows)
