@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
+from hearthstats_spark.operators.bounded import broadcast_bounded
+from hearthstats_spark.operators.rankops import with_global_prefix_sums
 from hearthstats_spark.queries.registry import register
 
 _TOP_PAIRS = 20
@@ -422,3 +424,169 @@ def q191_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tc.orderBy(F.desc("tok_count"), "token").limit(_TOP_PAIRS)
     rk = Window.orderBy(F.desc("tok_count"), "token")
     return top.withColumn("rk", F.row_number().over(rk).cast("int"))
+
+
+# ---- q192: WordPiece-style pair scoring ----------------------------
+#
+# The OTHER major subword trainer family (Schuster & Nakajima, ICASSP
+# 2012; BERT's tokenizer): instead of BPE's raw pair frequency,
+# WordPiece merges the pair maximizing the likelihood ratio
+# count(xy) / (count(x) * count(y)) — frequent-but-expected pairs
+# ('e' next to anything) lose to genuinely associated ones. Same
+# distributed shape as q188 (the corpus-scale op is the word-count
+# agg), plus one alphabet-sized unigram frame joined onto the pair
+# table twice — bounded by the charset, runtime-guarded broadcast.
+
+_CHARSET_CAP = 4096  # unigram symbols = distinct characters
+
+
+def _q192_oracle() -> str:
+    return r"""
+    WITH w AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ),
+    u AS (
+        SELECT sym, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT freq, unnest(list_transform(
+                  generate_series(1, length(word)),
+                  i -> substr(word, i, 1))) AS sym
+              FROM w)
+        GROUP BY sym
+    ),
+    p AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, length(word) - 1),
+                  i -> substr(word, i, 2))) AS pair, freq
+              FROM w)
+        GROUP BY pair
+    ),
+    sc AS (
+        SELECT p.pair, p.pair_count,
+               CAST(p.pair_count AS DOUBLE) /
+                   (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))
+                   AS score
+        FROM p
+        JOIN u ux ON ux.sym = substr(p.pair, 1, 1)
+        JOIN u uy ON uy.sym = substr(p.pair, 2, 1)
+    )
+    SELECT pair, pair_count, score, CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, pair)
+              AS rk FROM sc)
+    WHERE rk <= 20
+    """
+
+
+@register("q192_wordpiece_scores", oracle=_q192_oracle())
+def q192_wordpiece_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 WordPiece merge candidates by likelihood score
+    count(xy) / (count(x)·count(y)) — the selection rule that
+    distinguishes WordPiece from BPE (q188 ranks the SAME pair table
+    by raw count; the two heads differ, which is the point).
+
+    Scale: pair and unigram tables are both vocab-derived; the
+    unigram frame is alphabet-sized (distinct characters) and rides a
+    runtime-guarded broadcast onto the pair counts twice. The score
+    division is (double)pc / ((double)cx · (double)cy) — one IEEE
+    multiply + one divide on identical operands in both engines."""
+    vocab = word_freqs(load_table(spark, sf_dir, "documents"))
+    uni = (
+        vocab.select("freq", F.explode(F.expr(
+            "transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1))")).alias("sym"))
+        .groupBy("sym").agg(F.sum("freq").alias("c"))
+    )
+    # two joins read the unigram frame — materialize once (q98's
+    # localCheckpoint rule), THEN hint: without it each join subplan
+    # re-runs the agg and plans its own exchange over the raw scan
+    uni = broadcast_bounded(uni.localCheckpoint(), _CHARSET_CAP)
+    p = pair_counts(vocab)
+    sc = (
+        p.join(uni.select(F.col("sym").alias("__x"),
+                          F.col("c").alias("cx")),
+               F.substring("pair", 1, 1) == F.col("__x"))
+        .join(uni.select(F.col("sym").alias("__y"),
+                         F.col("c").alias("cy")),
+              F.substring("pair", 2, 1) == F.col("__y"))
+        .select("pair", "pair_count",
+                (F.col("pair_count").cast("double") /
+                 (F.col("cx").cast("double") * F.col("cy").cast("double"))
+                 ).alias("score"))
+    )
+    top = sc.orderBy(F.desc("score"), "pair").limit(20)
+    rk = Window.orderBy(F.desc("score"), "pair")
+    return top.withColumn("rk", F.row_number().over(rk).cast("int"))
+
+
+# ---- q193: vocabulary coverage curve -------------------------------
+
+_COVER_PCTS = (50, 90, 95, 99)
+
+
+def _q193_oracle() -> str:
+    pcts = ", ".join(str(p) for p in _COVER_PCTS)
+    return rf"""
+    WITH w AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ),
+    c AS (
+        SELECT word, freq,
+               SUM(freq) OVER (ORDER BY freq DESC, word) AS cum,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS pos
+        FROM w
+    ),
+    t AS (SELECT SUM(freq) AS total FROM w)
+    SELECT g.pct, CAST(MIN(c.pos) AS BIGINT) AS k_words,
+           CAST(MIN(c.cum) AS BIGINT) AS covered,
+           CAST(MAX(t.total) AS BIGINT) AS total
+    FROM c CROSS JOIN t
+    CROSS JOIN (SELECT unnest([{pcts}]) AS pct) g
+    WHERE c.cum * 100 >= g.pct * t.total
+    GROUP BY g.pct
+    """
+
+
+@register("q193_vocab_coverage", oracle=_q193_oracle())
+def q193_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest k such that the top-k
+    words (by corpus frequency, word-asc tie-break) cover ≥ pct% of
+    all word occurrences, for pct ∈ {_COVER_PCTS} — the Zipf-shaped
+    answer to "how big must the vocab be?" every tokenizer budget
+    starts from.
+
+    Scale: the cumulative sum over the freq-desc total order runs on
+    `with_global_prefix_sums` (range-bucketed two-pass kernel — no
+    global single-task window; ≤ 32 scalars of driver traffic), with
+    a constant `1` measure doubling as the exact global position.
+    The per-pct thresholds are four conditional mins in ONE hash agg
+    (cum is monotone along pos, so min(cum | cum ≥ θ) is the value
+    AT min(pos | cum ≥ θ) — no join back). Threshold arithmetic is
+    exact integers: cum·100 ≥ pct·total."""
+    vocab = (word_freqs(load_table(spark, sf_dir, "documents"))
+             .withColumn("negfreq", -F.col("freq"))
+             .withColumn("__one", F.lit(1).cast("long")))
+    cumdf, (total, _n) = with_global_prefix_sums(
+        vocab, "negfreq", ["freq", "__one"], tiebreak=["word"],
+        cum_cols=["cum", "pos"])
+    aggs = []
+    for pct in _COVER_PCTS:
+        hit = F.col("cum") * 100 >= F.lit(pct) * F.lit(total)
+        aggs.append(F.min(F.when(hit, F.col("pos"))).alias(f"k{pct}"))
+        aggs.append(F.min(F.when(hit, F.col("cum"))).alias(f"c{pct}"))
+    one = cumdf.agg(*aggs)
+    stack = ", ".join(f"{p}, k{p}, c{p}" for p in _COVER_PCTS)
+    return (
+        one.select(F.expr(
+            f"stack({len(_COVER_PCTS)}, {stack}) "
+            "AS (pct, k_words, covered)"))
+        .select(F.col("pct").cast("int"), "k_words", "covered",
+                F.lit(total).cast("long").alias("total"))
+    )

@@ -303,10 +303,10 @@ GLOBAL_WINDOW_OK = {"q28_win_cumulative", "q92_bm25_topk",
                     # bucket-count aggregation to ≤ B+1 = 65 rows at
                     # any raw scale (the sketch bounds the frame)
                     "q177_ks_sketch_drift",
-                    # q188/q189/q191 rank AFTER orderBy+LIMIT 20
+                    # q188/q189/q191/q192 rank AFTER orderBy+LIMIT 20
                     # (TakeOrderedAndProject — q92's bounded shape)
                     "q188_bpe_pair_stats", "q189_bpe_merge_apply",
-                    "q191_bpe_encode_stats"}
+                    "q191_bpe_encode_stats", "q192_wordpiece_scores"}
 
 
 def _has_global_window(plan: str) -> bool:

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 191 declared
-queries q01–q191 + 26 side-effect/streaming ops s01–s26; 179
+"""The registry IS the driver contract (SURVEY.md §2): 193 declared
+queries q01–q193 + 26 side-effect/streaming ops s01–s26; 179
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 192)
+    f"q{i:02d}" for i in range(1, 194)
 } | {f"s{i:02d}" for i in range(1, 27)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -41,7 +41,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 184
+    assert len(with_oracle) == 186
 
 
 def test_names_well_formed(registry):

