@@ -590,3 +590,85 @@ def q193_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pct").cast("int"), "k_words", "covered",
                 F.lit(total).cast("long").alias("total"))
     )
+
+
+# ---- q194: OOV rate of a fixed vocabulary on a held-out split -----
+
+_VOCAB_K = 16  # synthetic corpus vocabulary is 30 words; 16 gives real OOV signal
+
+
+def _q194_oracle() -> str:
+    return rf"""
+    WITH tr AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 10 < 8)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ),
+    v AS (
+        SELECT word FROM
+            (SELECT word, ROW_NUMBER() OVER (ORDER BY freq DESC, word)
+                 AS rn FROM tr)
+        WHERE rn <= {_VOCAB_K}
+    ),
+    ev AS (
+        SELECT lang, word FROM
+            (SELECT lang, unnest(regexp_split_to_array(text, '\s+'))
+                 AS word
+             FROM documents
+             WHERE text IS NOT NULL AND doc_id % 10 >= 8)
+        WHERE length(word) >= 2
+    )
+    SELECT ev.lang,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM ev LEFT JOIN v ON v.word = ev.word
+    GROUP BY ev.lang
+    """
+
+
+@register("q194_oov_rate", oracle=_q194_oracle())
+def q194_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language: train a top-{_VOCAB_K}
+    word vocabulary on the 80% split (doc_id % 10 < 8), measure the
+    token-level OOV fraction on the held-out 20% (V={_VOCAB_K}: the
+    synthetic corpus draws from a 30-word list, so a half-size vocab
+    produces non-degenerate rates; at production scale V is 10^4-10^5
+    — the plan does not change) — the generalization
+    check run before freezing any tokenizer/vocab (a vocab that fits
+    its training slice but misses 30% of fresh tokens is overfit to
+    the crawl snapshot).
+
+    Scale: the vocabulary is bounded BY CONSTRUCTION (orderBy+LIMIT →
+    TakeOrderedAndProject, per-partition heaps) and rides a
+    runtime-guarded broadcast into the token-level left join — the
+    eval side is one corpus-scale explode feeding a broadcast hash
+    join + per-lang hash agg, no shuffle of the token stream by key.
+    The rate division is one IEEE divide on identical BIGINT-cast
+    operands in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("text").isNotNull()
+                        & (F.col("doc_id") % 10 < 8))
+    vocab = (word_freqs(train)
+             .orderBy(F.desc("freq"), "word").limit(_VOCAB_K)
+             .select("word", F.lit(1).alias("__hit")))
+    vocab = broadcast_bounded(vocab, _VOCAB_K)
+    ev = (docs.filter(F.col("text").isNotNull()
+                      & (F.col("doc_id") % 10 >= 8))
+          .select("lang", F.explode(F.split("text", r"\s+")).alias("word"))
+          .filter(F.length("word") >= 2))
+    oov = F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+    return (
+        ev.join(vocab, "word", "left")
+        .groupBy("lang")
+        .agg(oov.alias("oov_tokens"),
+             F.count(F.lit(1)).alias("total_tokens"))
+        .select("lang", "oov_tokens", "total_tokens",
+                (F.col("oov_tokens").cast("double")
+                 / F.col("total_tokens").cast("double")).alias("oov_rate"))
+    )

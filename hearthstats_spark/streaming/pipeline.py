@@ -1745,3 +1745,111 @@ def s26_stream_index_retention(spark: SparkSession,
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---- s27: streaming vocabulary maintenance (tokenizer stats) ------
+
+@register("s27_stream_vocab_maintenance", oracle=None)  # rows-only
+def s27_stream_vocab_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the tokenizer word-frequency table
+    (q188's vocabulary): documents arrive in micro-batches, an
+    update-mode streaming aggregation keeps the RUNNING per-word
+    count in state, and a ``foreachBatch`` sink commits each batch's
+    updated rows to a layer-per-batch parquet directory (s23's
+    exactly-once overwrite protocol — a replayed batch rewrites its
+    own layer and converges to the identical store).
+
+    Why this is the 100 TB shape: word counts are additive, so the
+    corpus-scale work per batch is ONE map-side-combinable agg over
+    the batch (plus state lookups on the updated keys only), and the
+    committed store carries cumulative counts — the downstream BPE
+    iteration (vocab-sized, q190) can run against the store at ANY
+    batch boundary without touching the corpus again. That is what
+    "retrain the tokenizer nightly on a growing crawl" actually runs.
+
+    Self-verifying, all distributive:
+    1. **Batch equivalence** — the reconstructed store (latest layer
+       per word via ONE max_by(batch_id) hash agg — q181's CDC
+       compaction) must equal ``word_freqs`` over the full corpus
+       EXACTLY (exceptAll both ways == 0).
+    2. **Monotone growth** — every layer's cumulative count for a
+       word ≥ any earlier layer's (violations counted distributively
+       via a self-join on word across adjacent layers; must be 0).
+    3. **Head agreement** — q188's top merge candidate computed from
+       the maintained store equals the batch-computed one (the
+       consumer a tokenizer trainer actually is)."""
+    from hearthstats_spark.queries.tokenizer import pair_counts, word_freqs
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    base = tempfile.mkdtemp(prefix="hs_s27_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    n_slices = 3
+    for i in range(n_slices):
+        (docs.filter(F.col("doc_id") % n_slices == i)
+         .coalesce(1).write.mode("append").parquet(src))
+    seen = {"batches": 0}
+
+    def commit_layer(batch_df: DataFrame, batch_id: int) -> None:
+        seen["batches"] += 1
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(os.path.join(store, f"layer_{batch_id}")))
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .select(F.explode(F.split("text", r"\s+")).alias("word"))
+            .filter(F.length("word") >= 2)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+            .writeStream.outputMode("update")
+            .foreachBatch(commit_layer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="hs_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+
+        layers = spark.read.parquet(
+            *[os.path.join(store, f"layer_{i}")
+              for i in range(seen["batches"])]).localCheckpoint()
+        vocab_stream = layers.groupBy("word").agg(
+            F.max_by("freq", "batch_id").alias("freq"))
+        vocab_batch = word_freqs(
+            load_table(spark, sf_dir, "documents")).localCheckpoint()
+        n_mismatch = (vocab_stream.exceptAll(vocab_batch).count()
+                      + vocab_batch.exceptAll(vocab_stream).count())
+        mono = (
+            layers.alias("a")
+            .join(layers.alias("b"),
+                  (F.col("a.word") == F.col("b.word"))
+                  & (F.col("a.batch_id") < F.col("b.batch_id")))
+            .filter(F.col("a.freq") > F.col("b.freq"))
+        )
+        n_mono_viol = mono.count()
+
+        def head_of(vocab: DataFrame):
+            return pair_counts(vocab).agg(
+                F.min_by("pair", F.struct(
+                    (-F.col("pair_count")).alias("n"),
+                    F.col("pair"))).alias("bp")).collect()[0]["bp"]
+
+        head_match = head_of(vocab_stream) == head_of(vocab_batch)
+        n_words = vocab_stream.count()
+        return spark.createDataFrame(
+            [(seen["batches"], n_words, n_mismatch, n_mono_viol,
+              bool(head_match),
+              bool(seen["batches"] == n_slices and n_words > 0
+                   and n_mismatch == 0 and n_mono_viol == 0
+                   and head_match))],
+            "n_batches long, n_words long, n_vocab_mismatch long, "
+            "n_monotonicity_violations long, head_match boolean, "
+            "consistent boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -418,7 +418,9 @@ def test_no_driver_materialization_in_sources():
       not query lanes;
     - streaming/pipeline.py: s17's 1-row counter materialization
       before temp-dir cleanup (ADVICE r3; micro-batch data itself
-      never crosses the driver — test_streaming pins the site).
+      never crosses the driver — test_streaming pins the site), and
+      s27's 1-row winning-pair scalar (comparing the maintained
+      store's BPE head against the batch one — a single string).
 
     Anything else is a new driver-side materialization and must be
     justified here before it lands."""
@@ -433,7 +435,7 @@ def test_no_driver_materialization_in_sources():
         # counters-before-cleanup + s21's bucket-sized blob
         # materialization and n_files verification rows
         "queries/sinks.py": 7,
-        "streaming/pipeline.py": 1,  # s17 counters-before-cleanup
+        "streaming/pipeline.py": 2,  # s17 counters + s27 head scalar
     }
     pat = re.compile(r"\.(collect|toPandas)\(\)")
     offenders: dict[str, int] = {}

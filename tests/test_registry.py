@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 193 declared
-queries q01–q193 + 26 side-effect/streaming ops s01–s26; 179
+"""The registry IS the driver contract (SURVEY.md §2): 194 declared
+queries q01–q194 + 27 side-effect/streaming ops s01–s27; 179
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,8 +7,8 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 194)
-} | {f"s{i:02d}" for i in range(1, 27)}
+    f"q{i:02d}" for i in range(1, 195)
+} | {f"s{i:02d}" for i in range(1, 28)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
@@ -20,6 +20,7 @@ ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
     "s24_stream_ann_serving",
     "s25_stream_index_compaction",
     "s26_stream_index_retention",
+    "s27_stream_vocab_maintenance",
     "s01_jdbc_sqlite_sink", "s02_csv_json_roundtrip",
     "s03_stream_pipeline", "s04_stream_dedup",
     "s05_stream_stateful", "s06_stream_stream_join",
@@ -41,7 +42,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 186
+    assert len(with_oracle) == 187
 
 
 def test_names_well_formed(registry):

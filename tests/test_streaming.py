@@ -317,3 +317,16 @@ def test_s26_retention_invariants(spark, registry):
     assert row["n_monotonicity_violations"] == 0
     assert row["n_rescued_by_expiry"] > 0
     assert row["n_early_mismatch"] == 0
+
+
+def test_s27_vocab_maintenance_invariants(spark, registry):
+    """The maintained word-frequency store must equal the batch
+    word_freqs exactly, grow monotonically per word across layers,
+    and feed the SAME top merge candidate to a BPE trainer."""
+    row = registry["s27_stream_vocab_maintenance"].fn(
+        spark, SF_SMALL).collect()[0]
+    assert row["consistent"], row
+    assert row["n_batches"] == 3
+    assert row["n_vocab_mismatch"] == 0
+    assert row["n_monotonicity_violations"] == 0
+    assert row["head_match"]

@@ -170,3 +170,14 @@ def test_q193_coverage_monotone_and_exact(spark, registry):
         # minimality: dropping the k-th word's freq falls below —
         # checked loosely via covered < total for p < 100
         assert r["covered"] <= total
+
+
+def test_q194_oov_rate_bounds(spark, registry):
+    """OOV rates in (0, 1) on the synthetic corpus (V=16 of a 30-word
+    vocabulary — neither degenerate 0 nor total miss), and exact
+    token accounting: oov <= total, rate == oov/total."""
+    rows = registry["q194_oov_rate"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["oov_tokens"] < r["total_tokens"]
+        assert r["oov_rate"] == r["oov_tokens"] / r["total_tokens"]
