@@ -49,17 +49,20 @@ def test_processing_time_trigger_equals_batch(spark, registry):
 def test_no_driver_collect_in_streaming_sinks():
     """Round-1's toy sinks collected micro-batches to the driver;
     the converted sinks (memory/parquet/foreachBatch-parquet) must
-    keep the pipeline module free of .collect() — with ONE allowlisted
-    exception: s17 materializes its 1-row self-verification counter
+    keep the pipeline module free of .collect() — with TWO allowlisted
+    exceptions: s17 materializes its 1-row self-verification counter
     frame so its temp version dirs can be deleted before returning
-    (ADVICE r3 cleanup). Metadata-sized, never micro-batch data."""
+    (ADVICE r3 cleanup), and s27 materializes the 1-row winning-pair
+    scalar to compare the maintained store's BPE head against the
+    batch one. Metadata-sized, never micro-batch data."""
     import inspect
 
     from hearthstats_spark.streaming import pipeline
 
     src = inspect.getsource(pipeline)
-    assert src.count(".collect()") == 1
+    assert src.count(".collect()") == 2
     assert "rows = counters.collect()  # materialize before temp cleanup" in src
+    assert '.alias("bp")).collect()[0]["bp"]' in src
 
 
 def test_stream_stateful_counts_equal_batch(spark, registry):
