@@ -672,3 +672,57 @@ def q194_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("oov_tokens").cast("double")
                  / F.col("total_tokens").cast("double")).alias("oov_rate"))
     )
+
+
+# ---- q195: lexical corpus-health statistics ------------------------
+
+def _q195_oracle() -> str:
+    return r"""
+    WITH lw AS MATERIALIZED (
+        SELECT lang, word, COUNT(*) AS freq
+        FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+'))
+                  AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE length(word) >= 2
+        GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)
+               AS type_token_ratio
+    FROM lw
+    GROUP BY lang
+    """
+
+
+@register("q195_lexical_stats", oracle=_q195_oracle())
+def q195_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical corpus-health metrics per language: type count
+    (distinct words), token count, hapax legomena (words seen exactly
+    once — the Heaps'-law tail a crawl-quality monitor watches: a
+    hapax-rate spike means boilerplate explosion or encoding junk),
+    and the type-token ratio.
+
+    Scale: one corpus-scale (lang, word) hash agg — map-side
+    combinable — then a per-lang re-agg over vocab-sized data; no
+    window, no join, no broadcast. The TTR division is one IEEE
+    divide on identical BIGINT-cast operands in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (docs.filter(F.col("text").isNotNull())
+          .select("lang", F.explode(F.split("text", r"\s+")).alias("word"))
+          .filter(F.length("word") >= 2)
+          .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("freq")))
+    return (
+        lw.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_types"),
+             F.sum("freq").alias("n_tokens"),
+             F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+             .alias("n_hapax"))
+        .select("lang", "n_types", "n_tokens", "n_hapax",
+                (F.col("n_types").cast("double")
+                 / F.col("n_tokens").cast("double"))
+                .alias("type_token_ratio"))
+    )

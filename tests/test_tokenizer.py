@@ -181,3 +181,19 @@ def test_q194_oov_rate_bounds(spark, registry):
     for r in rows:
         assert 0 < r["oov_tokens"] < r["total_tokens"]
         assert r["oov_rate"] == r["oov_tokens"] / r["total_tokens"]
+
+
+def test_q195_lexical_identities(spark, registry):
+    """Per-lang accounting identities: hapax <= types <= tokens, TTR
+    == types/tokens, and summing per-lang types >= corpus-wide vocab
+    size (a word can be a type in several langs)."""
+    rows = registry["q195_lexical_stats"].fn(spark, SF_SMALL).collect()
+    assert rows
+    from hearthstats_spark.io import load_table
+    from hearthstats_spark.queries.tokenizer import word_freqs
+
+    vocab_n = word_freqs(load_table(spark, SF_SMALL, "documents")).count()
+    for r in rows:
+        assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert r["type_token_ratio"] == r["n_types"] / r["n_tokens"]
+    assert sum(r["n_types"] for r in rows) >= vocab_n
