@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 195 declared
-queries q01–q195 + 27 side-effect/streaming ops s01–s27; 179
+queries q01–q195 + 27 side-effect/streaming ops s01–s27; 188
 oracle-checked."""
 
 from __future__ import annotations
