@@ -726,3 +726,78 @@ def q195_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.col("n_tokens").cast("double"))
                 .alias("type_token_ratio"))
     )
+
+
+# ---- q196: concat-and-chunk sequence-packing statistics ------------
+
+_SEQ_LEN = 512
+
+
+def _q196_oracle() -> str:
+    L = _SEQ_LEN
+    return rf"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               w -> length(w) >= 2)) AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id) AS cum
+        FROM d WHERE n_tok > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) + {L - 1}) // {L} AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN (cum - n_tok) // {L} <> (cum - 1) // {L}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossing_docs,
+           CAST(SUM(CASE WHEN (cum - n_tok) // {L} <> (cum - 1) // {L}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS frac_crossing
+    FROM c
+    """
+
+
+@register("q196_pack_stats", oracle=_q196_oracle())
+def q196_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing statistics at L={_SEQ_LEN}: pack the
+    corpus token stream in doc_id order into fixed-length training
+    sequences and report how many chunks it fills and how many
+    documents straddle a chunk boundary (the fraction whose context
+    gets split — the number a pipeline weighs when choosing
+    concat-packing vs padded batching).
+
+    Scale: each document's span [cum − n_tok, cum) comes from ONE
+    exact prefix sum over the doc_id order via
+    `with_global_prefix_sum` (range-bucketed two-pass kernel with
+    uniform boundaries — doc_id is a dense key — and ≤ 32 scalars of
+    driver traffic); boundary-crossing is then a per-row integer-div
+    comparison inside codegen and the output is one global agg row.
+    Same machinery as q89's shard packing, answering the utilization
+    question instead of the assignment one."""
+    from hearthstats_spark.operators.rankops import with_global_prefix_sum
+
+    L = _SEQ_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.filter(F.col("text").isNotNull())
+         .select("doc_id", F.size(F.filter(
+             F.split("text", r"\s+"),
+             lambda w: F.length(w) >= 2)).alias("n_tok"))
+         .filter(F.col("n_tok") > 0))
+    c, _total = with_global_prefix_sum(
+        d, "doc_id", "n_tok", cum_col="cum", boundaries="uniform")
+    crossing = (F.expr(f"(cum - n_tok) div {L}")
+                != F.expr(f"(cum - 1) div {L}")).cast("int")
+    return (
+        c.agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tok").alias("total_tokens"),
+              F.max("cum").alias("__mx"),
+              F.sum(crossing).alias("n_crossing_docs"))
+        .select("n_docs", "total_tokens",
+                F.expr(f"(__mx + {L - 1}) div {L}").alias("n_chunks"),
+                "n_crossing_docs",
+                (F.col("n_crossing_docs").cast("double")
+                 / F.col("n_docs").cast("double")).alias("frac_crossing"))
+    )

@@ -197,3 +197,13 @@ def test_q195_lexical_identities(spark, registry):
         assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
         assert r["type_token_ratio"] == r["n_types"] / r["n_tokens"]
     assert sum(r["n_types"] for r in rows) >= vocab_n
+
+
+def test_q196_pack_accounting(spark, registry):
+    """Packing identities: chunks == ceil(total/512), crossing docs
+    bounded by n_docs AND by n_chunks (each boundary is crossed by
+    at most one doc), frac == crossing/docs."""
+    r = registry["q196_pack_stats"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_chunks"] == -(-r["total_tokens"] // 512)
+    assert 0 <= r["n_crossing_docs"] <= min(r["n_docs"], r["n_chunks"])
+    assert r["frac_crossing"] == r["n_crossing_docs"] / r["n_docs"]
