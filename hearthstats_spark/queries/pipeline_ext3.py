@@ -218,3 +218,167 @@ def q182_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("kept"),
         )
     )
+
+
+# ---- q197: train/val/test split-leakage audit ----------------------
+#
+# q91 decontaminates against an EXTERNAL benchmark; the other leak a
+# pipeline must audit is INTERNAL: near-duplicate documents landing
+# on opposite sides of the train/eval split (q119's hash-mod rule
+# assigns docs independently, so a near-dup pair straddles the split
+# with probability 2·p·(1−p) — eval metrics silently become
+# memorization tests). q197 reports, per split-pair class, the
+# candidate pairs (q118's banding), the confirmed pairs
+# (n_match ≥ 8 of 16 — q182's drop rule), and the distinct
+# EVAL-side documents leaked (the rows you would quarantine).
+#
+# Everything is a composition: signatures_of → _band_table self-join
+# (the only quadratic surface stays inside band buckets), splits are
+# a PURE FUNCTION of doc_id (q119's md5-mod rule) computed by
+# expression on the pair frame — no join against a split table.
+
+_SPLIT_SQL = ("CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5("
+              "CAST({c} AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 "
+              "THEN 'train' WHEN CAST(CONCAT('0x', SUBSTRING(md5("
+              "CAST({c} AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 "
+              "THEN 'val' ELSE 'test' END")
+
+
+def _q197_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN({_mh_hash_sql(j, 'b')}) AS m{j}" for j in range(_MH_K))
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + ", ".join(f"m{b * _MH_ROWS + r} AS k{r}" for r in range(_MH_ROWS))
+        + " FROM sig"
+        for b in range(_MH_BANDS))
+    band_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(_MH_ROWS))
+    n_match = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(_MH_K))
+    sp_a, sp_b = _SPLIT_SQL.format(c="x.id_a"), _SPLIT_SQL.format(c="x.id_b")
+    rk = "CASE {s} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+           FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+           WHERE i <= greatest(len(t) - 3, 0)),
+    based AS (SELECT doc_id AS id,
+                     CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 8))
+                          AS BIGINT) % {_MH_P} AS b
+              FROM sh),
+    sig AS MATERIALIZED (SELECT id, {mins} FROM based GROUP BY id),
+    bands AS MATERIALIZED ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND {band_eq} AND a.id < b.id
+    ),
+    x AS (
+        SELECT c.id_a, c.id_b, CAST({n_match} AS INT) AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b
+    ),
+    y AS (
+        SELECT n_match, {sp_a} AS split_a, {sp_b} AS split_b,
+               x.id_a, x.id_b
+        FROM x
+        WHERE {sp_a} <> {sp_b}
+    ),
+    z AS (
+        SELECT n_match,
+               CASE WHEN {rk.format(s='split_a')}
+                         < {rk.format(s='split_b')}
+                    THEN split_a || '-' || split_b
+                    ELSE split_b || '-' || split_a END AS pair_class,
+               CASE WHEN {rk.format(s='split_a')}
+                         > {rk.format(s='split_b')}
+                    THEN id_a ELSE id_b END AS eval_id
+        FROM y
+    )
+    SELECT pair_class,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN n_match >= {_DROP_AT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_confirmed_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN n_match >= {_DROP_AT}
+                                    THEN eval_id END) AS BIGINT)
+               AS n_leaked_eval_docs
+    FROM z GROUP BY pair_class
+    """
+
+
+def _split_of(c):
+    """q119's deterministic hash-mod split as a pure expression of a
+    doc-id COLUMN (no join against a split table)."""
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(c).cast("string")
+                                 .cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return (F.when(b < 80, "train").when(b < 90, "val")
+            .otherwise("test"))
+
+
+@register("q197_split_leakage", oracle=_q197_oracle())
+def q197_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs straddling q119's
+    train/val/test split, per split-pair class — candidate pairs
+    (band collision), confirmed pairs (n_match ≥ {_DROP_AT}/16), and
+    distinct leaked EVAL-side docs (see section comment).
+
+    Plan: q118's signature agg (cached: band explode + both pair
+    joins read it) → band self-join → pair distinct → two id-keyed
+    sig joins for the match count; split membership is computed BY
+    EXPRESSION from the id columns on the pair frame (pure function
+    of doc_id), so the split adds zero joins and zero shuffles to
+    q118's shape."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    sig = signatures_of(d).cache()
+    bands = _band_table(sig)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              [F.col("a.band") == F.col("b.band"),
+               *[F.col(f"a.k{r}") == F.col(f"b.k{r}")
+                 for r in range(_MH_ROWS)],
+               F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MH_K)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MH_K)])
+    n_match = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(_MH_K)),
+        start=F.lit(0),
+    ).cast("int")
+    ra, rb = (F.when(s == "train", 0).when(s == "val", 1).otherwise(2)
+              for s in (F.col("split_a"), F.col("split_b")))
+    confirmed = F.col("n_match") >= _DROP_AT
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_match"),
+                _split_of("id_a").alias("split_a"),
+                _split_of("id_b").alias("split_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "n_match",
+            F.when(ra < rb,
+                   F.concat_ws("-", "split_a", "split_b"))
+            .otherwise(F.concat_ws("-", "split_b", "split_a"))
+            .alias("pair_class"),
+            F.when(ra > rb, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("eval_id"))
+        .groupBy("pair_class")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"),
+             F.sum(confirmed.cast("int")).cast("long")
+             .alias("n_confirmed_pairs"),
+             F.count_distinct(F.when(confirmed, F.col("eval_id")))
+             .alias("n_leaked_eval_docs"))
+    )

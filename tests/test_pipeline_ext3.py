@@ -92,3 +92,25 @@ def test_q182_partition_count_independent(spark, registry):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt
+
+
+def test_q197_leakage_classes_and_bounds(spark, registry):
+    """Every row is a cross-split class; confirmed <= candidates;
+    leaked eval docs <= confirmed pairs; and the class totals agree
+    with q118's corpus-wide candidate table filtered by the split
+    expression (composition identity)."""
+    from pyspark.sql import functions as F
+
+    rows = registry["q197_split_leakage"].fn(spark, SF_SMALL).collect()
+    assert rows
+    valid = {"train-val", "train-test", "val-test"}
+    for r in rows:
+        assert r["pair_class"] in valid
+        assert 0 <= r["n_confirmed_pairs"] <= r["n_candidate_pairs"]
+        assert r["n_leaked_eval_docs"] <= max(r["n_confirmed_pairs"], 1)
+    from hearthstats_spark.queries.pipeline_ext3 import _split_of
+    q118 = registry["q118_dedup_minhash_exact"].fn(spark, SF_SMALL)
+    cross = (q118.select(_split_of("id_a").alias("sa"),
+                         _split_of("id_b").alias("sb"))
+             .filter(F.col("sa") != F.col("sb")).count())
+    assert cross == sum(r["n_candidate_pairs"] for r in rows)
