@@ -785,7 +785,11 @@ def q196_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", F.size(F.filter(
              F.split("text", r"\s+"),
              lambda w: F.length(w) >= 2)).alias("n_tok"))
-         .filter(F.col("n_tok") > 0))
+         .filter(F.col("n_tok") > 0)
+         # (doc_id, n_tok) is two longs per doc; the kernel's
+         # boundary pass, count pass, and final frame would each
+         # re-run the corpus-scale tokenize without this
+         .localCheckpoint())
     c, _total = with_global_prefix_sum(
         d, "doc_id", "n_tok", cum_col="cum", boundaries="uniform")
     crossing = (F.expr(f"(cum - n_tok) div {L}")
