@@ -805,3 +805,59 @@ def q196_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_crossing_docs").cast("double")
                  / F.col("n_docs").cast("double")).alias("frac_crossing"))
     )
+
+
+# ---- q198: per-source corpus profile (domain-level gating) ---------
+
+def _q198_oracle() -> str:
+    return r"""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id, source, lang, n_chars, md5(text) AS th
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hc AS (SELECT th, COUNT(*) AS c FROM h GROUP BY th)
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_share,
+           CAST(COUNT(DISTINCT h.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(h.n_chars) AS BIGINT) AS sum_chars
+    FROM h JOIN hc ON hc.th = h.th
+    GROUP BY h.source
+    """
+
+
+@register("q198_source_profile", oracle=_q198_oracle())
+def q198_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) corpus profile: doc count, exact-duplicate
+    share (docs whose md5(text) appears more than once CORPUS-WIDE —
+    a boilerplate/mirror signal), language spread, and char volume —
+    the table a domain-level gating pass ranks before dropping
+    mirror-heavy or boilerplate sources (the filter that removes
+    whole domains, upstream of per-doc dedup).
+
+    Plan: one corpus-scale hash-count agg on md5(text), one hash join
+    back on the hash key (corpus-wide dup status cannot be computed
+    within a source partition — a mirror IS a cross-source dup), one
+    per-source hash agg. The dup-share division is one IEEE divide on
+    identical BIGINT-cast operands in both engines."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "source", "lang", "n_chars",
+                 F.md5(F.col("text").cast("binary")).alias("th")))
+    hc = d.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    dup = (F.col("c") > 1).cast("int")
+    return (
+        d.join(hc, "th")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(dup).cast("long").alias("n_dup_docs"),
+             F.count_distinct("lang").alias("n_langs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .select("source", "n_docs", "n_dup_docs",
+                (F.col("n_dup_docs").cast("double")
+                 / F.col("n_docs").cast("double")).alias("dup_share"),
+                "n_langs", "sum_chars")
+    )

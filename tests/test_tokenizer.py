@@ -207,3 +207,23 @@ def test_q196_pack_accounting(spark, registry):
     assert r["n_chunks"] == -(-r["total_tokens"] // 512)
     assert 0 <= r["n_crossing_docs"] <= min(r["n_docs"], r["n_chunks"])
     assert r["frac_crossing"] == r["n_crossing_docs"] / r["n_docs"]
+
+
+def test_q198_dup_accounting(spark, registry):
+    """Per-source identities: dup docs <= docs, share == dup/docs;
+    total dup docs across sources equals the corpus-wide count of
+    docs in >1-sized exact-dup groups (cross-source consistency)."""
+    from hearthstats_spark.io import load_table
+
+    rows = registry["q198_source_profile"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert r["dup_share"] == r["n_dup_docs"] / r["n_docs"]
+    d = (load_table(spark, SF_SMALL, "documents")
+         .filter(F.col("text").isNotNull())
+         .groupBy(F.md5(F.col("text").cast("binary")))
+         .agg(F.count(F.lit(1)).alias("c")))
+    want = (d.filter(F.col("c") > 1)
+            .agg(F.sum("c")).collect()[0][0] or 0)
+    assert sum(r["n_dup_docs"] for r in rows) == want
