@@ -382,3 +382,78 @@ def q197_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count_distinct(F.when(confirmed, F.col("eval_id")))
              .alias("n_leaked_eval_docs"))
     )
+
+
+# ---- q199: end-to-end quality-gate funnel --------------------------
+
+def _q199_oracle() -> str:
+    sp = _SPLIT_SQL.format(c="doc_id")
+    return f"""
+    WITH raw AS MATERIALIZED (
+        SELECT doc_id, len(string_split(text, ' ')) AS nt,
+               md5(text) AS th
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS MATERIALIZED (SELECT * FROM raw WHERE nt >= 20),
+    ded AS MATERIALIZED (
+        SELECT MIN(doc_id) AS doc_id, MIN(nt) AS nt
+        FROM g GROUP BY th
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens
+    FROM (
+        SELECT 'raw' AS stage, COUNT(*) AS n_docs,
+               SUM(nt) AS sum_tokens FROM raw
+        UNION ALL
+        SELECT 'gated', COUNT(*), SUM(nt) FROM g
+        UNION ALL
+        SELECT 'deduped', COUNT(*), SUM(nt) FROM ded
+        UNION ALL
+        SELECT {sp}, COUNT(*), SUM(nt) FROM ded GROUP BY 1
+    )
+    """
+
+
+@register("q199_quality_gate_funnel", oracle=_q199_oracle())
+def q199_quality_gate_funnel(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The standard ingest funnel as ONE report: raw corpus → length
+    gate (q57's short-band cutoff, n_tokens ≥ 20) → exact-dedup
+    survivors (min-doc_id per md5(text) — the house survivor rule) →
+    q119's split assignment; one (stage, n_docs, sum_tokens) row per
+    stage and per split — the yield accounting read before any
+    training run ("how many tokens survive to train?").
+
+    Plan: each stage is a hash agg over the (re-)scanned gate chain —
+    at 100 TB re-scanning beats materializing the corpus-scale
+    intermediate (the scans are column-pruned to doc_id/text), dedup
+    duplicates share identical text so MIN(nt) per hash group IS the
+    survivor's count (no join-back), and the split is a pure
+    expression of doc_id (q197's rule, one shared definition). All
+    integer arithmetic — no doubles anywhere."""
+    def raw(spark=spark):
+        return (load_table(spark, sf_dir, "documents")
+                .filter(F.col("text").isNotNull())
+                .select("doc_id",
+                        F.size(F.split("text", " ")).alias("nt"),
+                        F.md5(F.col("text").cast("binary")).alias("th")))
+
+    g = raw().filter(F.col("nt") >= 20)
+    ded = g.groupBy("th").agg(F.min("doc_id").alias("doc_id"),
+                              F.min("nt").alias("nt"))
+
+    def stat(df: DataFrame, stage) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("nt").cast("long").alias("sum_tokens")
+                      ).select(F.lit(stage).alias("stage")
+                               if isinstance(stage, str) else stage,
+                               "n_docs", "sum_tokens")
+
+    splits = (ded.groupBy(_split_of("doc_id").alias("stage"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("nt").cast("long").alias("sum_tokens"))
+              .select("stage", "n_docs", "sum_tokens"))
+    return (stat(raw(), "raw")
+            .unionByName(stat(g, "gated"))
+            .unionByName(stat(ded, "deduped"))
+            .unionByName(splits))

@@ -114,3 +114,19 @@ def test_q197_leakage_classes_and_bounds(spark, registry):
                          _split_of("id_b").alias("sb"))
              .filter(F.col("sa") != F.col("sb")).count())
     assert cross == sum(r["n_candidate_pairs"] for r in rows)
+
+
+def test_q199_funnel_monotone(spark, registry):
+    """Funnel accounting: raw >= gated >= deduped in both docs and
+    tokens; the three split rows partition the deduped stage
+    exactly."""
+    rows = {r["stage"]: r for r in
+            registry["q199_quality_gate_funnel"].fn(
+                spark, SF_SMALL).collect()}
+    assert set(rows) == {"raw", "gated", "deduped",
+                         "train", "val", "test"}
+    for col in ("n_docs", "sum_tokens"):
+        assert (rows["raw"][col] >= rows["gated"][col]
+                >= rows["deduped"][col] > 0)
+        assert (rows["train"][col] + rows["val"][col]
+                + rows["test"][col]) == rows["deduped"][col]
