@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
 from hearthstats_spark.operators.bounded import broadcast_bounded
-from hearthstats_spark.operators.rankops import with_global_prefix_sums
+from hearthstats_spark.operators.rankops import (
+    with_global_prefix_sum, with_global_prefix_sums,
+)
 from hearthstats_spark.queries.registry import register
 
 _TOP_PAIRS = 20
@@ -860,4 +862,70 @@ def q198_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_dup_docs").cast("double")
                  / F.col("n_docs").cast("double")).alias("dup_share"),
                 "n_langs", "sum_chars")
+    )
+
+
+# ---- q200: budget-constrained quality curation ----------------------
+
+def _q200_oracle() -> str:
+    return r"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, len(string_split(text, ' ')) AS nt,
+               ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS ttr
+        FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT SUM(nt) // 4 AS b FROM d),
+    c AS (
+        SELECT doc_id, nt, ttr,
+               SUM(nt) OVER (ORDER BY ttr DESC, doc_id) AS cum
+        FROM d
+    )
+    SELECT CAST(t.b AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(c.nt) AS BIGINT) AS sel_tokens,
+           MIN(c.ttr) AS cutoff_ttr
+    FROM c CROSS JOIN t
+    WHERE c.cum - c.nt < t.b
+    GROUP BY t.b
+    """
+
+
+@register("q200_budget_curation", oracle=_q200_oracle())
+def q200_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained curation: rank every document by quality
+    (q57's type-token ratio, doc_id tie-break), fill a token budget
+    of 25% of the corpus from the top, and report the selection and
+    its quality cutoff — the "which data makes the training mix
+    under a token budget" op (selection rule: a doc is taken iff it
+    STARTS inside the budget, so the last doc may overflow —
+    deterministic and engine-independent).
+
+    Scale: the quality-ordered cumulative token count is ONE exact
+    prefix sum via `with_global_prefix_sum` (range-bucketed on the
+    negated score — no global single-task sort); the scored
+    (doc_id, nt, ttr) frame is localCheckpoint'ed so the kernel's
+    three passes don't re-run the corpus-scale tokenize (q196's
+    rule). The budget is integer floor-division of the grand total;
+    the cutoff is the min TTR among selected rows. TTR is ROUND(·,4)
+    in both engines (q57's precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.round(F.size(F.array_distinct(toks)).cast("double")
+                  / F.size(toks), 4)
+    d = (docs.filter(F.col("text").isNotNull())
+         .select("doc_id", F.size(toks).alias("nt"), ttr.alias("ttr"))
+         .withColumn("negttr", -F.col("ttr"))
+         .localCheckpoint())
+    c, total = with_global_prefix_sum(
+        d, "negttr", "nt", tiebreak=["doc_id"], cum_col="cum")
+    budget = total // 4
+    return (
+        c.filter(F.col("cum") - F.col("nt") < budget)
+        .agg(F.count(F.lit(1)).alias("n_selected"),
+             F.sum("nt").cast("long").alias("sel_tokens"),
+             F.min("ttr").alias("cutoff_ttr"))
+        .select(F.lit(budget).cast("long").alias("budget"),
+                "n_selected", "sel_tokens", "cutoff_ttr")
     )

@@ -1,5 +1,5 @@
-"""The registry IS the driver contract (SURVEY.md §2): 199 declared
-queries q01–q199 + 27 side-effect/streaming ops s01–s27; 189
+"""The registry IS the driver contract (SURVEY.md §2): 200 declared
+queries q01–q200 + 27 side-effect/streaming ops s01–s27; 189
 oracle-checked."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 
 EXPECTED_IDS = {
-    f"q{i:02d}" for i in range(1, 200)
+    f"q{i:02d}" for i in range(1, 201)
 } | {f"s{i:02d}" for i in range(1, 28)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
@@ -42,7 +42,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 192
+    assert len(with_oracle) == 193
 
 
 def test_names_well_formed(registry):

@@ -227,3 +227,12 @@ def test_q198_dup_accounting(spark, registry):
     want = (d.filter(F.col("c") > 1)
             .agg(F.sum("c")).collect()[0][0] or 0)
     assert sum(r["n_dup_docs"] for r in rows) == want
+
+
+def test_q200_budget_semantics(spark, registry):
+    """Selection covers the budget (sel_tokens >= budget), overflows
+    by at most one document, and the cutoff is a valid TTR."""
+    r = registry["q200_budget_curation"].fn(spark, SF_SMALL).collect()[0]
+    assert r["sel_tokens"] >= r["budget"] > 0
+    assert 0 < r["n_selected"]
+    assert 0 < r["cutoff_ttr"] <= 1.0
