@@ -107,7 +107,30 @@ def _contract_order(names) -> list[str]:
 
     Numeric parse, not string compare: lexicographically
     "q102" < "q51", which would silently file new queries under the
-    already-covered head."""
+    already-covered head.
+
+    Class-2 internal order is NOT numeric (VERDICT r6 item 4): a
+    50-slot window that already holds 30 stale q-ops fits only 20 of
+    the 27 s-ops, and the 7 left out must be the cheapest one-shot
+    sinks, not the index-maintenance lanes a 100 TB deployment
+    actually runs. Priority: s23–s27 (streaming index maintenance:
+    incremental dedup / ANN serving / compaction / retention / vocab)
+    first, then the stateful-streaming lanes newest-first, then the
+    reader-shaped sink ops, then plain one-shot sinks (s01/s02-style)
+    last."""
+    _SOP_PRIORITY = [
+        # streaming index maintenance — the ops a production ingest runs
+        "s23", "s24", "s25", "s26", "s27",
+        # stateful / streaming lanes, newest (least-exercised) first
+        "s22", "s19", "s17", "s16", "s14", "s13", "s11",
+        "s07", "s06", "s05", "s04", "s03",
+        # reader-shaped source/layout ops
+        "s21", "s20", "s18",
+        # one-shot sinks — cheapest, oldest, most suite-covered
+        "s15", "s12", "s10", "s09", "s08", "s02", "s01",
+    ]
+    _SOP_RANK = {p: i for i, p in enumerate(_SOP_PRIORITY)}
+
     def qnum(n: str) -> int:
         return int(n[1:n.index("_")])
 
@@ -127,8 +150,9 @@ def _contract_order(names) -> list[str]:
 
     def key(n: str):
         rnd = verified.get(n, {}).get("round", 0)
-        num = qnum(n) if n.startswith("q") else 0
-        return (klass(n), rnd, num, n)
+        if n.startswith("q"):
+            return (klass(n), rnd, qnum(n), n)
+        return (klass(n), rnd, _SOP_RANK.get(n.split("_")[0], len(_SOP_PRIORITY)), n)
 
     return sorted(names, key=key)
 
