@@ -311,15 +311,72 @@ def test_s25_compaction_invariants(spark, registry):
 
 
 def test_s26_retention_invariants(spark, registry):
-    """Retention must be monotone (never drops a doc the full screen
-    kept), must actually expire something (rescues > 0), and must be
-    invisible while every layer is inside the window."""
+    """The windowed view of the full index must be monotone (never
+    drops a doc the full screen kept), must actually expire something
+    (rescues > 0), and retention must be invisible while every layer
+    is inside the window."""
     row = registry["s26_stream_index_retention"].fn(
         spark, SF_SMALL).collect()[0]
     assert row["consistent"], row
     assert row["n_monotonicity_violations"] == 0
     assert row["n_rescued_by_expiry"] > 0
     assert row["n_early_mismatch"] == 0
+    # informational channel exists; on the shipped corpus the ttl
+    # pipeline happens to agree with the window-of-full screen (no
+    # cross-batch near-dup chain) — ≥ 0 by definition, NOT asserted 0
+    assert row["n_ttl_wof_divergence"] >= 0
+
+
+def test_s26_pipeline_monotonicity_is_unsound_on_chains(spark):
+    """Pin of ADVICE r6 (s26): with a cross-batch near-dup CHAIN
+    (A ≈ expired corpus doc C, B ≈ A, B ≉ C), a perfectly correct
+    retention pipeline keeps FEWER docs than the full pipeline —
+    the rescued A is committed into the ttl index and kills B —
+    so 'ttl never drops what full kept' is not an invariant.
+    Screening against the retention-window SUBSET of the full
+    lane's own layers (what s26 now does) stays monotone on the
+    same chain. Simulated at the signature level (handcrafted
+    16-slot MinHash rows) so the chain is exact, not a property of
+    any corpus."""
+    from hearthstats_spark.queries.pipeline_ext3 import (
+        _DROP_AT, _MH_K, best_match_against_index,
+    )
+
+    schema = "id long, " + ", ".join(f"m{j} long" for j in range(_MH_K))
+
+    def sig(id_, vals):
+        return spark.createDataFrame([(id_, *vals)], schema)
+
+    empty = spark.createDataFrame([], schema)
+    c_vals = list(range(_MH_K))
+    a_vals = c_vals[:10] + [100 + j for j in range(10, _MH_K)]  # ≈ C
+    b_vals = [200 + j for j in range(6)] + a_vals[6:]           # ≈ A
+    C, A, B = sig(1, c_vals), sig(2, a_vals), sig(3, b_vals)
+
+    def kept(new_sig, index_sig) -> bool:
+        rows = best_match_against_index(new_sig, index_sig).collect()
+        best = max((r["n_match_best"] for r in rows), default=0)
+        return best < _DROP_AT
+
+    # sanity of the chain: A dups C, B dups A, B does NOT dup C
+    assert not kept(A, C) and not kept(B, A) and kept(B, C)
+
+    # full pipeline (layers: corpus={C}; batches 0,1 empty; A at 2):
+    # A dropped (C visible) → full layer_2 = {}; B kept at batch 3
+    kept_full_b = kept(B, C.unionByName(empty))
+    # ttl pipeline, W=2: at batch 2 the corpus is expired → A kept,
+    # committed; at batch 3 layers {1,2} = {A} visible → B dropped
+    kept_ttl_a = kept(A, empty)
+    assert kept_ttl_a  # the rescue that poisons the ttl index
+    kept_ttl_b = kept(B, A)
+    # the OLD invariant fires on a CORRECT pipeline: full kept B,
+    # ttl dropped it
+    assert kept_full_b and not kept_ttl_b
+
+    # NEW invariant: window-of-full at batch 3 sees full's layers
+    # {1,2} — both EMPTY (full dropped A) → B kept; monotone vs full
+    kept_wof_b = kept(B, empty)
+    assert kept_full_b <= kept_wof_b  # never drops what full kept
 
 
 def test_s27_vocab_maintenance_invariants(spark, registry):
