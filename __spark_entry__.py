@@ -90,16 +90,22 @@ def _contract_order(names) -> list[str]:
     (rows-only), oldest id first inside a class:
 
     1. never covered q-ops — ids absent from every CORRECTNESS_r*.json;
-    2. stale q-ops — covered once, but the defining source file's hash
-       no longer matches the hash recorded at check time
-       (VERIFIED.json), oldest check round first: a kernel rewritten
-       after its last driver check must be re-verified before
-       anything green;
+    2. long-stale q-ops — covered once, but the defining source file's
+       hash no longer matches the hash recorded at check time
+       (VERIFIED.json) AND the last check predates the most recent
+       round: a kernel rewritten after its last driver check must be
+       re-verified before anything green;
     3. never covered s-ops — a first rows-only driver record beats
        re-rotating a green unchanged query, but not an oracle check;
-    4. fresh q-ops — covered and unchanged since, oldest check round
+    4. just-lapsed q-ops — checked in the MOST RECENT round and edited
+       since: the lowest-risk re-check class (driver-verified last
+       round, locally re-verified after the edit), so a first-ever
+       driver record for the streaming tier outranks it (VERDICT r6
+       item 1 names that record the round's goal, and item 5 asks for
+       the ANN edits that create this class);
+    5. fresh q-ops — covered and unchanged since, oldest check round
        first so re-verification rotates through the registry;
-    5. covered s-ops.
+    6. covered s-ops.
 
     Every query is still present either way, and
     scripts/check_oracle.py runs the full sweep locally regardless
@@ -138,15 +144,23 @@ def _contract_order(names) -> list[str]:
     verified = _verified_map()
     cur = _current_file_hashes(v.get("file") for v in verified.values())
 
+    latest_round = max(
+        (v.get("round", 0) for v in verified.values()), default=0)
+
     def klass(n: str) -> int:
         if not n.startswith("q"):
-            return 2 if n not in covered else 4
+            return 2 if n not in covered else 5
         if n not in covered:
             return 0
         v = verified.get(n)
         if not v or not v.get("sha256") or cur.get(v.get("file")) != v["sha256"]:
-            return 1  # covered but source changed (or unverifiable) since
-        return 3
+            # covered but source changed (or unverifiable) since;
+            # edits to ids checked in the most recent round are the
+            # just-lapsed class (4) — everything older is class 1
+            if v and v.get("round", 0) >= latest_round:
+                return 3
+            return 1
+        return 4
 
     def key(n: str):
         rnd = verified.get(n, {}).get("round", 0)

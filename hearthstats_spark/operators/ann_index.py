@@ -1,0 +1,118 @@
+"""Disk-persisted ANN training artifacts (VERDICT r6 item 5).
+
+q183–q187 each train their quantizers/codebooks from scratch per
+run — correct and self-contained, but the four chains repeat ~70%
+of their work (q183/q184/q185 share one codebook AND one code
+table), and at the 100 TB design point train-once/serve-many is the
+only sane shape: the code table IS the index, rebuilt when the
+corpus changes, read by every probe (the s24 serving lane already
+works this way inside its own directory tree). ``persisted`` makes
+that shape the default for the batch queries too: a deterministic
+training frame is built once, written to a content-keyed parquet
+directory, and every later run — same process or a fresh JVM — reads
+it back instead of retraining.
+
+Correctness is unaffected by construction:
+
+- every persisted artifact is a DETERMINISTIC pure function of the
+  source table (exact decimal means, min_by with total tie-breaks),
+  so read-back equals rebuild bit-for-bit — pinned in
+  tests/test_ann_index.py;
+- the cache key hashes the artifact name, a version tag, and a
+  fingerprint of the source parquet files (relpath, size, mtime_ns
+  per file), so regenerated testdata or a parameter change misses
+  the cache and retrains rather than serving stale codes;
+- the self-contained retrain lane stays one env var away
+  (``SPARK_GRAFT_ANN_CACHE=0``), which is also how the equality
+  test exercises both lanes.
+
+Write protocol: build → write to a process-unique temp dir → atomic
+``os.rename`` into place; a concurrent builder that loses the race
+discards its attempt and reads the winner (both wrote the same
+bytes-equal content anyway). A directory is only ever read through
+Spark's ``_SUCCESS``-committed listing, so a crashed half-write is
+invisible (its rename never happened).
+
+At 100 TB the cache root is an object-store prefix and the
+fingerprint is the table's snapshot/commit id; the local form keeps
+the same key discipline at file granularity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: bump to invalidate every persisted artifact (format/semantic change)
+_FORMAT_VERSION = 1
+
+
+def _cache_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_ANN_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "hearthstats_ann_index"),
+    )
+
+
+def cache_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_ANN_CACHE", "1") != "0"
+
+
+def _fingerprint(sf_dir: str, table: str) -> str:
+    """(relpath, size, mtime_ns) of every file under the source table
+    — any regeneration of the parquet data changes the key."""
+    base = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(base):
+        for root, _dirs, files in os.walk(base):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, base)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(base):
+        st = os.stat(base)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def artifact_path(sf_dir: str, name: str, table: str = "embeddings",
+                  version: int = 1) -> str:
+    key = hashlib.sha256(
+        f"{name}|fmt{_FORMAT_VERSION}|v{version}|"
+        f"{_fingerprint(sf_dir, table)}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_cache_root(), f"{name}_{key}")
+
+
+def persisted(spark: SparkSession, sf_dir: str, name: str, build,
+              table: str = "embeddings", version: int = 1) -> DataFrame:
+    """The train-once/serve-many lane: return ``build()``'s frame
+    from the content-keyed parquet cache, training and committing it
+    first if this (source content, name, version) was never built.
+    With the cache disabled, exactly ``build()`` — the original
+    self-contained plan."""
+    if not cache_enabled():
+        return build()
+    path = artifact_path(sf_dir, name, table, version)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        build().write.mode("overwrite").parquet(tmp)
+        os.makedirs(_cache_root(), exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.isfile(os.path.join(path, "_SUCCESS")):
+                # lost the race to an identical-content winner
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # a crashed writer's half-committed dir blocks the
+                # rename: replace it with this complete attempt
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
+    return spark.read.parquet(path)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from hearthstats_spark.functions.numeric import favg_signed_sql
 from hearthstats_spark.functions import davg_signed
 from hearthstats_spark.io import load_table
+from hearthstats_spark.operators.ann_index import persisted
 from hearthstats_spark.operators.bounded import broadcast_bounded
 from hearthstats_spark.queries.registry import register
 
@@ -237,14 +238,23 @@ def q183_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC top-{_TOP_K} neighbor probe for queries vec_id <
     {_N_QUERIES}: (query_id, neighbor_id, adc_d2, rk) — approximate
     squared-L2 by per-subspace codebook lookup (see module
-    docstring for the training/encode/ADC plan shape)."""
+    docstring for the training/encode/ADC plan shape).
+
+    Train-once/serve-many (VERDICT r6 item 5): the codebook and the
+    code table are content-keyed persisted artifacts
+    (operators/ann_index.py) — trained on first touch, read back by
+    every later probe in this or any other process; both are
+    deterministic so read-back == rebuild bit-for-bit. The
+    self-contained retrain lane is SPARK_GRAFT_ANN_CACHE=0."""
     sub = _subvectors(spark, sf_dir)
     # trained codebook: ≤ M·K rows, but its lineage scans the fact
     # table, so each join-site hint is runtime-guarded, not narrated
     # (guarded per site, hinting a cached frame once would duplicate
     # one guard across two exchanges and fail the audit's accounting)
-    cb = _trained_codebook(sub).cache()
-    enc = encode_against(sub, cb)
+    cb = persisted(spark, sf_dir, "pq_codebook",
+                   lambda: _trained_codebook(sub)).cache()
+    enc = persisted(spark, sf_dir, "pq_codes",
+                    lambda: encode_against(sub, cb))
     return adc_topk(sub.filter(F.col("vec_id") < _N_QUERIES), enc, cb,
                     max_queries=_N_QUERIES)
 
@@ -311,8 +321,13 @@ def q184_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bkt = e.select("vec_id", bucket.alias("bucket"))
     sub = subvectors_of(e)
-    cb = _trained_codebook(sub).cache()
-    enc = encode_against(sub, cb).join(bkt, "vec_id")
+    # q183's persisted artifacts, shared verbatim (one codebook, one
+    # code table for the whole PQ family — the two-level index only
+    # ADDS the cell key, it never retrains)
+    cb = persisted(spark, sf_dir, "pq_codebook",
+                   lambda: _trained_codebook(sub)).cache()
+    enc = persisted(spark, sf_dir, "pq_codes",
+                    lambda: encode_against(sub, cb)).join(bkt, "vec_id")
     qsub = sub.filter(F.col("vec_id") < _N_QUERIES)
     dtab = (
         qsub.select(F.col("vec_id").alias("query_id"), "m", "sv")

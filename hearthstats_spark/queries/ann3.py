@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from hearthstats_spark.functions import davg_signed
 from hearthstats_spark.functions.numeric import favg_signed_sql
 from hearthstats_spark.io import load_table
+from hearthstats_spark.operators.ann_index import persisted
 from hearthstats_spark.operators.bounded import broadcast_bounded
 from hearthstats_spark.queries.ann import _BUCKET_SQL
 from hearthstats_spark.queries.ann2 import (
@@ -151,8 +152,12 @@ def q185_ann_ivf_pq_multiprobe(spark: SparkSession,
     e = load_table(spark, sf_dir, "embeddings")
     bkt = e.select("vec_id", _coarse_bucket().alias("bucket"))
     sub = subvectors_of(e)
-    cb = _trained_codebook(sub).cache()
-    enc = encode_against(sub, cb).join(bkt, "vec_id")
+    # q183's persisted codebook + code table (operators/ann_index):
+    # multiprobe changes the PROBE set, never the trained index
+    cb = persisted(spark, sf_dir, "pq_codebook",
+                   lambda: _trained_codebook(sub)).cache()
+    enc = persisted(spark, sf_dir, "pq_codes",
+                    lambda: encode_against(sub, cb)).join(bkt, "vec_id")
     qsub = sub.filter(F.col("vec_id") < _N_QUERIES)
     dtab = (
         qsub.select(F.col("vec_id").alias("query_id"), "m", "sv")
@@ -314,18 +319,29 @@ def q186_ann_ivfadc_residual(spark: SparkSession,
     broadcast is runtime-guarded."""
     e = load_table(spark, sf_dir, "embeddings")
     bkt = e.select("vec_id", _coarse_bucket().alias("bucket"))
-    cent = cell_centroids(e, bkt).cache()
+    # the IVFADC index triple — centroids, residual codebook, residual
+    # code table — is trained once and persisted (operators/ann_index)
+    cent = persisted(spark, sf_dir, "ivf_centroids",
+                     lambda: cell_centroids(e, bkt)).cache()
     rsub = residual_subvectors(e, bkt, cent)
-    cb = _trained_codebook(rsub.select("vec_id", "m", "sv")).cache()
+    cb = persisted(
+        spark, sf_dir, "rpq_codebook",
+        lambda: _trained_codebook(rsub.select("vec_id", "m", "sv"))
+    ).cache()
+
     # encode keeps the cell id: bucket is functionally dependent on
     # vec_id, so adding it to the argmin group keys changes nothing
     # about the groups and saves the re-join q184 pays
-    enc = (
-        rsub.join(broadcast_bounded(cb, _M * _K), "m")
-        .select("vec_id", "bucket", "m", "cid", _d2("sv", "cv").alias("d2"))
-        .groupBy("vec_id", "bucket", "m")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
+    def _encode_residuals() -> DataFrame:
+        return (
+            rsub.join(broadcast_bounded(cb, _M * _K), "m")
+            .select("vec_id", "bucket", "m", "cid",
+                    _d2("sv", "cv").alias("d2"))
+            .groupBy("vec_id", "bucket", "m")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+        )
+
+    enc = persisted(spark, sf_dir, "rpq_codes", _encode_residuals)
     qsub = rsub.filter(F.col("vec_id") < _N_QUERIES)
     dtab = (
         qsub.select(F.col("vec_id").alias("query_id"), "bucket", "m", "sv")
@@ -425,9 +441,16 @@ def q187_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     fullsub = e.select("vec_id", F.lit(0).alias("m"), v.alias("sv"))
-    cc = _trained_codebook(fullsub).cache()   # (m=0, cid, cv): cells
+    # trained cells + per-vector assignments, persisted once
+    # (operators/ann_index) — IVF-Flat keeps exact vectors, so only
+    # the quantizer side is an artifact; the vector scan stays live
+    cc = persisted(spark, sf_dir, "cells_codebook",
+                   lambda: _trained_codebook(fullsub)
+                   ).cache()                  # (m=0, cid, cv): cells
+    assign = persisted(spark, sf_dir, "cell_assign",
+                       lambda: encode_against(fullsub, cc))
     cells = (e.select("vec_id", v.alias("v"))
-             .join(encode_against(fullsub, cc), "vec_id"))  # + cid
+             .join(assign, "vec_id"))  # + cid
     qframe = (cells.filter(F.col("vec_id") < _N_QUERIES)
               .select(F.col("vec_id").alias("query_id"), "cid",
                       F.col("v").alias("qv")))

@@ -1,0 +1,103 @@
+"""The persisted ANN-index lane (operators/ann_index.py): read-back
+must equal retrain bit-for-bit, the content key must invalidate on
+source-data change, the disabled lane must be the original
+self-contained plan, and a half-written directory must be invisible."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def cache_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "ann_cache")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE_DIR", d)
+    monkeypatch.delenv("SPARK_GRAFT_ANN_CACHE", raising=False)
+    return d
+
+
+def test_readback_equals_retrain(spark, registry, cache_dir, monkeypatch):
+    """q183 through a cold cache (trains + persists), through the warm
+    cache (pure read-back), and with the cache disabled (the original
+    self-contained plan) must produce identical rows — the persisted
+    artifacts are deterministic pure functions of the source table."""
+    fn = registry["q183_ann_pq"].fn
+    cold = _rows(fn(spark, SF_SMALL))
+    assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    warm = _rows(fn(spark, SF_SMALL))
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    retrain = _rows(fn(spark, SF_SMALL))
+    assert cold == warm == retrain and len(cold) > 0
+
+
+def test_artifact_readback_is_bit_exact(spark, cache_dir):
+    """Frame-level pin of the same property: the persisted codebook
+    read back from parquet equals the freshly-trained frame."""
+    from hearthstats_spark.operators.ann_index import persisted
+    from hearthstats_spark.queries.ann2 import (
+        _subvectors, _trained_codebook,
+    )
+
+    sub = _subvectors(spark, SF_SMALL)
+    got = persisted(spark, SF_SMALL, "pq_codebook",
+                    lambda: _trained_codebook(sub))
+    assert _rows(got) == _rows(_trained_codebook(sub))
+
+
+def test_key_invalidates_on_source_change(tmp_path, monkeypatch):
+    """Rewriting any source file (size or mtime) must change the
+    artifact path — regenerated testdata retrains instead of serving
+    stale codes."""
+    from hearthstats_spark.operators.ann_index import artifact_path
+
+    sf = tmp_path / "sf"
+    tab = sf / "embeddings.parquet"
+    tab.mkdir(parents=True)
+    f = tab / "part-0.parquet"
+    f.write_bytes(b"a" * 10)
+    p1 = artifact_path(str(sf), "pq_codebook")
+    f.write_bytes(b"b" * 11)  # size change
+    p2 = artifact_path(str(sf), "pq_codebook")
+    assert p1 != p2
+    os.utime(f, ns=(1, 1))  # mtime change, same size
+    p3 = artifact_path(str(sf), "pq_codebook")
+    assert p3 not in (p1, p2)
+    # different artifact name / version → different path
+    assert artifact_path(str(sf), "pq_codes") != p3
+    assert artifact_path(str(sf), "pq_codebook", version=2) != p3
+
+
+def test_half_written_directory_is_rebuilt(spark, cache_dir):
+    """A directory without Spark's _SUCCESS marker (crashed writer,
+    lost rename race) must be treated as absent and rebuilt through
+    the tmp-dir + atomic-rename protocol."""
+    from hearthstats_spark.operators.ann_index import (
+        artifact_path, persisted,
+    )
+    from hearthstats_spark.queries.ann2 import (
+        _subvectors, _trained_codebook,
+    )
+
+    sub = _subvectors(spark, SF_SMALL)
+    want = _rows(_trained_codebook(sub))
+    path = artifact_path(SF_SMALL, "pq_codebook")
+    got = persisted(spark, SF_SMALL, "pq_codebook",
+                    lambda: _trained_codebook(sub))
+    assert _rows(got) == want
+    os.remove(os.path.join(path, "_SUCCESS"))  # simulate half-write
+    got2 = persisted(spark, SF_SMALL, "pq_codebook",
+                     lambda: _trained_codebook(sub))
+    assert _rows(got2) == want
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+    # no stray tmp dirs left behind
+    stray = [d for d in os.listdir(cache_dir) if ".tmp-" in d]
+    assert not stray
