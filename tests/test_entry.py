@@ -71,18 +71,29 @@ def test_contract_order_live_registry():
     verified = entry_mod._verified_map()
     cur = entry_mod._current_file_hashes(
         v.get("file") for v in verified.values())
+    latest = max((v.get("round", 0) for v in verified.values()),
+                 default=0)
 
-    def needs_check(n):
+    # independent re-derivation of the priority classes (docstring of
+    # _contract_order): 0 never-covered q, 1 long-stale q, 2
+    # never-covered s, 3 just-lapsed q (edited after a latest-round
+    # check), 4 fresh q, 5 covered s
+    def tier(n):
         if not n.startswith("q"):
-            return False
+            return 2 if n not in covered else 5
         if n not in covered:
-            return True
+            return 0
         v = verified.get(n)
-        return (not v or not v.get("sha256")
-                or cur.get(v.get("file")) != v["sha256"])
+        stale = (not v or not v.get("sha256")
+                 or cur.get(v.get("file")) != v["sha256"])
+        if not stale:
+            return 4
+        return 3 if v and v.get("round", 0) >= latest else 1
 
-    waiting = [n for n in order[50:] if needs_check(n)]
-    fresh_in_window = [n for n in order[:50] if not needs_check(n)]
-    assert not (waiting and fresh_in_window), (
-        f"driver window wastes slots: {fresh_in_window[:3]} inside "
-        f"while {waiting[:3]} wait outside")
+    # no wasted slots: every id inside the 50-slot window must rank
+    # at most as low-priority as every id outside it
+    inside = [(tier(n), n) for n in order[:50]]
+    outside = [(tier(n), n) for n in order[50:]]
+    assert max(t for t, _ in inside) <= min(t for t, _ in outside), (
+        f"driver window wastes slots: {max(inside)} inside "
+        f"while {min(outside)} waits outside")
