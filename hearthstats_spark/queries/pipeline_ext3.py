@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
+from hearthstats_spark.operators.ann_index import persisted
 from hearthstats_spark.queries.pipeline_ext2 import (
     _MH_BANDS, _MH_K, _MH_P, _MH_ROWS, _mh_consts, _mh_hash_sql,
 )
@@ -200,7 +201,14 @@ def q182_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-sized join keyed by bands — the corpus is touched only
     through its (persisted) signature index, which is the entire
     point of the operator."""
-    corpus_sig = _signatures(spark, sf_dir, batch=False).cache()
+    # the corpus signature index is the literal persisted artifact
+    # (operators/ann_index): built on first touch, content-keyed on
+    # the documents table, shared with the s23/s25/s26 streaming
+    # lanes — per-batch cost is a parquet read of the index, exactly
+    # the 100 TB story the docstring promises
+    corpus_sig = persisted(spark, sf_dir, "minhash_sig_index",
+                           lambda: _signatures(spark, sf_dir, batch=False),
+                           table="documents").cache()
     new_sig = _signatures(spark, sf_dir, batch=True).cache()
     best = best_match_against_index(new_sig, corpus_sig)
     d = load_table(spark, sf_dir, "documents")
@@ -337,7 +345,10 @@ def q197_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     q118's shape."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
-    sig = signatures_of(d).cache()
+    # all-documents signature frame, persisted once (the audit reruns
+    # on every split-rule change; the signatures never change)
+    sig = persisted(spark, sf_dir, "minhash_sig_all",
+                    lambda: signatures_of(d), table="documents").cache()
     bands = _band_table(sig)
     cand = (
         bands.alias("a")

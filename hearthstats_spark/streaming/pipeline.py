@@ -1319,6 +1319,24 @@ def screen_and_commit(spark: SparkSession, batch_df: DataFrame,
     return n_seen, n_drop
 
 
+def _corpus_sig_frame(spark: SparkSession, sf_dir: str,
+                      corpus_docs: DataFrame) -> DataFrame:
+    """The corpus signature layer, served from the SAME content-keyed
+    persisted artifact q182 reads (operators/ann_index,
+    "minhash_sig_index") — built by whichever lane touches it first,
+    so the streaming ops' per-run setup cost is a parquet copy of the
+    standing index, not a corpus re-shingle per lane. Null-text docs
+    carry no shingles, so the corpus_docs text filter is content-
+    neutral and both builders produce the identical frame (pinned in
+    tests/test_streaming.py)."""
+    from hearthstats_spark.operators.ann_index import persisted
+    from hearthstats_spark.queries.pipeline_ext3 import signatures_of
+
+    return persisted(spark, sf_dir, "minhash_sig_index",
+                     lambda: signatures_of(corpus_docs),
+                     table="documents")
+
+
 def screen_decisions(spark: SparkSession, batch_df: DataFrame,
                      batch_id: int, idx_base: str,
                      retention: int | None = None) -> DataFrame:
@@ -1371,8 +1389,8 @@ def _streaming_dedup_impl(spark: SparkSession, sf_dir: str,
     try:
         # 1. materialize the persisted index's corpus layer (one-time
         # at test scale; the standing table of the design point)
-        signatures_of(corpus_docs).write.mode("overwrite").parquet(
-            os.path.join(idx_base, "corpus"))
+        _corpus_sig_frame(spark, sf_dir, corpus_docs).write.mode(
+            "overwrite").parquet(os.path.join(idx_base, "corpus"))
         n_index0 = spark.read.parquet(
             os.path.join(idx_base, "corpus")).count()
 
@@ -1607,8 +1625,8 @@ def s25_stream_index_compaction(spark: SparkSession,
     res_b = os.path.join(base, "res_compacted")
     try:
         # layered index: corpus + 4 committed batch layers
-        signatures_of(corpus_docs).write.mode("overwrite").parquet(
-            os.path.join(idx_base, "corpus"))
+        _corpus_sig_frame(spark, sf_dir, corpus_docs).write.mode(
+            "overwrite").parquet(os.path.join(idx_base, "corpus"))
         for i in range(4):
             screen_and_commit(spark, slice_of(i), i, idx_base, None)
         n_layers = len(_index_paths(idx_base, 4))
@@ -1756,8 +1774,8 @@ def s26_stream_index_retention(spark: SparkSession,
         for lane, retention in (("full", None), ("ttl", _W)):
             idx = os.path.join(base, f"idx_{lane}")
             res = os.path.join(base, f"res_{lane}")
-            signatures_of(corpus_docs).write.mode("overwrite").parquet(
-                os.path.join(idx, "corpus"))
+            _corpus_sig_frame(spark, sf_dir, corpus_docs).write.mode(
+                "overwrite").parquet(os.path.join(idx, "corpus"))
             for i in range(5):
                 screen_and_commit(spark, slice_of(i), i, idx, res,
                                   retention=retention)

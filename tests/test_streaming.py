@@ -310,6 +310,25 @@ def test_s25_compaction_invariants(spark, registry):
     assert row["n_next_docs"] > 0
 
 
+def test_corpus_sig_builders_are_content_equal(spark):
+    """The shared "minhash_sig_index" artifact has two builders —
+    q182's unfiltered corpus slice and the streaming lanes'
+    text-filtered one. Null-text docs carry no shingles, so both must
+    produce the identical frame (whichever wins the first-touch race,
+    every consumer reads the same rows)."""
+    from hearthstats_spark.io import load_table
+    from hearthstats_spark.queries.pipeline_ext3 import (
+        _BATCH_MOD, _signatures, signatures_of,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    filtered = signatures_of(
+        d.filter(d.text.isNotNull() & (d.doc_id % _BATCH_MOD != 0)))
+    unfiltered = _signatures(spark, SF_SMALL, batch=False)
+    assert (sorted(map(tuple, filtered.collect()))
+            == sorted(map(tuple, unfiltered.collect())))
+
+
 def test_s26_retention_invariants(spark, registry):
     """The windowed view of the full index must be monotone (never
     drops a doc the full screen kept), must actually expire something
