@@ -1,4 +1,7 @@
-"""Disk-persisted ANN training artifacts (VERDICT r6 item 5).
+"""Disk-persisted index artifacts (VERDICT r6 item 5): ANN training
+outputs, and since round 7 the dedup tier's MinHash signature index
+("minhash_sig_index"/"minhash_sig_all", shared by q182/q197 and the
+s23/s25/s26 streaming lanes — keyed on the documents table).
 
 q183–q187 each train their quantizers/codebooks from scratch per
 run — correct and self-contained, but the four chains repeat ~70%

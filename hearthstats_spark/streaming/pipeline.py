@@ -1458,15 +1458,16 @@ def s24_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (train/encode offline, score online) as a Structured
     Streaming pipeline.
 
-    Mechanics: codebook + code table are built ONCE from the corpus
-    (q183's ``_trained_codebook`` / ``encode_against``) and the code
-    table lands in parquet — at scale that table is the index a
-    serving tier loads, M small ints per vector instead of the
-    embeddings. The query stream (vec_id < 50, replayed one file
-    per micro-batch) is scored per batch by ``adc_topk``: per-batch
-    distance table vs the broadcast codebook, equi-join to the code
-    table, exact-decimal part sums, top-5 per query appended to a
-    results sink.
+    Mechanics: codebook + code table are the SAME content-keyed
+    persisted artifacts q183/q184/q185 read (operators/ann_index
+    "pq_codebook"/"pq_codes" — built by whichever query or serving
+    lane touches the corpus first), so the serving tier literally
+    loads the batch engine's index: M small ints per vector instead
+    of the embeddings. The query stream (vec_id < 50, replayed one
+    file per micro-batch) is scored per batch by ``adc_topk``:
+    per-batch distance table vs the broadcast codebook, equi-join to
+    the code table, exact-decimal part sums, top-5 per query
+    appended to a results sink.
 
     Self-verification (returned 1-row frame): because every kernel
     is deterministic and per-query independent, the UNION of the
@@ -1475,6 +1476,7 @@ def s24_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row. n_mismatches is computed distributively (full
     outer join on the key, zero tolerated); counters cross the
     driver, rows never do."""
+    from hearthstats_spark.operators.ann_index import persisted
     from hearthstats_spark.queries.ann2 import (
         _trained_codebook, adc_topk, encode_against, subvectors_of,
     )
@@ -1482,17 +1484,17 @@ def s24_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     _N_STREAM_Q = 50
     e = load_table(spark, sf_dir, "embeddings")
     sub = subvectors_of(e)
-    cb = _trained_codebook(sub).cache()
+    # offline phase: the shared persisted index (see docstring)
+    cb = persisted(spark, sf_dir, "pq_codebook",
+                   lambda: _trained_codebook(sub)).cache()
+    enc = persisted(spark, sf_dir, "pq_codes",
+                    lambda: encode_against(sub, cb))
 
     base = tempfile.mkdtemp(prefix="hs_s24_")
-    codes_dir = os.path.join(base, "codes")
     src_dir = os.path.join(base, "src")
     out_dir = os.path.join(base, "results")
     os.makedirs(src_dir, exist_ok=True)
     try:
-        # offline phase: the persisted code table (the serving index)
-        encode_against(sub, cb).write.mode("overwrite").parquet(codes_dir)
-
         # query replay: 5 files -> 5 micro-batches
         queries = e.filter(F.col("vec_id") < _N_STREAM_Q)
         for i in range(5):
@@ -1507,8 +1509,6 @@ def s24_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.link(os.path.join(cdir, f),
                             os.path.join(src_dir, f"b{i}_{n}.parquet"))
                     n += 1
-
-        enc = spark.read.parquet(codes_dir)
 
         def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
             (adc_topk(subvectors_of(batch_df), enc, cb,
