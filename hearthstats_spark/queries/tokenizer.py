@@ -281,7 +281,8 @@ def sym_pair_counts(sym: DataFrame) -> DataFrame:
 
 
 def bpe_train(vocab: DataFrame, n_merges: int):
-    """Run ``n_merges`` BPE iterations over a (word, freq) vocabulary.
+    """Run up to ``n_merges`` BPE iterations over a (word, freq)
+    vocabulary, stopping early if the pair table empties first.
     Returns (merge_table, final_sym): the merge table is
     (rk, pair, pair_count) — pair_count at selection time — and
     final_sym is (word, freq, s) after all merges. Each iteration:
@@ -300,6 +301,18 @@ def bpe_train(vocab: DataFrame, n_merges: int):
                     F.col("b.pair_count").alias("pair_count"))
             .localCheckpoint()
         )
+        # Degenerate lane: when the pair table empties before
+        # n_merges iterations (every surviving word is one symbol),
+        # the KEYLESS min_by yields a single all-NULL row — training
+        # must STOP, not append a null merge: the merge table ends at
+        # the last real merge and sym stays frozen, which is exactly
+        # what the oracle's empty-best{i} branch computes (see
+        # _bpe_ctes). The probe reads one row off a frame the loop
+        # already materialized via localCheckpoint, so it adds no
+        # extra evaluation. Unreachable with the shipped corpus and
+        # _N_MERGES=5; pinned in tests/test_tokenizer.py.
+        if best.first()["pair"] is None:
+            break
         bests.append(best)
         xy = best.select(
             F.element_at(F.split("pair", " "), 1).alias("x"),
@@ -309,6 +322,13 @@ def bpe_train(vocab: DataFrame, n_merges: int):
             .select("word", "freq", F.expr(_MERGE_FOLD).alias("s"))
             .localCheckpoint()
         )
+    if not bests:
+        # zero merges possible (e.g. a vocabulary of single-symbol
+        # words): a schema-stable empty merge table, same shape the
+        # oracle's all-empty best{i} union produces
+        empty = vocab.sparkSession.createDataFrame(
+            [], "rk int, pair string, pair_count bigint")
+        return empty, sym
     merges = bests[0]
     for b in bests[1:]:
         merges = merges.unionByName(b)
@@ -373,6 +393,13 @@ def _bpe_ctes(n: int) -> str:
                ON c.word = t.word AND c.p = t.q - 1
         WHERE c.p IS NULL
         GROUP BY t.word, t.freq
+        UNION ALL
+        -- degenerate lane: pair table empty => best{i} empty => the
+        -- CROSS JOIN branch above is empty; symbols FREEZE at the
+        -- previous generation instead of vanishing (matches the
+        -- engine's early-stop in bpe_train)
+        SELECT word, freq, s FROM sym{p}
+        WHERE NOT EXISTS (SELECT 1 FROM best{i})
     )""")
     return "WITH" + "".join(parts)
 

@@ -236,3 +236,63 @@ def test_q200_budget_semantics(spark, registry):
     assert r["sel_tokens"] >= r["budget"] > 0
     assert 0 < r["n_selected"]
     assert 0 < r["cutoff_ttr"] <= 1.0
+
+
+def test_bpe_train_stops_when_pairs_exhaust(spark):
+    """ADVICE r6 degenerate lane: with every word fully merged before
+    n_merges iterations, training STOPS — no null merge row, symbols
+    frozen at the last real generation. Corpus 'ab ab cd': merge 1
+    'a b' (count 2), merge 2 'c d' (count 1), then the pair table is
+    empty and iterations 3-5 must not happen."""
+    from hearthstats_spark.queries.tokenizer import bpe_train, word_freqs
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id long, text string")
+    merges, sym = bpe_train(word_freqs(docs), 5)
+    got = [(r["rk"], r["pair"], r["pair_count"])
+           for r in merges.orderBy("rk").collect()]
+    assert got == [(1, "a b", 2), (2, "c d", 1)]
+    assert {tuple(r["s"]) for r in sym.collect()} == {("ab",), ("cd",)}
+
+
+def test_bpe_train_zero_merges_keeps_schema(spark):
+    """Extreme of the degenerate lane: a vocabulary with no adjacent
+    pairs at all (single-symbol words) yields an EMPTY merge table
+    with the stable (rk int, pair string, pair_count bigint) schema
+    and leaves the symbol frame untouched."""
+    from hearthstats_spark.queries.tokenizer import bpe_train
+
+    vocab = spark.createDataFrame([("x", 3), ("y", 1)],
+                                  "word string, freq bigint")
+    merges, sym = bpe_train(vocab, 5)
+    assert merges.count() == 0
+    assert [(f.name, f.dataType.simpleString())
+            for f in merges.schema.fields] == [
+        ("rk", "int"), ("pair", "string"), ("pair_count", "bigint")]
+    assert {tuple(r["s"]) for r in sym.collect()} == {("x",), ("y",)}
+
+
+def test_bpe_degenerate_engine_matches_oracle(spark, tmp_path):
+    """Cross-engine pin of the lane the sf corpora never reach: the
+    generated 5-iteration DuckDB oracle and the engine must agree on
+    a corpus whose pair table empties after 2 merges — q190's merge
+    table truncates to 2 rows and q191 reads the FROZEN sym5 (the
+    oracle's empty-best{i} fallback branch), on BOTH engines."""
+    import duckdb
+
+    from hearthstats_spark.oracle import compare
+    from hearthstats_spark.queries.registry import REGISTRY
+
+    sf_dir = str(tmp_path)
+    (spark.createDataFrame([(0, "ab ab cd"), (1, None)],
+                           "doc_id long, text string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{sf_dir}/documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    for qid in ("q190_bpe_merge_table", "q191_bpe_encode_stats"):
+        q = REGISTRY[qid]
+        res = compare(qid, q.fn(spark, sf_dir).toPandas(),
+                      con.execute(q.oracle).fetchdf())
+        assert res.ok, str(res)
