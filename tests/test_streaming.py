@@ -327,6 +327,12 @@ def test_corpus_sig_builders_are_content_equal(spark):
     unfiltered = _signatures(spark, SF_SMALL, batch=False)
     assert (sorted(map(tuple, filtered.collect()))
             == sorted(map(tuple, unfiltered.collect())))
+    # same lemma for "minhash_sig_all": q197 builds it text-filtered,
+    # q118 unfiltered — both must write the identical frame
+    all_filtered = signatures_of(d.filter(d.text.isNotNull()))
+    all_unfiltered = signatures_of(d)
+    assert (sorted(map(tuple, all_filtered.collect()))
+            == sorted(map(tuple, all_unfiltered.collect())))
 
 
 def test_s26_retention_invariants(spark, registry):
