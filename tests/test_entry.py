@@ -97,3 +97,38 @@ def test_contract_order_live_registry():
     assert max(t for t, _ in inside) <= min(t for t, _ in outside), (
         f"driver window wastes slots: {max(inside)} inside "
         f"while {min(outside)} waits outside")
+
+
+def test_window_plan_matches_contract_order():
+    """scripts/window_plan.py's no-edit simulation must agree with the
+    live _contract_order (same window membership), and simulating an
+    edit to a file whose queries ALREADY head the window must be a
+    no-op (SAFE by construction) — state-independent invariants that
+    hold whatever VERIFIED.json says this round."""
+    import importlib.util
+    import os
+
+    import __spark_entry__ as entry_mod
+    from hearthstats_spark.queries.registry import load_all
+
+    spec = importlib.util.spec_from_file_location(
+        "window_plan",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "window_plan.py"))
+    wp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wp)
+
+    reg = load_all()
+    live = entry_mod._contract_order(reg)[:50]
+    sim, cls = wp._order_and_classes(set())
+    assert set(sim[:50]) == set(live)
+
+    # an edit to the file of a query already at the window head can
+    # only re-file ids that are in the window anyway
+    verified = entry_mod._verified_map()
+    head_q = next(n for n in live if n.startswith("q"))
+    f = verified.get(head_q, {}).get("file")
+    if f:
+        sim2, _ = wp._order_and_classes({f})
+        assert set(sim2[:50]) >= {n for n in live
+                                  if verified.get(n, {}).get("file") == f}
