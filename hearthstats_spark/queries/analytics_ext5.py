@@ -488,32 +488,46 @@ def q157_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE exact half-away-rounded ratio (dratio — ratios of small
     integers are the cross-engine ROUND trap), and the ranking uses
     the ROUNDED value with (item_a, item_b) tie-breaks (q61/q108
-    discipline). Plan: the capped-basket self-join (q98's declared
-    winsorization bounds fan-out per order), pair-count agg with a
-    min-support HAVING prune, item counts joined back key-equi
-    (O(parts) — AQE promotes to broadcast only when the runtime size
-    fits), the 1-row N frame riding on via broadcast cross join (the
-    scalar-subquery shape, plan-audit allowlisted), then
-    orderBy+LIMIT top-k (per-partition heaps, no global sort)."""
+    discipline). Plan: q98's basket formulation instead of the
+    capped-basket SELF-JOIN the oracle spells — per-order basket
+    (collect_set), sorted-slice winsorization to the {cap} smallest
+    parts (identical semantics to the oracle's row_number cap; the
+    equivalence is co_order_edges' proven one), then map-side HOF
+    pair expansion with pairs PACKED into one BIGINT riding a single
+    hash agg — ONE basket shuffle + one single-long-key pair agg
+    replaces distinct + window sort + join-shuffle×2. Unlike
+    co_order_edges there is NO distinct: a pair occurs at most once
+    per order (ps is a set), so the agg's count IS the co-occurrence
+    support. Precondition partkeys < 2³² (generation-guaranteed, as
+    in co_order_edges). Item counts and the 1-row N frame read the
+    same checkpointed basket frame; min-support HAVING prune, item
+    counts joined back key-equi (O(parts) — AQE promotes to
+    broadcast only when the runtime size fits), the N scalar riding
+    on via broadcast cross join (the scalar-subquery shape,
+    plan-audit allowlisted), then orderBy+LIMIT top-k (per-partition
+    heaps, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
-    po0 = li.select("l_orderkey", "l_partkey").distinct()
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    po = (po0.withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= _LIFT_CAP)
-          .select("l_orderkey", "l_partkey")
-          # the N scalar, the item counts, and the self-join all read
-          # this frame; materialize once (q98's localCheckpoint rule)
-          .localCheckpoint())
-    n_tot = po.agg(F.count_distinct("l_orderkey").alias("n"))
-    item = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
-    a, b = po.alias("a"), po.alias("b")
+    basket = (li.groupBy("l_orderkey")
+              .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
+                           1, _LIFT_CAP).alias("ps"))
+              # the N scalar, the item counts, and the pair expansion
+              # all read this frame; materialize once (q98's rule)
+              .localCheckpoint())
+    n_tot = basket.agg(F.count(F.lit(1)).alias("n"))
+    item = (basket.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni")))
     pair = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("item_a"),
-                 F.col("b.l_partkey").alias("item_b"))
-        .agg(F.count(F.lit(1)).alias("co"))
+        basket.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            " filter(transform(ps, y -> "
+            "   IF(x < y, x * 4294967296 + y, NULL)),"
+            "  s -> s IS NOT NULL)))"
+        )).alias("pk"))
+        .groupBy("pk").agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _LIFT_MINCO)
+        .select(F.expr("pk div 4294967296").alias("item_a"),
+                F.pmod("pk", F.lit(4294967296)).alias("item_b"),
+                "co")
     )
     ia = item.select(F.col("l_partkey").alias("item_a"),
                      F.col("ni").alias("na"))
