@@ -42,6 +42,10 @@ import os
 import sys
 import time
 
+#: persisted-artifact dirs present when the bench started (set in
+#: main; recorded in BENCH_DETAIL for cold-number provenance)
+_ARTS_AT_START: list[str] = []
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = (  # BASELINE.md anchor queries, reported individually
@@ -87,8 +91,18 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
+    from hearthstats_spark.operators.ann_index import (
+        _cache_root, cache_enabled,
+    )
     from hearthstats_spark.queries.registry import load_all
     from hearthstats_spark.session import get_spark
+
+    global _ARTS_AT_START
+    try:
+        _ARTS_AT_START = sorted(os.listdir(_cache_root())) if (
+            cache_enabled() and os.path.isdir(_cache_root())) else []
+    except OSError:
+        _ARTS_AT_START = []
 
     spark = get_spark("hearthstats-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -192,11 +206,25 @@ def main() -> int:
         except Exception as e:  # steady phase is additive, never fatal
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+    # artifact-cache provenance: cold numbers for the persisted-index
+    # adopters (ANN family, q182/q197, q142/q144) depend on whether
+    # the content-keyed store already held their artifacts when the
+    # bench started — record what was present so cross-round cold
+    # diffs aren't read as regressions when the difference is a
+    # first-touch train vs a warm read-back
+    from hearthstats_spark.operators.ann_index import _cache_root, cache_enabled
+    try:
+        arts = sorted(os.listdir(_cache_root())) if (
+            cache_enabled() and os.path.isdir(_cache_root())) else []
+    except OSError:
+        arts = []
     detail = {
         "metric": "headline6_total_latency",
         "value": headline_total,
         "unit": "sec",
         "sf": sf,
+        "ann_cache_at_start": _ARTS_AT_START,
+        "ann_cache_at_end": arts,
         "headline": {k: timings.get(k) for k in HEADLINE},
         "queries": {k: {"cold": v, "warm": warm.get(k)}
                     for k, v in timings.items()},
