@@ -680,6 +680,11 @@ def q170_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(rv) AS DECIMAL(28,4)) AS rv,
                GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
         FROM rev GROUP BY ROLLUP (r_name, n_name)
+        -- no-op on any non-empty rev (every rollup group aggregates
+        -- >= 1 row); on an EMPTY corpus it suppresses SQL's
+        -- grand-total row, which Spark's rollup() does not emit
+        -- (degenerate-corpus audit, scripts/audit_degenerate.py)
+        HAVING COUNT(*) > 0
     ),
     tot AS (SELECT rv FROM lv WHERE g_r = 1),
     reg AS (SELECT r_name, rv FROM lv WHERE g_r = 0 AND g_n = 1),
@@ -923,13 +928,17 @@ def q173_token_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = c.localCheckpoint()  # totals + numerator both read it
     n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"),
               F.count(F.lit(1)).alias("vocab"))
-    num = (c.crossJoin(F.broadcast(n))
+    # n's columns ride the final 1-row × 1-row cross join rather than
+    # first() through the numerator agg: on an EMPTY vocabulary the
+    # crossJoin is empty and first() returned NULL vocab where the
+    # oracle's COUNT(*) scalar is 0 (degenerate-corpus audit); the
+    # keyless numerator agg still yields exactly one row (s NULL)
+    num = (c.crossJoin(F.broadcast(n.select("n0", "n1")))
            .agg(F.sum(F.abs(F.col("c0") * F.col("n1")
-                            - F.col("c1") * F.col("n0"))).alias("s"),
-                F.first("n0").alias("n0"), F.first("n1").alias("n1"),
-                F.first("vocab").alias("vocab")))
+                            - F.col("c1") * F.col("n0"))).alias("s")))
+    row = n.crossJoin(F.broadcast(num))
     den = 2 * F.col("n0") * F.col("n1")
-    return num.select(
+    return row.select(
         F.col("n0").cast("bigint").alias("n_tokens_a"),
         F.col("n1").cast("bigint").alias("n_tokens_b"),
         F.col("vocab").cast("bigint").alias("vocab"),
@@ -1063,8 +1072,11 @@ def q175_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderkey
         FROM orders
     ),
-    n AS (SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
-                 SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1
+    -- COALESCE: no-op on any non-empty orders table; on an EMPTY one
+    -- it matches the engine's prefix-sum kernel, whose grand totals
+    -- are integer 0, not NULL (degenerate-corpus audit)
+    n AS (SELECT COALESCE(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END), 0) AS n0,
+                 COALESCE(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END), 0) AS n1
           FROM s),
     cum AS (
         SELECT v, g,

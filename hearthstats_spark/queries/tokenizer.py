@@ -616,6 +616,12 @@ def q193_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         one.select(F.expr(
             f"stack({len(_COVER_PCTS)}, {stack}) "
             "AS (pct, k_words, covered)"))
+        # no-op on any non-empty vocabulary (pct=100 is satisfied by
+        # the last row, lower pcts earlier, so every k is non-null);
+        # on an EMPTY corpus it matches the oracle's zero rows
+        # instead of emitting a 4-row all-null ladder
+        # (degenerate-corpus audit, scripts/audit_degenerate.py)
+        .filter(F.col("k_words").isNotNull())
         .select(F.col("pct").cast("int"), "k_words", "covered",
                 F.lit(total).cast("long").alias("total"))
     )
@@ -955,4 +961,10 @@ def q200_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("ttr").alias("cutoff_ttr"))
         .select(F.lit(budget).cast("long").alias("budget"),
                 "n_selected", "sel_tokens", "cutoff_ttr")
+        # no-op whenever anything is selected (any corpus with
+        # total >= 4 tokens selects its first doc); degenerate lanes
+        # (empty corpus, or total < 4 => budget 0) match the oracle's
+        # GROUP BY, which emits zero rows when nothing qualifies
+        # (degenerate-corpus audit, scripts/audit_degenerate.py)
+        .filter(F.col("n_selected") > 0)
     )

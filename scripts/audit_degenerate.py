@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Degenerate-corpus equivalence audit: run every oracle-checked
+query AND its DuckDB oracle against EMPTY tables (0 rows, exact
+physical parquet schemas copied from sf0.001) and compare.
+
+Why this exists: ADVICE r6 item 4 found a latent engine/oracle
+asymmetry that only manifests on inputs the shipped corpora never
+produce (BPE's pair table emptying mid-training). That class of bug —
+keyless aggregates yielding a NULL row where SQL's LIMIT 1 yields
+zero rows, driver-side build probes throwing on empty frames,
+quantile bucketing with no data — is invisible to every sf-corpus
+check by construction. The empty corpus is the universal degenerate
+input: every slice, filter, and batch predicate produces 0 rows, so
+every degenerate lane runs at once.
+
+This is an AUDIT, not a gate: a mismatch here is a latent asymmetry
+to triage (fix, or document why the input is unreachable), not a
+correctness failure on the graded corpora. Exit code is the number
+of non-PASS results.
+
+    python scripts/audit_degenerate.py [--only q190,q191]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import traceback
+
+sys.path.insert(0, ".")
+
+SRC_SF = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def make_empty_sf(dst: str) -> None:
+    """Empty copies of every table with the EXACT physical parquet
+    schema (pyarrow schema roundtrip — Spark re-writing limit(0)
+    would retype events.ts and change both engines' view of it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        sch = pq.read_schema(os.path.join(SRC_SF, f"{t}.parquet"))
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in sch}, schema=sch)
+        pq.write_table(empty, os.path.join(dst, f"{t}.parquet"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the tmp dir for inspection")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    from hearthstats_spark.oracle import compare, duck_connect
+    from hearthstats_spark.queries.registry import load_all
+    from hearthstats_spark.session import get_spark
+
+    reg = load_all()
+    spark = get_spark("degenerate-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="hearthstats_empty_sf_")
+    make_empty_sf(tmp)
+    con = duck_connect(tmp)
+
+    # the persisted-artifact store must not serve another corpus's
+    # artifacts, and fingerprints of the tmp tables differ per run —
+    # force the self-contained lanes for a hermetic audit
+    os.environ["SPARK_GRAFT_ANN_CACHE"] = "0"
+
+    n_bad = 0
+    for name, q in sorted(reg.items()):
+        if only and not any(name.startswith(o) for o in only):
+            continue
+        if q.oracle is None:
+            continue  # rows-only ops have no equivalence to audit
+        try:
+            spark_pdf = q.fn(spark, tmp).toPandas()
+        except Exception as e:
+            n_bad += 1
+            print(f"[ERR-SPARK] {name}: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]}")
+            if os.environ.get("AUDIT_TRACE"):
+                traceback.print_exc()
+            continue
+        try:
+            duck_pdf = con.execute(q.oracle).fetchdf()
+        except Exception as e:
+            n_bad += 1
+            print(f"[ERR-DUCK ] {name}: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]}")
+            continue
+        res = compare(name, spark_pdf, duck_pdf)
+        if res.ok:
+            print(f"[PASS] {name}: {res.n_spark} rows")
+        else:
+            n_bad += 1
+            print(f"[DIFF] {name}: {res}")
+    if args.keep:
+        print(f"empty sf dir kept at {tmp}")
+    else:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(f"\n{n_bad} non-PASS results")
+    return min(n_bad, 120)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

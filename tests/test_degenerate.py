@@ -1,0 +1,56 @@
+"""Degenerate-corpus equivalence pins (scripts/audit_degenerate.py).
+
+The empty corpus is the universal degenerate input: every slice,
+filter, and batch predicate produces 0 rows at once, so the latent
+engine/oracle asymmetries the sf corpora can never reach (ADVICE r6
+item 4's class) all fire together. The round-7 audit over all 193
+oracle-checked queries found 9; the 5 in round-7-editable files are
+fixed and pinned here. The remaining 4 (q18/q19/q20 rollup-family
+grand-total row, q68 NULL-vs-0 audit counts — all aggregates.py,
+frozen this round for driver-window reasons) are documented in
+ROUND7_NOTES.md and owed a round-8 fix; they are NOT pinned as
+failures because the fix will flip them.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+FIXED = [
+    "q171_share_of_parent",   # oracle HAVING: no SQL grand-total row
+    "q173_token_drift_tv",    # engine: vocab scalar survives empty c
+    "q176_ks_two_sample",     # oracle COALESCE: totals are 0 not NULL
+    "q193_vocab_coverage",    # engine: no all-null ladder on empty
+    "q200_budget_curation",   # engine: no zero-selection row
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    spec = importlib.util.spec_from_file_location(
+        "audit_degenerate",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "audit_degenerate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    dst = str(tmp_path_factory.mktemp("empty_sf"))
+    mod.make_empty_sf(dst)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED)
+def test_empty_corpus_matches_oracle(spark, registry, empty_sf, qid,
+                                     monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    # hermetic: the persisted store must not serve artifacts built
+    # from another corpus (fingerprints differ per tmp dir anyway)
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    con = duck_connect(empty_sf)
+    res = compare(qid, q.fn(spark, empty_sf).toPandas(),
+                  con.execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
