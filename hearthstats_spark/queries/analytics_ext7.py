@@ -938,13 +938,22 @@ def q173_token_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - F.col("c1") * F.col("n0"))).alias("s")))
     row = n.crossJoin(F.broadcast(num))
     den = 2 * F.col("n0") * F.col("n1")
+    # den = 0 (a corpus half is empty, or the corpus is) would throw
+    # under ANSI (pmod-by-zero); the oracle's x % 0 is NULL on that
+    # lane, so the CASE guard — per-row lazy, a no-op on any corpus
+    # with both halves populated — aligns the engines
+    # (degenerate-corpus audit --rows 1)
+    def _if_den(expr):
+        return F.when(den != 0, expr)
+
     return row.select(
         F.col("n0").cast("bigint").alias("n_tokens_a"),
         F.col("n1").cast("bigint").alias("n_tokens_b"),
         F.col("vocab").cast("bigint").alias("vocab"),
-        ((F.col("s") - F.pmod(F.col("s"), den)) / den).cast("bigint")
-        .alias("tv_millionths_floor"),
-        (F.pmod(F.col("s"), den).cast("double") / den.cast("double"))
+        _if_den((F.col("s") - F.pmod(F.col("s"), den)) / den)
+        .cast("bigint").alias("tv_millionths_floor"),
+        _if_den(F.pmod(F.col("s"), den).cast("double")
+                / den.cast("double"))
         .alias("tv_frac_part"),
     )
 
@@ -1144,10 +1153,16 @@ def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = c01.agg(
         F.max(F.abs(F.col("c0") * F.lit(n1)
                     - F.col("c1") * F.lit(n0))).alias("dnum"))
+    # n0/n1 are build-time scalars, so the zero-denominator lane (one
+    # group empty — possible only on a degenerate corpus) is a
+    # build-time branch: the oracle's x / 0.0 is NULL there, and the
+    # real-corpus plan is untouched (degenerate audit --rows 1)
+    ks_d = (F.lit(None).cast("double") if n0 * n1 == 0
+            else (F.col("dnum").cast("double")
+                  / (F.lit(float(n0)) * F.lit(float(n1)))))
     return d.select(
         F.lit(n0).cast("bigint").alias("n_urgent"),
         F.lit(n1).cast("bigint").alias("n_other"),
         F.col("dnum").cast("bigint").alias("d_numerator"),
-        (F.col("dnum").cast("double")
-         / (F.lit(float(n0)) * F.lit(float(n1)))).alias("ks_d"),
+        ks_d.alias("ks_d"),
     )

@@ -36,24 +36,29 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def make_empty_sf(dst: str) -> None:
-    """Empty copies of every table with the EXACT physical parquet
-    schema (pyarrow schema roundtrip — Spark re-writing limit(0)
-    would retype events.ts and change both engines' view of it)."""
-    import pyarrow as pa
+def make_empty_sf(dst: str, rows: int = 0) -> None:
+    """Copies of every table truncated to ``rows`` rows (0 = empty)
+    with the EXACT physical parquet schema (pyarrow roundtrip —
+    Spark re-writing limit(0) would retype events.ts and change both
+    engines' view of it). rows >= 1 exercises a DIFFERENT degenerate
+    class than empty: one-sided groups, zero denominators on one arm,
+    single-element windows — referential integrity between the
+    truncated tables is irrelevant for an equivalence audit (both
+    engines see identical bytes)."""
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
-        sch = pq.read_schema(os.path.join(SRC_SF, f"{t}.parquet"))
-        empty = pa.table(
-            {f.name: pa.array([], type=f.type) for f in sch}, schema=sch)
-        pq.write_table(empty, os.path.join(dst, f"{t}.parquet"))
+        tbl = pq.read_table(os.path.join(SRC_SF, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, rows),
+                       os.path.join(dst, f"{t}.parquet"))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument("--rows", type=int, default=0,
+                    help="rows per table (0 = empty corpus)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     args = ap.parse_args()
@@ -68,7 +73,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="hearthstats_empty_sf_")
-    make_empty_sf(tmp)
+    make_empty_sf(tmp, rows=args.rows)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

@@ -28,29 +28,34 @@ FIXED = [
 ]
 
 
-@pytest.fixture(scope="module")
-def empty_sf(tmp_path_factory):
+@pytest.fixture(scope="module", params=[0, 1],
+                ids=["empty", "one-row"])
+def degenerate_sf(request, tmp_path_factory):
+    """rows=0: every lane empty at once. rows=1: the ONE-SIDED class
+    (a group/half with zero rows, zero denominators) that empty
+    tables cannot reach — the --rows 1 audit found ANSI
+    divide-by-zero crashes the empty audit missed."""
     spec = importlib.util.spec_from_file_location(
         "audit_degenerate",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "scripts", "audit_degenerate.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    dst = str(tmp_path_factory.mktemp("empty_sf"))
-    mod.make_empty_sf(dst)
+    dst = str(tmp_path_factory.mktemp(f"degen_sf_{request.param}"))
+    mod.make_empty_sf(dst, rows=request.param)
     return dst
 
 
 @pytest.mark.parametrize("qid", FIXED)
-def test_empty_corpus_matches_oracle(spark, registry, empty_sf, qid,
-                                     monkeypatch):
+def test_degenerate_corpus_matches_oracle(spark, registry, degenerate_sf,
+                                          qid, monkeypatch):
     from hearthstats_spark.oracle import compare, duck_connect
 
     # hermetic: the persisted store must not serve artifacts built
     # from another corpus (fingerprints differ per tmp dir anyway)
     monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
     q = registry[qid]
-    con = duck_connect(empty_sf)
-    res = compare(qid, q.fn(spark, empty_sf).toPandas(),
+    con = duck_connect(degenerate_sf)
+    res = compare(qid, q.fn(spark, degenerate_sf).toPandas(),
                   con.execute(q.oracle).fetchdf())
     assert res.ok, str(res)
