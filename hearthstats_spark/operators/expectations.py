@@ -20,9 +20,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def audit(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     """One row per rule: (check, n_violations). ``rules`` maps check
-    name → boolean Column that is True WHEN THE ROW VIOLATES."""
+    name → boolean Column that is True WHEN THE ROW VIOLATES.
+
+    count(when) rather than sum(when·1): identical on any non-empty
+    frame, but a keyless SUM over an EMPTY table is NULL while a
+    violation count must be 0 — the SQL-oracle scalar COUNT form and
+    the degenerate-corpus audit both say 0 (ADVICE-r6-class
+    asymmetry found by scripts/audit_degenerate.py)."""
     agg = df.agg(*[
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        F.count(F.when(pred, 1)).cast("long").alias(name)
         for name, pred in rules.items()
     ])
     stacked = ", ".join(f"'{n}', `{n}`" for n in rules)

@@ -5,9 +5,10 @@ filter, and batch predicate produces 0 rows at once, so the latent
 engine/oracle asymmetries the sf corpora can never reach (ADVICE r6
 item 4's class) all fire together. The round-7 audit over all 193
 oracle-checked queries found 9; the 5 in round-7-editable files are
-fixed and pinned here. The remaining 4 (q18/q19/q20 rollup-family
-grand-total row, q68 NULL-vs-0 audit counts — all aggregates.py,
-frozen this round for driver-window reasons) are documented in
+fixed and pinned here. q68's fix landed via the untracked operators/expectations.py.
+The remaining frozen ones (q18/q19/q20 rollup-family grand-total
+row in aggregates.py, q122's histogram width in analytics_ext3.py)
+are documented in
 ROUND7_NOTES.md and owed a round-8 fix; they are NOT pinned as
 failures because the fix will flip them.
 """
@@ -25,6 +26,8 @@ FIXED = [
     "q176_ks_two_sample",     # oracle COALESCE: totals are 0 not NULL
     "q193_vocab_coverage",    # engine: no all-null ladder on empty
     "q200_budget_curation",   # engine: no zero-selection row
+    "q68_data_audit",         # operators/expectations: count(when),
+                              # not sum(when) — 0 not NULL on empty
 ]
 
 
