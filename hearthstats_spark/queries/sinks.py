@@ -147,7 +147,11 @@ def s10_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = os.path.join(base, "orders_by_status")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tdir)
 
-    back = spark.read.parquet(tdir)
+    # explicit schema: an EMPTY load writes a directory with no data
+    # files and schema inference fails — a production layout writer
+    # must survive the zero-row day (degenerate-corpus audit); the
+    # partition column is legal in an explicit read schema
+    back = spark.read.schema(o.schema).parquet(tdir)
     pruned = back.filter(F.col("o_orderstatus") == "F")
     plan = executed_plan_str(pruned)
     pruning_pushed = ("PartitionFilters" in plan
@@ -165,7 +169,7 @@ def s10_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    after = spark.read.parquet(tdir)
+    after = spark.read.schema(o.schema).parquet(tdir)
     n_f_zeroed = after.filter((F.col("o_orderstatus") == "F")
                               & (F.col("o_totalprice") == 0.0)).count()
     n_o_after = after.filter(F.col("o_orderstatus") == "O").count()
@@ -208,7 +212,9 @@ def s09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.read.parquet(target_dir)
     updates = (target.filter(F.col("c_nationkey") == 1)
                .withColumn("c_acctbal", F.lit(0.0)))
-    max_key = target.agg(F.max("c_custkey")).collect()[0][0]
+    # empty target (a first load, or the degenerate-corpus audit):
+    # max over zero rows is NULL — inserts start from key 0
+    max_key = target.agg(F.max("c_custkey")).collect()[0][0] or 0
     inserts = spark.createDataFrame(
         [(max_key + i, f"NewCustomer#{i}", 1, 100.0 * i)
          for i in range(1, 6)],

@@ -807,6 +807,12 @@ def s19_stream_stream_left_outer(spark: SparkSession,
     # far-future sentinel files (see docstring), newest mtime so the
     # file source schedules them LAST, one micro-batch each
     max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    if max_ts is None:
+        # zero-event source (an empty day, or the degenerate-corpus
+        # audit): any fixed epoch works — the sentinels exist only to
+        # advance the watermark past whatever data there is (none)
+        from datetime import datetime as _dt
+        max_ts = _dt(1992, 1, 1)
     for k in (1, 2):
         sentinel_dir = tempfile.mkdtemp(prefix="hs_s19_sentinel_")
         sent_ts = max_ts + timedelta(hours=100 * k)
