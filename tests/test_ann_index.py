@@ -101,3 +101,18 @@ def test_half_written_directory_is_rebuilt(spark, cache_dir):
     # no stray tmp dirs left behind
     stray = [d for d in os.listdir(cache_dir) if ".tmp-" in d]
     assert not stray
+
+
+def test_co_order_edges_readback_is_content_equal(spark, cache_dir):
+    """The round-7 standing graph table: the persisted co-purchase
+    edge list read back from parquet holds exactly the rows the
+    direct builder produces (set equality — row ORDER differs across
+    a parquet roundtrip, and every consumer aggregates)."""
+    from hearthstats_spark.operators.ann_index import persisted
+    from hearthstats_spark.queries.analytics_ext import co_order_edges
+
+    got = persisted(spark, SF_SMALL, "co_order_edges",
+                    lambda: co_order_edges(spark, SF_SMALL),
+                    table="lineitem")
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, co_order_edges(spark, SF_SMALL).collect())))
