@@ -86,7 +86,8 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 def _contract_order(names) -> list[str]:
     """The driver's per-round CORRECTNESS file holds exactly 50
     entries from the head of this ordering, so ordering IS coverage
-    policy. Three classes, each q-ops (oracle-checked) before s-ops
+    policy (full class semantics on :func:`_ordering`, which this
+    wraps). Three classes, each q-ops (oracle-checked) before s-ops
     (rows-only), oldest id first inside a class:
 
     1. never covered q-ops — ids absent from every CORRECTNESS_r*.json;
@@ -124,6 +125,20 @@ def _contract_order(names) -> list[str]:
     first, then the stateful-streaming lanes newest-first, then the
     reader-shaped sink ops, then plain one-shot sinks (s01/s02-style)
     last."""
+    return _ordering(names)[0]
+
+
+def _ordering(names, hash_overrides=None):
+    """The full ordering computation behind :func:`_contract_order`:
+    returns ``(ordered names, name -> class int)`` using the 0-based
+    class values (0 never-covered q, 1 long-stale q, 2 never-covered
+    s, 3 just-lapsed q, 4 fresh q, 5 covered s).
+
+    ``hash_overrides`` maps repo-relative file paths to a hash value
+    to use INSTEAD of the file's current content hash — the hook
+    `scripts/window_plan.py` uses to simulate "what if I edit FILE"
+    against the REAL policy (a hand-copied reimplementation there
+    went stale the moment this function changed — round-7 review)."""
     _SOP_PRIORITY = [
         # streaming index maintenance — the ops a production ingest runs
         "s23", "s24", "s25", "s26", "s27",
@@ -143,6 +158,8 @@ def _contract_order(names) -> list[str]:
     covered = _driver_covered()
     verified = _verified_map()
     cur = _current_file_hashes(v.get("file") for v in verified.values())
+    if hash_overrides:
+        cur.update(hash_overrides)
 
     latest_round = max(
         (v.get("round", 0) for v in verified.values()), default=0)
@@ -168,7 +185,8 @@ def _contract_order(names) -> list[str]:
             return (klass(n), rnd, qnum(n), n)
         return (klass(n), rnd, _SOP_RANK.get(n.split("_")[0], len(_SOP_PRIORITY)), n)
 
-    return sorted(names, key=key)
+    out = sorted(names, key=key)
+    return out, {n: klass(n) for n in out}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

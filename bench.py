@@ -42,9 +42,21 @@ import os
 import sys
 import time
 
-#: persisted-artifact dirs present when the bench started (set in
-#: main; recorded in BENCH_DETAIL for cold-number provenance)
-_ARTS_AT_START: list[str] = []
+
+def _list_artifacts() -> list[str]:
+    """Persisted-artifact dirs currently in the content-keyed store —
+    recorded at bench start AND end (BENCH_DETAIL provenance): cold
+    numbers for persisted-index adopters differ between a first-touch
+    train and a warm read-back."""
+    from hearthstats_spark.operators.ann_index import (
+        _cache_root, cache_enabled,
+    )
+    try:
+        if cache_enabled() and os.path.isdir(_cache_root()):
+            return sorted(os.listdir(_cache_root()))
+    except OSError:
+        pass
+    return []
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -91,18 +103,10 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
-    from hearthstats_spark.operators.ann_index import (
-        _cache_root, cache_enabled,
-    )
     from hearthstats_spark.queries.registry import load_all
     from hearthstats_spark.session import get_spark
 
-    global _ARTS_AT_START
-    try:
-        _ARTS_AT_START = sorted(os.listdir(_cache_root())) if (
-            cache_enabled() and os.path.isdir(_cache_root())) else []
-    except OSError:
-        _ARTS_AT_START = []
+    arts_at_start = _list_artifacts()
 
     spark = get_spark("hearthstats-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -206,25 +210,13 @@ def main() -> int:
         except Exception as e:  # steady phase is additive, never fatal
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    # artifact-cache provenance: cold numbers for the persisted-index
-    # adopters (ANN family, q182/q197, q142/q144) depend on whether
-    # the content-keyed store already held their artifacts when the
-    # bench started — record what was present so cross-round cold
-    # diffs aren't read as regressions when the difference is a
-    # first-touch train vs a warm read-back
-    from hearthstats_spark.operators.ann_index import _cache_root, cache_enabled
-    try:
-        arts = sorted(os.listdir(_cache_root())) if (
-            cache_enabled() and os.path.isdir(_cache_root())) else []
-    except OSError:
-        arts = []
     detail = {
         "metric": "headline6_total_latency",
         "value": headline_total,
         "unit": "sec",
         "sf": sf,
-        "ann_cache_at_start": _ARTS_AT_START,
-        "ann_cache_at_end": arts,
+        "ann_cache_at_start": arts_at_start,
+        "ann_cache_at_end": _list_artifacts(),
         "headline": {k: timings.get(k) for k in HEADLINE},
         "queries": {k: {"cold": v, "warm": warm.get(k)}
                     for k, v in timings.items()},

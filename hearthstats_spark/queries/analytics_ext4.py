@@ -784,13 +784,17 @@ def q142_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.operators.ann_index import persisted
     from hearthstats_spark.queries.analytics_ext import co_order_edges
 
+    from hearthstats_spark.queries.analytics_ext import BASKET_CAP
+
     # the co-purchase edge list is a deterministic pure function of
     # lineitem — at 100 TB it is a STANDING graph table maintained
     # incrementally, so it lives in the persisted-artifact store
-    # (content-keyed on lineitem; bump version if BASKET_CAP changes)
+    # (content-keyed on lineitem; version=BASKET_CAP makes the key
+    # self-maintaining — a cap change misses the cache and rebuilds
+    # instead of silently serving the old winsorization)
     e = persisted(spark, sf_dir, "co_order_edges",
                   lambda: co_order_edges(spark, sf_dir),
-                  table="lineitem")
+                  table="lineitem", version=BASKET_CAP)
     deg = (e.select(F.col("a").alias("v"))
            .unionAll(e.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
@@ -912,12 +916,14 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.operators.graph import checkpoint_partitioned
     from hearthstats_spark.queries.analytics_ext import co_order_edges
 
+    from hearthstats_spark.queries.analytics_ext import BASKET_CAP
+
     # q142's persisted standing edge table (content-keyed on
-    # lineitem); the basket-expansion pipeline runs once per corpus,
-    # not once per BFS
+    # lineitem, cap-versioned); the basket-expansion pipeline runs
+    # once per corpus, not once per BFS
     e = persisted(spark, sf_dir, "co_order_edges",
                   lambda: co_order_edges(spark, sf_dir),
-                  table="lineitem")
+                  table="lineitem", version=BASKET_CAP)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # materialize src-partitioned (layout preserved through the
     # checkpoint): all 3 rounds join on src, so the edge side never

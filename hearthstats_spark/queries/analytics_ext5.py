@@ -506,10 +506,13 @@ def q157_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     on via broadcast cross join (the scalar-subquery shape,
     plan-audit allowlisted), then orderBy+LIMIT top-k (per-partition
     heaps, no global sort)."""
+    from hearthstats_spark.operators.pairs import (
+        capped_basket, packed_pairs, unpack_pair,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     basket = (li.groupBy("l_orderkey")
-              .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
-                           1, _LIFT_CAP).alias("ps"))
+              .agg(*capped_basket("l_orderkey", "l_partkey", _LIFT_CAP))
               # the N scalar, the item counts, and the pair expansion
               # all read this frame; materialize once (q98's rule)
               .localCheckpoint())
@@ -517,17 +520,10 @@ def q157_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = (basket.select(F.explode("ps").alias("l_partkey"))
             .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni")))
     pair = (
-        basket.select(F.explode(F.expr(
-            "flatten(transform(ps, (x, i) -> "
-            " filter(transform(ps, y -> "
-            "   IF(x < y, x * 4294967296 + y, NULL)),"
-            "  s -> s IS NOT NULL)))"
-        )).alias("pk"))
+        basket.select(F.explode(packed_pairs("ps")).alias("pk"))
         .groupBy("pk").agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _LIFT_MINCO)
-        .select(F.expr("pk div 4294967296").alias("item_a"),
-                F.pmod("pk", F.lit(4294967296)).alias("item_b"),
-                "co")
+        .select(*unpack_pair("pk", "item_a", "item_b"), "co")
     )
     ia = item.select(F.col("l_partkey").alias("item_a"),
                      F.col("ni").alias("na"))

@@ -29,7 +29,8 @@ import sys
 import tempfile
 import traceback
 
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 SRC_SF = "/root/testdata/sf0.001"
 TABLES = ("region", "nation", "customer", "supplier", "part",
@@ -61,6 +62,12 @@ def main() -> int:
                     help="rows per table (0 = empty corpus)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
+    ap.add_argument("--include-rows-only", action="store_true",
+                    help="also crash-smoke the oracle-less ops "
+                         "(streaming lanes, sinks, sketches): run "
+                         "each and report rows or the exception — "
+                         "slow (the streaming lanes replay files), "
+                         "hence opt-in")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -86,7 +93,18 @@ def main() -> int:
         if only and not any(name.startswith(o) for o in only):
             continue
         if q.oracle is None:
-            continue  # rows-only ops have no equivalence to audit
+            # no equivalence to audit, but crashing on a zero-row day
+            # is still a bug (found s09/s10/s19 live) — opt-in smoke
+            if not args.include_rows_only:
+                continue
+            try:
+                n = q.fn(spark, tmp).count()
+                print(f"[PASS] {name}: {n} rows (rows-only smoke)")
+            except Exception as e:
+                n_bad += 1
+                print(f"[ERR-SPARK] {name}: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:160]}")
+            continue
         try:
             spark_pdf = q.fn(spark, tmp).toPandas()
         except Exception as e:

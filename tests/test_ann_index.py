@@ -109,10 +109,12 @@ def test_co_order_edges_readback_is_content_equal(spark, cache_dir):
     direct builder produces (set equality — row ORDER differs across
     a parquet roundtrip, and every consumer aggregates)."""
     from hearthstats_spark.operators.ann_index import persisted
-    from hearthstats_spark.queries.analytics_ext import co_order_edges
+    from hearthstats_spark.queries.analytics_ext import (
+        BASKET_CAP, co_order_edges,
+    )
 
     got = persisted(spark, SF_SMALL, "co_order_edges",
                     lambda: co_order_edges(spark, SF_SMALL),
-                    table="lineitem")
+                    table="lineitem", version=BASKET_CAP)
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, co_order_edges(spark, SF_SMALL).collect())))

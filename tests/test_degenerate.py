@@ -62,3 +62,24 @@ def test_degenerate_corpus_matches_oracle(spark, registry, degenerate_sf,
     res = compare(qid, q.fn(spark, degenerate_sf).toPandas(),
                   con.execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+#: rows-only ops whose empty-source crashes were fixed this round —
+#: the smoke pins exist so a revert of any of the three fixes (s09's
+#: max-key fallback, s10's explicit read schema, s19's sentinel
+#: epoch) fails a test instead of silently restoring the crash
+FIXED_ROWS_ONLY = [
+    "s09_merge_upsert",
+    "s10_partitioned_layout",
+    "s19_stream_stream_left_outer",
+]
+
+
+@pytest.mark.parametrize("sid", FIXED_ROWS_ONLY)
+def test_rows_only_survives_degenerate_corpus(spark, registry,
+                                              degenerate_sf, sid,
+                                              monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    # must not raise; row COUNT is the op's own self-verifying
+    # business (rows-only contract), only crash-freedom is pinned
+    registry[sid].fn(spark, degenerate_sf).count()
