@@ -213,8 +213,14 @@ def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hearthstats_spark.queries.llm import _shingles
 
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(
-        "\x1f", F.slice(F.array_sort(_shingles()), 1, 3)).cast("binary"))
+    # NULL text ⇒ NULL fingerprint: concat_ws SKIPS a null array (so
+    # a null doc would md5 to the empty-string digest and merge with
+    # genuinely empty-shingle docs), while SQL's md5(NULL) is NULL —
+    # the guard matches the oracle and keeps null docs in their own
+    # cluster (all-null-text degenerate audit; no-op on the shipped
+    # corpora, whose ≤1 null doc never survives HAVING > 1)
+    fp = F.when(F.col("text").isNotNull(), F.md5(F.concat_ws(
+        "\x1f", F.slice(F.array_sort(_shingles()), 1, 3)).cast("binary")))
     return (
         d.select("doc_id", fp.alias("fingerprint"))
         .groupBy("fingerprint")

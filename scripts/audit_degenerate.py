@@ -37,29 +37,44 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def make_empty_sf(dst: str, rows: int = 0) -> None:
-    """Copies of every table truncated to ``rows`` rows (0 = empty)
-    with the EXACT physical parquet schema (pyarrow roundtrip —
-    Spark re-writing limit(0) would retype events.ts and change both
-    engines' view of it). rows >= 1 exercises a DIFFERENT degenerate
-    class than empty: one-sided groups, zero denominators on one arm,
-    single-element windows — referential integrity between the
-    truncated tables is irrelevant for an equivalence audit (both
-    engines see identical bytes)."""
+def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False) -> None:
+    """Copies of every table truncated to ``rows`` rows (0 = empty,
+    negative = ALL rows) with the EXACT physical parquet schema
+    (pyarrow roundtrip — Spark re-writing limit(0) would retype
+    events.ts and change both engines' view of it). rows >= 1
+    exercises a DIFFERENT degenerate class than empty: one-sided
+    groups, zero denominators on one arm, single-element windows —
+    referential integrity between the truncated tables is irrelevant
+    for an equivalence audit (both engines see identical bytes).
+    ``null_text`` nulls documents.text (metadata columns keep their
+    values): the ALL-NULL-COLUMN class — null-vs-empty-digest
+    merges, null payloads into Pandas UDFs, offsets over null
+    measures — which neither truncation mode reaches."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(os.path.join(SRC_SF, f"{t}.parquet"))
-        pq.write_table(tbl.slice(0, rows),
-                       os.path.join(dst, f"{t}.parquet"))
+        if rows >= 0:
+            tbl = tbl.slice(0, rows)
+        if null_text and t == "documents":
+            i = tbl.schema.get_field_index("text")
+            tbl = tbl.set_column(
+                i, "text",
+                pa.nulls(len(tbl), type=tbl.schema.field("text").type))
+        pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--rows", type=int, default=0,
-                    help="rows per table (0 = empty corpus)")
+                    help="rows per table (0 = empty corpus, "
+                         "negative = all rows)")
+    ap.add_argument("--null-text", action="store_true",
+                    help="null out documents.text (all-null-column "
+                         "class; combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -80,7 +95,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="hearthstats_empty_sf_")
-    make_empty_sf(tmp, rows=args.rows)
+    make_empty_sf(tmp, rows=args.rows, null_text=args.null_text)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

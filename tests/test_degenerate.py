@@ -83,3 +83,30 @@ def test_rows_only_survives_degenerate_corpus(spark, registry,
     # must not raise; row COUNT is the op's own self-verifying
     # business (rows-only contract), only crash-freedom is pinned
     registry[sid].fn(spark, degenerate_sf).count()
+
+
+def test_q59_null_text_matches_oracle(spark, registry,
+                                      tmp_path_factory, monkeypatch):
+    """All-null-column class (audit --rows -1 --null-text): a NULL
+    text must yield a NULL fingerprint on both engines — Spark's
+    concat_ws used to SKIP the null shingle array, md5-ing the empty
+    string and merging null docs with genuinely empty-shingle docs
+    while SQL's md5(NULL) kept them apart."""
+    import importlib.util
+    import os as _os
+
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_degenerate",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "scripts", "audit_degenerate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    dst = str(tmp_path_factory.mktemp("nulltext_sf"))
+    mod.make_empty_sf(dst, rows=-1, null_text=True)
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry["q59_fingerprint"]
+    res = compare("q59", q.fn(spark, dst).toPandas(),
+                  duck_connect(dst).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
