@@ -67,7 +67,7 @@ def _pq_ctes() -> str:
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     sub AS (
         SELECT vec_id, m, v[m * {_SUBD} + 1 : (m + 1) * {_SUBD}] AS sv
@@ -130,7 +130,12 @@ def subvectors_of(e: DataFrame) -> DataFrame:
     streaming serving lane (one subvector definition everywhere)."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     return (
-        e.select("vec_id", v.alias("v"))
+        # declared null policy for the whole PQ family (training,
+        # codes, queries, s24 serving): a NULL embedding is not an
+        # indexable vector — excluded on BOTH engines (the oracles
+        # filter embedding IS NOT NULL); no-op on the shipped corpus
+        e.filter(F.col("embedding").isNotNull())
+        .select("vec_id", v.alias("v"))
         .select("vec_id", F.explode(F.array(*[
             F.struct(F.lit(m).alias("m"),
                      F.slice("v", m * _SUBD + 1, _SUBD).alias("sv"))
@@ -275,7 +280,7 @@ def _ivf_pq_oracle() -> str:
     from hearthstats_spark.queries.ann import _BUCKET_SQL
 
     return _pq_ctes() + f""",
-    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings WHERE embedding IS NOT NULL),
     adc AS (
         SELECT t.query_id, c.vec_id AS neighbor_id,
                CAST(SUM(CAST(t.part AS DECIMAL(28,4))) AS DOUBLE)
@@ -309,7 +314,8 @@ def q184_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, codes bound the per-candidate cost; with the
     code+cell table bucketed by cell id the probe becomes a
     partition-pruned scan."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())  # family null policy
     # q61's coarse quantizer (sign bits of the first 8 dims)
     bucket = sum(
         (

@@ -79,7 +79,7 @@ def _coarse_bucket():
 
 def _q185_oracle() -> str:
     return _pq_ctes() + f""",
-    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings WHERE embedding IS NOT NULL),
     marg AS (
         SELECT e.vec_id AS query_id, g.i AS bit,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -149,7 +149,8 @@ def q185_ann_ivf_pq_multiprobe(spark: SparkSession,
     nprobe times BEFORE the join, so candidate pruning still happens
     inside the hash join and each candidate matches at most one
     probe cell (single-bit flips are distinct buckets)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())  # family null policy (ann2)
     bkt = e.select("vec_id", _coarse_bucket().alias("bucket"))
     sub = subvectors_of(e)
     # q183's persisted codebook + code table (operators/ann_index):
@@ -188,9 +189,9 @@ def _q186_oracle() -> str:
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
-    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+    bkt AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings WHERE embedding IS NOT NULL),
     cent0 AS (
         SELECT b.bucket, gd.dim, {favg_signed_sql('v[dim]', 'c')}
         FROM e JOIN bkt b USING (vec_id)
@@ -317,7 +318,8 @@ def q186_ann_ivfadc_residual(spark: SparkSession,
     residual frame → q184's celled ADC join on (bucket, m, cid).
     Same irreducible exchanges as q184 plus the centroid agg; every
     broadcast is runtime-guarded."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())  # family null policy (ann2)
     bkt = e.select("vec_id", _coarse_bucket().alias("bucket"))
     # the IVFADC index triple — centroids, residual codebook, residual
     # code table — is trained once and persisted (operators/ann_index)
@@ -383,7 +385,7 @@ def _q187_oracle() -> str:
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     init AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
     a0 AS (
@@ -438,7 +440,8 @@ def q187_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair, and ranks inside the query's window. At scale:
     cells bound candidates exactly as q184, but the scan reads full
     vectors (IVF-Flat's accuracy/IO trade vs PQ's code table)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())  # family null policy (ann2)
     v = F.transform("embedding", lambda x: x.cast("double"))
     fullsub = e.select("vec_id", F.lit(0).alias("m"), v.alias("sv"))
     # trained cells + per-vector assignments, persisted once
