@@ -125,13 +125,20 @@ _ROLLUP_ORACLE = f"""
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING COUNT(*) > 0
 """
 
 
 @register("q18_agg_rollup", oracle=_ROLLUP_ORACLE)
 def q18_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with GROUPING() disambiguation; rollup NULLs are
-    COALESCE'd to 'ALL' so they hash cleanly against real values."""
+    COALESCE'd to 'ALL' so they hash cleanly against real values.
+
+    Empty-input policy (degenerate audit, round 8): Spark's
+    ``rollup()`` emits NO grand-total row on empty input while SQL's
+    GROUP BY ROLLUP emits one — the oracle's ``HAVING COUNT(*) > 0``
+    declares the Spark semantics on both engines (a no-op on any
+    non-empty input: every real group has COUNT >= 1)."""
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
     joined = (
         t["orders"]
@@ -168,10 +175,14 @@ def q18_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {fsum_sql('o_totalprice', 'revenue')}
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def q19_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over segment x status (all 2^2 grouping combinations)."""
+    """CUBE over segment x status (all 2^2 grouping combinations).
+    Empty-input policy as q18: oracle ``HAVING COUNT(*) > 0`` pins
+    the no-grand-total-row-on-empty Spark semantics (no-op
+    otherwise)."""
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     joined = t["orders"].join(
         t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
@@ -199,13 +210,18 @@ _GSETS_SQL = """
            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
     FROM documents
     GROUP BY GROUPING SETS ((lang), (source), ())
+    HAVING COUNT(*) > 0
 """
 
 
 @register("q20_agg_groupingsets", oracle=_GSETS_SQL)
 def q20_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the SQL route (the DataFrame API has no direct
-    grouping-sets builder); the same SQL text runs on both engines."""
+    grouping-sets builder); the same SQL text runs on both engines.
+    The shared ``HAVING COUNT(*) > 0`` is a no-op on Spark (which
+    emits no () row on empty input) and drops DuckDB's COUNT=0
+    grand-total row — empty-input semantics declared once for both
+    (degenerate audit, round 8)."""
     load_tables(spark, sf_dir, ("documents",), register=True)
     return spark.sql(_GSETS_SQL)
 

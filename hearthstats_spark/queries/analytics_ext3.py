@@ -48,11 +48,14 @@ _HIST_BUCKETS = 20
         FROM orders
     )
     SELECT o_orderpriority AS priority,
-           CAST(LEAST(CAST(FLOOR((o_totalprice - lo) / width) AS INT),
+           CAST(LEAST(CASE WHEN width = 0 THEN 0
+                           ELSE CAST(FLOOR((o_totalprice - lo) / width)
+                                     AS INT) END,
                       {_HIST_BUCKETS - 1}) AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(lo + LEAST(CAST(FLOOR((o_totalprice - lo) / width)
-                                 AS INT),
+           ROUND(lo + LEAST(CASE WHEN width = 0 THEN 0
+                                 ELSE CAST(FLOOR((o_totalprice - lo)
+                                                 / width) AS INT) END,
                             {_HIST_BUCKETS - 1}) * width, 4) AS bucket_lo
     FROM orders, stats
     GROUP BY 1, 2, 4
@@ -67,7 +70,13 @@ def q122_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg); bucket math is identical IEEE double arithmetic on both
     engines, with the top edge clamped into the last bucket. One
     hash agg on (priority, bucket) — at 100 TB the output is
-    |priorities|x20 rows regardless of input size."""
+    |priorities|x20 rows regardless of input size.
+
+    Width-0 policy (degenerate audit, round 8): an all-equal price
+    column makes width = 0, where IEEE x/0 is NaN/Inf (an ANSI
+    divide crash on Spark, a fragile FLOOR(NaN)->INT-cast accident
+    on DuckDB) — both sides now DECLARE that lane as bucket 0 via an
+    explicit width = 0 CASE; a no-op whenever max > min."""
     o = load_table(spark, sf_dir, "orders")
     stats = o.agg(
         F.min("o_totalprice").alias("lo"),
@@ -75,8 +84,9 @@ def q122_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
          / float(_HIST_BUCKETS)).alias("width"),
     )
     bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("width"))
-        .cast("int"),
+        F.when(F.col("width") == 0, F.lit(0)).otherwise(
+            F.floor((F.col("o_totalprice") - F.col("lo"))
+                    / F.col("width")).cast("int")),
         F.lit(_HIST_BUCKETS - 1),
     )
     return (

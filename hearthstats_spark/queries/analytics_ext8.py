@@ -59,11 +59,15 @@ def q177_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
         .alias("g"))
 
-    # pass 1 — the mergeable GK sketch; B-1 pooled quantile cuts
-    cuts = sorted(set(s.agg(F.percentile_approx(
-        "v", [i / B for i in range(1, B)], 10_000).alias("c"))
-        .head()["c"]))
-    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    # pass 1 — the mergeable GK sketch; B-1 pooled quantile cuts.
+    # Empty input: the GK sketch of zero rows is NULL, not a list —
+    # an empty ingestion batch degrades to "no cuts" (one all-NULL
+    # monitor row) instead of crashing (degenerate audit, round 8)
+    sketch = s.agg(F.percentile_approx(
+        "v", [i / B for i in range(1, B)], 10_000).alias("c")).head()["c"]
+    cuts = sorted(set(sketch)) if sketch is not None else []
+    cut_arr = (F.array(*[F.lit(float(c)) for c in cuts])
+               if cuts else F.lit([]).cast("array<double>"))
 
     # pass 2 — exact per-side bucket masses (bucket j = (c_{j-1}, c_j])
     counts = (

@@ -92,6 +92,15 @@ def q49_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _indexable(e: DataFrame) -> DataFrame:
+    """The exact-similarity family's load edge (q50/q51/q77): drop
+    NULL-embedding / NULL-vec_id rows — the declared null policy
+    shared with the ANN tier; see the note on _COS_ORACLE_CTE."""
+    return e.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+
+
 def _vec_dbl(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """embedding list<float> → list<double> + L2 norm (exact per-row)."""
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -110,6 +119,14 @@ def _dot(a, b):
     )
 
 
+# Declared null policy for the exact-similarity family (q50/q51/q77),
+# matching the ANN tier's (ann2.subvectors_of): a NULL embedding is
+# not an indexable vector and a NULL vec_id is not a joinable key —
+# both are excluded on BOTH engines (the engine filters at its load
+# edge, this CTE filters here). No-op on the shipped corpus; without
+# it the numpy kernels crash on a NULL vector and Spark's window
+# grouping vs SQL's id-inequality diverge on NULL ids (degenerate
+# audit, round 8).
 _COS_ORACLE_CTE = """
     WITH e AS (
         SELECT vec_id, label,
@@ -117,6 +134,7 @@ _COS_ORACLE_CTE = """
                SQRT(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     )
 """
 
@@ -151,7 +169,7 @@ def q50_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the unit-test cross-check (tests/test_operators.py)."""
     from hearthstats_spark.operators.similarity import chunked_topk_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _indexable(load_table(spark, sf_dir, "embeddings"))
     return chunked_topk_pairs(e, "vec_id", "embedding", k=100)
 
 
@@ -181,7 +199,7 @@ def q51_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (blocked_threshold_pairs) — this query is its declared form."""
     from hearthstats_spark.operators.similarity import blocked_threshold_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _indexable(load_table(spark, sf_dir, "embeddings"))
     return (
         blocked_threshold_pairs(e, "vec_id", "embedding", "label",
                                 min_sim=0.3)
@@ -220,7 +238,7 @@ def q77_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative propagation has no SQL oracle)."""
     from hearthstats_spark.operators.similarity import blocked_threshold_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _indexable(load_table(spark, sf_dir, "embeddings"))
     dropped = (
         blocked_threshold_pairs(e, "vec_id", "embedding", "label",
                                 min_sim=0.3)
@@ -411,13 +429,21 @@ def q89_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix sum runs three actions (boundaries, bucket sums,
     # output) and would otherwise re-scan + re-split the text column
     # each time (measured 3× the scan cost at sf0.1)
+    # the prefix-sum measure is ZERO-FILLED (n_tok0): SQL's windowed
+    # SUM skips NULL tokens and the oracle COALESCEs the empty prefix
+    # to 0, while a windowed sum fed raw NULLs would go NULL — the
+    # zero-filled measure declares the same semantics in the engine
+    # (degenerate audit, round 8; no-op when no text is NULL). The
+    # emitted n_tokens column stays nullable as-is on both engines.
     t = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "n_tok0", F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
     ).localCheckpoint()
     cum, _total = with_global_prefix_sum(
-        t, "doc_id", "n_tokens", n_buckets=32, boundaries="uniform")
-    prev = F.col("__cum") - F.col("n_tokens")  # exclusive prefix
+        t, "doc_id", "n_tok0", n_buckets=32, boundaries="uniform")
+    prev = F.col("__cum") - F.col("n_tok0")  # exclusive prefix
     return cum.select(
         "doc_id", "n_tokens",
         prev.alias("start_offset"),

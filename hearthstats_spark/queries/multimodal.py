@@ -53,7 +53,8 @@ def _decode_real(payload: bytes) -> dict:  # pragma: no cover
     oracle="""
     SELECT doc_id,
            'image' AS modality,
-           CAST(n_chars AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE n_chars END
+                AS BIGINT) AS n_bytes,
            CAST(unicode(SUBSTRING(text, 1, 1)) AS INT) AS header_byte,
            CAST(32 + doc_id % 608 AS INT) AS width,
            CAST(32 + doc_id % 448 AS INT) AS height
@@ -64,7 +65,16 @@ def q62_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assemble binary payload + metadata struct, then run the decode
     stage over ``mapInPandas``. Fake decoder: payload length, header
     byte, metadata passthrough — enough to prove schema, partitioning,
-    UDF signature, and Arrow batch shape end to end."""
+    UDF signature, and Arrow batch shape end to end.
+
+    NULL-payload policy (degenerate audit, round 8): a missing
+    payload decodes to NULL stats — the kernel emits NULL
+    n_bytes/header_byte instead of crashing on ``len(None)``, and the
+    oracle's payload-derived columns carry the matching ``CASE WHEN
+    text IS NULL THEN NULL`` (n_bytes must NOT fall back to the
+    n_chars metadata column for a null payload). Metadata-derived
+    columns (width/height) stay non-null on both engines. No-op on
+    the shipped corpora."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
@@ -81,14 +91,18 @@ def q62_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if _HAVE_REAL_CODECS:  # pragma: no cover
-                [_decode_real(p) for p in b["payload"]]
+                [_decode_real(p) for p in b["payload"] if p is not None]
             payloads = b["payload"]
             yield pd.DataFrame({
                 "doc_id": b["doc_id"],
                 "modality": [m["modality"] for m in b["meta"]],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "header_byte": payloads.map(
-                    lambda p: p[0] if len(p) else -1).astype("int32"),
+                "n_bytes": pd.array(
+                    [None if p is None else len(p) for p in payloads],
+                    dtype="Int64"),
+                "header_byte": pd.array(
+                    [None if p is None else (p[0] if len(p) else -1)
+                     for p in payloads],
+                    dtype="Int32"),
                 "width": [m["width"] for m in b["meta"]],
                 "height": [m["height"] for m in b["meta"]],
             })
@@ -108,7 +122,9 @@ _N_FRAMES = 4
     oracle=f"""
     SELECT doc_id,
            CAST(f.frame_idx AS INT) AS frame_idx,
-           CAST((f.frame_idx * n_chars) // {_N_FRAMES} AS BIGINT) AS offset,
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     ELSE (f.frame_idx * n_chars) // {_N_FRAMES} END
+                AS BIGINT) AS offset,
            CAST(unicode(SUBSTRING(text,
                 CAST((f.frame_idx * n_chars) // {_N_FRAMES} AS INT) + 1, 1))
                 AS INT) AS frame_byte
@@ -126,7 +142,12 @@ def q65_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: output rows = N × input rows with no shuffle — the
     explode happens inside the Python stage so payload bytes cross
-    the Arrow boundary ONCE, not once per frame."""
+    the Arrow boundary ONCE, not once per frame.
+
+    NULL-payload policy (degenerate audit, round 8): a NULL payload
+    still emits its {_N_FRAMES} frame rows (the 1→N fan-out is
+    metadata-driven) but with NULL offset/frame_byte on both engines;
+    no-op on the shipped corpora."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -137,6 +158,13 @@ def q65_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "frame_idx": [], "offset": [],
                    "frame_byte": []}
             for did, payload in zip(b["doc_id"], b["payload"]):
+                if payload is None:  # NULL payload -> NULL frame stats
+                    for i in range(_N_FRAMES):
+                        out["doc_id"].append(did)
+                        out["frame_idx"].append(i)
+                        out["offset"].append(None)
+                        out["frame_byte"].append(None)
+                    continue
                 n = len(payload)
                 for i in range(_N_FRAMES):
                     off = (i * n) // _N_FRAMES
@@ -147,8 +175,8 @@ def q65_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": pd.Series(out["doc_id"], dtype="int64"),
                 "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
-                "offset": pd.Series(out["offset"], dtype="int64"),
-                "frame_byte": pd.Series(out["frame_byte"], dtype="int32"),
+                "offset": pd.array(out["offset"], dtype="Int64"),
+                "frame_byte": pd.array(out["frame_byte"], dtype="Int32"),
             })
 
     return d.mapInPandas(
@@ -186,7 +214,12 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract are identical.
 
     Scale notes: histogram work is a single vectorized pass per
-    Arrow batch; output is ≤16 rows per payload, no shuffle."""
+    Arrow batch; output is ≤16 rows per payload, no shuffle.
+
+    NULL-payload policy (degenerate audit, round 8): a NULL payload
+    has no byte histogram — zero rows emitted, matching the oracle
+    (unnesting a NULL split already yields nothing there); no-op on
+    the shipped corpora."""
     import numpy as np
     import pandas as pd
 
@@ -197,6 +230,8 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             ids, buckets, counts = [], [], []
             for did, payload in zip(b["doc_id"], b["payload"]):
+                if payload is None:  # NULL payload -> no histogram rows
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8) % _N_HIST
                 hist = np.bincount(arr, minlength=_N_HIST)
                 nz = np.nonzero(hist)[0]
@@ -222,9 +257,10 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            64 AS target_w, 64 AS target_h,
            ROUND(64.0 / (32 + doc_id % 608), 4) AS scale_x,
            ROUND(64.0 / (32 + doc_id % 448), 4) AS scale_y,
-           CAST(CEIL(CAST(n_chars AS DOUBLE)
-                / CEIL(CAST(n_chars AS DOUBLE) / 4096)) AS BIGINT)
-               AS n_sampled_bytes
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     ELSE CEIL(CAST(n_chars AS DOUBLE)
+                          / CEIL(CAST(n_chars AS DOUBLE) / 4096)) END
+                AS BIGINT) AS n_sampled_bytes
     FROM documents
     """,
 )
@@ -234,7 +270,11 @@ def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors from the typed metadata, and the payload strided down to
     ≤4096 bytes inside ``mapInPandas`` (``payload[::stride]`` stands
     in for pixel interpolation; n_sampled_bytes is checked against
-    the closed-form ceil arithmetic in the oracle)."""
+    the closed-form ceil arithmetic in the oracle).
+
+    NULL-payload policy (degenerate audit, round 8): a NULL payload
+    resizes to NULL n_sampled_bytes (metadata columns stay non-null)
+    on both engines; no-op on the shipped corpora."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
@@ -247,9 +287,11 @@ def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            strides = b["payload"].map(
-                lambda p: max(-(-len(p) // 4096), 1))
-            sampled = [len(p[::s]) for p, s in zip(b["payload"], strides)]
+            sampled = [
+                None if p is None
+                else len(p[::max(-(-len(p) // 4096), 1)])
+                for p in b["payload"]
+            ]
             yield pd.DataFrame({
                 "doc_id": b["doc_id"],
                 "orig_w": b["orig_w"], "orig_h": b["orig_h"],
@@ -257,7 +299,7 @@ def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "target_h": pd.Series([64] * len(b), dtype="int32"),
                 "scale_x": (64.0 / b["orig_w"]).round(4),
                 "scale_y": (64.0 / b["orig_h"]).round(4),
-                "n_sampled_bytes": pd.Series(sampled, dtype="int64"),
+                "n_sampled_bytes": pd.array(sampled, dtype="Int64"),
             })
 
     return assembled.mapInPandas(

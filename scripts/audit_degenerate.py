@@ -37,7 +37,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False) -> None:
+def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
+                  null_embedding: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -49,7 +50,10 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False) -> None:
     ``null_text`` nulls documents.text (metadata columns keep their
     values): the ALL-NULL-COLUMN class — null-vs-empty-digest
     merges, null payloads into Pandas UDFs, offsets over null
-    measures — which neither truncation mode reaches."""
+    measures — which neither truncation mode reaches.
+    ``null_embedding`` does the same to embeddings.embedding (the
+    vector-table axis: NULL vectors into numpy kernels / index
+    training — round-7 work-log 25 ran this by hand; now a mode)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -63,6 +67,12 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False) -> None:
             tbl = tbl.set_column(
                 i, "text",
                 pa.nulls(len(tbl), type=tbl.schema.field("text").type))
+        if null_embedding and t == "embeddings":
+            i = tbl.schema.get_field_index("embedding")
+            tbl = tbl.set_column(
+                i, "embedding",
+                pa.nulls(len(tbl),
+                         type=tbl.schema.field("embedding").type))
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
@@ -75,6 +85,9 @@ def main() -> int:
     ap.add_argument("--null-text", action="store_true",
                     help="null out documents.text (all-null-column "
                          "class; combine with --rows -1)")
+    ap.add_argument("--null-embedding", action="store_true",
+                    help="null out embeddings.embedding (the vector-"
+                         "table all-null axis; combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -95,7 +108,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="hearthstats_empty_sf_")
-    make_empty_sf(tmp, rows=args.rows, null_text=args.null_text)
+    make_empty_sf(tmp, rows=args.rows, null_text=args.null_text,
+                  null_embedding=args.null_embedding)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

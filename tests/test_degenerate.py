@@ -4,13 +4,14 @@ The empty corpus is the universal degenerate input: every slice,
 filter, and batch predicate produces 0 rows at once, so the latent
 engine/oracle asymmetries the sf corpora can never reach (ADVICE r6
 item 4's class) all fire together. The round-7 audit over all 193
-oracle-checked queries found 9; the 5 in round-7-editable files are
-fixed and pinned here. q68's fix landed via the untracked operators/expectations.py.
-The remaining frozen ones (q18/q19/q20 rollup-family grand-total
-row in aggregates.py, q122's histogram width in analytics_ext3.py)
-are documented in
-ROUND7_NOTES.md and owed a round-8 fix; they are NOT pinned as
-failures because the fix will flip them.
+oracle-checked queries found 9; the 5 in round-7-editable files were
+fixed then, and round 8 landed the remaining window-frozen patches
+(q18/q19/q20 rollup-family grand-total row, q122's width-0 histogram
+lane, q89's zero-filled prefix measure, the multimodal NULL-payload
+guards, q50/q51/q77's null-vector/null-key declarations, q177's
+empty-sketch guard) — ALL degenerate findings across every audit
+mode are now fixed and pinned here. q68's fix landed via the
+untracked operators/expectations.py.
 """
 
 from __future__ import annotations
@@ -28,6 +29,15 @@ FIXED = [
     "q200_budget_curation",   # engine: no zero-selection row
     "q68_data_audit",         # operators/expectations: count(when),
                               # not sum(when) — 0 not NULL on empty
+    # round-8 batch (the window-frozen r7 findings):
+    "q18_agg_rollup",         # oracle HAVING COUNT(*)>0: Spark rollup
+    "q19_agg_cube",           # / cube / grouping-sets emit no grand-
+    "q20_agg_groupingsets",   # total row on empty input, SQL does
+    "q122_histogram_price",   # width=0 CASE declared on both sides
+    "q89_shard_pack",         # zero-filled prefix measure (n_tok0)
+    "q50_sim_topk",           # null vector/key excluded both engines
+    "q51_sim_threshold",      # (declared family policy, see llm.py
+    "q77_dedup_embedding",    # _COS_ORACLE_CTE note)
 ]
 
 
@@ -72,6 +82,9 @@ FIXED_ROWS_ONLY = [
     "s09_merge_upsert",
     "s10_partitioned_layout",
     "s19_stream_stream_left_outer",
+    "q177_ks_sketch_drift",   # r8: empty GK sketch is NULL, not a
+                              # list — degrade to "no cuts", don't
+                              # crash sorting None
 ]
 
 
@@ -85,28 +98,81 @@ def test_rows_only_survives_degenerate_corpus(spark, registry,
     registry[sid].fn(spark, degenerate_sf).count()
 
 
-def test_q59_null_text_matches_oracle(spark, registry,
-                                      tmp_path_factory, monkeypatch):
-    """All-null-column class (audit --rows -1 --null-text): a NULL
-    text must yield a NULL fingerprint on both engines — Spark's
-    concat_ws used to SKIP the null shingle array, md5-ing the empty
-    string and merging null docs with genuinely empty-shingle docs
-    while SQL's md5(NULL) kept them apart."""
-    import importlib.util
-    import os as _os
-
-    from hearthstats_spark.oracle import compare, duck_connect
-
+def _audit_mod():
     spec = importlib.util.spec_from_file_location(
         "audit_degenerate",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), "scripts", "audit_degenerate.py"))
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "audit_degenerate.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+#: All-null-column class (audit --rows -1 --null-text): NULL payloads
+#: into Pandas UDF kernels, null-vs-empty-digest merges, offsets over
+#: null measures. q59 (r7): a NULL text must yield a NULL fingerprint
+#: on both engines — Spark's concat_ws used to SKIP the null shingle
+#: array, md5-ing the empty string and merging null docs with
+#: genuinely empty-shingle docs while SQL's md5(NULL) kept them
+#: apart. Round 8 adds q89 (zero-filled prefix measure) and the
+#: multimodal four (kernels emit NULL stats for a NULL payload;
+#: oracles CASE the payload-derived columns instead of falling back
+#: to metadata).
+FIXED_NULL_TEXT = [
+    "q59_fingerprint",
+    "q89_shard_pack",
+    "q62_multimodal_decode",
+    "q65_multimodal_frames",
+    "q71_multimodal_features",
+    "q72_multimodal_resize",
+]
+
+#: Vector-table axis (audit --rows -1 --null-embedding): the declared
+#: q50/q51/q77 policy — a NULL embedding is not an indexable vector
+#: and a NULL vec_id is not a joinable key; excluded at the engine's
+#: load edge (llm._indexable) and in the shared oracle CTE.
+FIXED_NULL_EMBEDDING = [
+    "q50_sim_topk",
+    "q51_sim_threshold",
+    "q77_dedup_embedding",
+]
+
+
+@pytest.fixture(scope="module")
+def null_text_sf(tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("nulltext_sf"))
-    mod.make_empty_sf(dst, rows=-1, null_text=True)
+    _audit_mod().make_empty_sf(dst, rows=-1, null_text=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def null_embedding_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("nullemb_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, null_embedding=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_NULL_TEXT)
+def test_null_text_matches_oracle(spark, registry, null_text_sf, qid,
+                                  monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
     monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
-    q = registry["q59_fingerprint"]
-    res = compare("q59", q.fn(spark, dst).toPandas(),
-                  duck_connect(dst).execute(q.oracle).fetchdf())
+    q = registry[qid]
+    res = compare(qid, q.fn(spark, null_text_sf).toPandas(),
+                  duck_connect(null_text_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
+
+
+@pytest.mark.parametrize("qid", FIXED_NULL_EMBEDDING)
+def test_null_embedding_matches_oracle(spark, registry,
+                                       null_embedding_sf, qid,
+                                       monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, null_embedding_sf).toPandas(),
+        duck_connect(null_embedding_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
