@@ -121,31 +121,20 @@ def co_order_edges(spark: SparkSession, sf_dir: str,
     declared semantics, see BASKET_CAP), then map-side HOF pair
     expansion — ONE aggregation shuffle plus the pair distinct,
     instead of the lineitem self-join's join shuffle (measured ~2×:
-    6.9 s → 3.8 s at sf0.1, identical 1.196M-edge output)."""
+    6.9 s → 3.8 s at sf0.1, identical 1.196M-edge output).
+
+    Pairs ride the dedup shuffle PACKED into one BIGINT via the
+    shared operators/pairs kernel (the constant's single home; see
+    its precondition note — ids < 2³¹)."""
+    from hearthstats_spark.operators.pairs import (
+        capped_basket, packed_pairs, unpack_pair)
+
     basket = (load_table(spark, sf_dir, "lineitem")
               .groupBy("l_orderkey")
-              .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
-                           1, basket_cap).alias("ps")))
-    # pairs ride the dedup shuffle PACKED into one BIGINT
-    # (a·2³² + b): half the shuffle bytes and a single-long hash-agg
-    # key vs the struct form (measured ~25% faster edge build at
-    # sf0.1). Precondition: partkeys < 2³² — holds by generation here
-    # and is worth one audit rule at a larger key domain; beyond it,
-    # revert to the 2-column struct form (same plan shape).
-    packed = (
-        basket.select(
-            F.explode(F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                " filter(transform(ps, y -> "
-                "   IF(x < y, x * 4294967296 + y, NULL)),"
-                "  s -> s IS NOT NULL)))"
-            )).alias("pk"))
-        .distinct()
-    )
-    return packed.select(
-        F.expr("pk div 4294967296").alias("a"),
-        F.pmod("pk", F.lit(4294967296)).alias("b"),
-    )
+              .agg(*capped_basket("l_orderkey", "l_partkey", basket_cap)))
+    packed = (basket.select(F.explode(packed_pairs("ps")).alias("pk"))
+              .distinct())
+    return packed.select(*unpack_pair("pk", "a", "b"))
 
 
 @register(
@@ -210,8 +199,19 @@ def q98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees reuse the edge frame. One summary row out via
     broadcast-able single-row cross-joins (no driver .count()
     actions)."""
+    from hearthstats_spark.operators.ann_index import persisted
+
     e = (
-        co_order_edges(spark, sf_dir)
+        # the co-purchase edge list is a deterministic pure function
+        # of lineitem — a STANDING graph table at 100 TB (q142's
+        # rationale): served from the persisted-artifact store,
+        # content-keyed on lineitem with version=BASKET_CAP so a cap
+        # change rebuilds instead of silently serving the old
+        # winsorization. SPARK_GRAFT_ANN_CACHE=0 keeps the
+        # self-contained rebuild lane.
+        persisted(spark, sf_dir, "co_order_edges",
+                  lambda: co_order_edges(spark, sf_dir),
+                  table="lineitem", version=BASKET_CAP)
         # several DAG branches (edge count, degrees, orientation,
         # triangle join ×3) read the edge list; Spark does not reuse
         # the duplicated subplan, so materialize it once
