@@ -87,6 +87,13 @@ def _drop_blocks(spark) -> None:
     import gc
     import time as _time
 
+    # drop the guard-applied cached frames' python handles first so
+    # their blocks are not resurrected by a later lineage read
+    # (ADVICE r7: applied broadcast_bounded sites defer their
+    # unpersist to the sweep boundary — this is that boundary)
+    from hearthstats_spark.operators.bounded import release_guard_caches
+    release_guard_caches()
+
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc
     for rdd in jsc.getPersistentRDDs().values():

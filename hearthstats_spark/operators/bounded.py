@@ -50,6 +50,30 @@ from pyspark.sql import DataFrame, functions as F
 #: lengths).
 GUARDED_SITES: list[tuple[int, bool]] = []
 
+#: frames the default-probe path cached with the guard APPLIED
+#: (ADVICE r7): each is ≤ its site's max_rows so residency is
+#: bounded, but a full sweep would otherwise accumulate one small
+#: cached frame per applied site until LRU eviction. Sweep drivers
+#: (bench.py / scripts/check_oracle.py) release them between
+#: queries via :func:`release_guard_caches`.
+_APPLIED_CACHES: list[DataFrame] = []
+
+
+def release_guard_caches() -> int:
+    """Unpersist every frame the applied path cached; returns the
+    count released. Safe at any query boundary: unpersist is
+    idempotent and a re-run rebuilds the frame from lineage (and
+    re-caches it through the guard again)."""
+    n = 0
+    while _APPLIED_CACHES:
+        df = _APPLIED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
 
 def broadcast_bounded(df: DataFrame, max_rows: int,
                       probe: DataFrame | None = None,
@@ -82,4 +106,9 @@ def broadcast_bounded(df: DataFrame, max_rows: int,
         # a huge frame must not squat in the storage pool while the
         # shuffle join recomputes it stream-wise.
         df.unpersist()
+    elif applied and cached_here:
+        # applied path: the cache must OUTLIVE this call (the join
+        # reads it when the query finally runs), so release is
+        # deferred to the sweep boundary (release_guard_caches)
+        _APPLIED_CACHES.append(df)
     return F.broadcast(df) if applied else df

@@ -9,11 +9,16 @@ half the shuffle bytes and a single-long hash-agg key vs the struct
 form (measured ~25% faster edge build at sf0.1, co_order_edges'
 docstring).
 
-PRECONDITION: ids < 2³² — holds by generation for partkeys here and
-is worth one audit rule at a larger key domain; beyond it, revert to
-the 2-column struct form (same plan shape). This module is the ONE
-place the 2³² constant lives (round-7 review: the expression had been
-copy-pasted with the literal spelled six times across two modules).
+PRECONDITION: ids < 2³¹ — NOT 2³¹..2³²−1: a·2³² + b overflows signed
+BIGINT once a ≥ 2³¹ (throws under ANSI mode, or wraps negative so
+unpack_pair's div/pmod decode the WRONG pair); with a < 2³¹ the max
+packed value is exactly 2⁶³−1 (ADVICE r7 — the bound was previously
+mis-documented as 2³²). Holds by generation for partkeys here and is
+worth one audit rule at a larger key domain; beyond it, pack into
+DECIMAL or the 2-column struct form (same plan shape). This module
+is the ONE place the 2³² pack base lives (round-7 review: the
+expression had been copy-pasted with the literal spelled six times
+across two modules).
 """
 
 from __future__ import annotations
@@ -21,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: pack base; ids must be < PAIR_BASE
+#: pack base; ids must be < PAIR_BASE // 2 (signed-BIGINT headroom —
+#: see the module precondition note)
 PAIR_BASE = 1 << 32
 
 

@@ -498,8 +498,8 @@ def q157_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces distinct + window sort + join-shuffle×2. Unlike
     co_order_edges there is NO distinct: a pair occurs at most once
     per order (ps is a set), so the agg's count IS the co-occurrence
-    support. Precondition partkeys < 2³² (generation-guaranteed, as
-    in co_order_edges). Item counts and the 1-row N frame read the
+    support. Precondition partkeys < 2³¹ (generation-guaranteed; see
+    operators/pairs — the signed-BIGINT pack overflows past 2³¹). Item counts and the 1-row N frame read the
     same checkpointed basket frame; min-support HAVING prune, item
     counts joined back key-equi (O(parts) — AQE promotes to
     broadcast only when the runtime size fits), the N scalar riding

@@ -63,6 +63,12 @@ def main() -> int:
         print(f"{res} ({time.time()-t0:.1f}s)")
         if not res.ok:
             n_fail += 1
+        # sweep boundary: release the guard-applied cached frames
+        # (ADVICE r7) so a 200-query sweep doesn't accumulate one
+        # small cached frame per applied broadcast_bounded site
+        from hearthstats_spark.operators.bounded import (
+            release_guard_caches)
+        release_guard_caches()
     print(f"\n{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 

@@ -76,6 +76,60 @@ def test_key_invalidates_on_source_change(tmp_path, monkeypatch):
     assert artifact_path(str(sf), "pq_codebook", version=2) != p3
 
 
+def test_content_mode_catches_stat_identical_rewrite(tmp_path,
+                                                     monkeypatch):
+    """VERDICT r7 stretch 8: an in-place rewrite that preserves BOTH
+    size and mtime defeats the fast (size, mtime_ns) fingerprint —
+    SPARK_GRAFT_ANN_FPMODE=content must miss the cache on any byte
+    change, while the stat default (documented) cannot."""
+    from hearthstats_spark.operators.ann_index import artifact_path
+
+    sf = tmp_path / "sf"
+    tab = sf / "embeddings.parquet"
+    tab.mkdir(parents=True)
+    f = tab / "part-0.parquet"
+    f.write_bytes(b"a" * 10)
+    os.utime(f, ns=(1234, 1234))
+    stat_p1 = artifact_path(str(sf), "pq_codebook")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_FPMODE", "content")
+    content_p1 = artifact_path(str(sf), "pq_codebook")
+    # byte change, stat-identical (same size, mtime pinned back)
+    f.write_bytes(b"b" * 10)
+    os.utime(f, ns=(1234, 1234))
+    content_p2 = artifact_path(str(sf), "pq_codebook")
+    assert content_p1 != content_p2  # content mode: cache miss
+    monkeypatch.delenv("SPARK_GRAFT_ANN_FPMODE")
+    stat_p2 = artifact_path(str(sf), "pq_codebook")
+    assert stat_p1 == stat_p2  # stat mode: documented blind spot
+
+
+def test_default_cache_root_rejects_foreign_ownership(monkeypatch):
+    """ADVICE r7: the default cache root must refuse to serve
+    artifacts from a directory owned by another uid (a pre-planted
+    dir in the world-writable tempdir would otherwise be read
+    silently). Simulated by stubbing os.getuid — a real foreign dir
+    needs root to create."""
+    import tempfile
+
+    import hearthstats_spark.operators.ann_index as ai
+
+    monkeypatch.delenv("SPARK_GRAFT_ANN_CACHE_DIR", raising=False)
+    root = ai._cache_root()  # creates the uid-keyed dir, mode 0700
+    assert f"uid{os.getuid()}" in os.path.basename(root)
+    # pre-plant the dir a DIFFERENT uid would key to; it is owned by
+    # the REAL uid, i.e. "someone else" from the stubbed uid's view
+    fake_uid = os.getuid() + 1
+    planted = os.path.join(tempfile.gettempdir(),
+                           f"hearthstats_ann_index_uid{fake_uid}")
+    os.makedirs(planted, exist_ok=True)
+    monkeypatch.setattr(ai.os, "getuid", lambda: fake_uid)
+    try:
+        with pytest.raises(RuntimeError, match="owned by uid"):
+            ai._cache_root()
+    finally:
+        os.rmdir(planted)
+
+
 def test_half_written_directory_is_rebuilt(spark, cache_dir):
     """A directory without Spark's _SUCCESS marker (crashed writer,
     lost rename race) must be treated as absent and rebuilt through

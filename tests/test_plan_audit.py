@@ -236,7 +236,7 @@ def test_forced_broadcast_detector_positive():
     assert forced_broadcast_offenses(nonkey_flagged)
 
 
-def test_no_forced_broadcast_of_fact_frames(spark, registry):
+def test_no_forced_broadcast_of_fact_frames(spark, registry, monkeypatch):
     """VERDICT r4 #1's missing rule: a forced ``F.broadcast`` on a
     frame derived from a fact-scale table (without a bounding
     aggregation) defeats AQE's size check — fine at sf0.1, an OOM at
@@ -252,9 +252,18 @@ def test_no_forced_broadcast_of_fact_frames(spark, registry):
     enforced-bounded, not narrated — a bare F.broadcast of a fact
     frame stays banned, and a DECLINED guard credits nothing (ADVICE
     r6: a decline leaves no broadcast in the plan, so crediting it
-    would cover for an unrelated bare hint in the same query)."""
+    would cover for an unrelated bare hint in the same query).
+
+    The audit runs with the persisted-artifact cache DISABLED
+    (ADVICE r7): on a COLD cache, guard sites recorded inside a
+    persisted() build-lambda execute in the artifact-WRITE job while
+    the returned plan only reads the parquet back — crediting them
+    would leave the audited plan's allowance one looser than its
+    hints. With the cache off, persisted() returns the build frame
+    itself, so every recorded site's hint is IN the audited plan."""
     from hearthstats_spark.operators.bounded import GUARDED_SITES
 
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     offenders: dict[str, list[str]] = {}
     try:
