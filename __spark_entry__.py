@@ -83,30 +83,68 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
     return out
 
 
+#: Ids whose SEMANTICS were deliberately changed in the current
+#: round (new behavior that needs independent driver eyes first) —
+#: the builder declares them each round alongside the edits; stale
+#: ids NOT named here are co-located hash-stale only (their file
+#: changed but their declared behavior did not, verified by the
+#: local full-sweep oracle runs, which perform the same comparison
+#: the driver does). A declared id whose file hash still matches its
+#: VERIFIED.json record is unaffected (it stays in the fresh class),
+#: so a stale declaration from a previous round is inert.
+#:
+#: Round 8: the 13 degenerate-audit patches (q18/q19/q20 rollup-
+#: family oracle HAVING, q122 width-0, q89 zero-filled measure,
+#: q62/q65/q71/q72 NULL-payload policy, q50/q51/q77 null-vector
+#: declarations, q177 empty-sketch guard) + the three persisted-
+#: index migrations (q118 minhash_sig_all, q98/q108 co_order_edges).
+REVERIFY_FIRST: set[str] = {
+    "q18_agg_rollup", "q19_agg_cube", "q20_agg_groupingsets",
+    "q122_histogram_price", "q89_shard_pack",
+    "q62_multimodal_decode", "q65_multimodal_frames",
+    "q71_multimodal_features", "q72_multimodal_resize",
+    "q50_sim_topk", "q51_sim_threshold", "q77_dedup_embedding",
+    "q177_ks_sketch_drift",
+    "q118_dedup_minhash_exact", "q98_triangle_count", "q108_pagerank",
+}
+
+
 def _contract_order(names) -> list[str]:
     """The driver's per-round CORRECTNESS file holds exactly 50
     entries from the head of this ordering, so ordering IS coverage
     policy (full class semantics on :func:`_ordering`, which this
-    wraps). Three classes, each q-ops (oracle-checked) before s-ops
+    wraps). Classes, each q-ops (oracle-checked) before s-ops
     (rows-only), oldest id first inside a class:
 
     1. never covered q-ops — ids absent from every CORRECTNESS_r*.json;
-    2. long-stale q-ops — covered once, but the defining source file's
-       hash no longer matches the hash recorded at check time
-       (VERIFIED.json) AND the last check predates the most recent
-       round: a kernel rewritten after its last driver check must be
-       re-verified before anything green;
+    2. declared-edited stale q-ops — the defining source file's hash
+       no longer matches the hash recorded at check time
+       (VERIFIED.json) AND the id is in :data:`REVERIFY_FIRST`: its
+       semantics changed this round, so the new behavior must get
+       driver eyes before anything else that has ever been checked;
     3. never covered s-ops — a first rows-only driver record beats
-       re-rotating a green unchanged query, but not an oracle check;
-    4. just-lapsed q-ops — checked in the MOST RECENT round and edited
+       re-rotating any previously-checked id: after round 7 the
+       one-shot sinks were the ONLY components with zero driver-side
+       evidence in seven rounds (VERDICT r7 item 4), while a
+       co-located hash-stale id's only new risk — an accidental
+       neighbor break — is exactly what the local full-sweep oracle
+       run already re-checks with the driver's own comparison;
+    4. co-located stale q-ops — hash-stale, last checked before the
+       most recent round, NOT declared: behavior asserted unchanged
+       and locally re-verified; they re-enter the window ahead of
+       everything green and rotate through over subsequent rounds.
+       (Window arithmetic that forced the 2/3/4 split: round 8's
+       verdict queue demanded ~78 slots — 71 stale ids across eight
+       files + 7 first-ever sink records — in a 50-slot window; the
+       old stale-before-sinks total order would have starved the
+       sinks an eighth straight round AND left some of the
+       semantically-edited ids themselves outside the window.);
+    5. just-lapsed q-ops — checked in the MOST RECENT round and edited
        since: the lowest-risk re-check class (driver-verified last
-       round, locally re-verified after the edit), so a first-ever
-       driver record for the streaming tier outranks it (VERDICT r6
-       item 1 names that record the round's goal, and item 5 asks for
-       the ANN edits that create this class);
-    5. fresh q-ops — covered and unchanged since, oldest check round
+       round, locally re-verified after the edit);
+    6. fresh q-ops — covered and unchanged since, oldest check round
        first so re-verification rotates through the registry;
-    6. covered s-ops.
+    7. covered s-ops.
 
     Every query is still present either way, and
     scripts/check_oracle.py runs the full sweep locally regardless
@@ -116,23 +154,21 @@ def _contract_order(names) -> list[str]:
     "q102" < "q51", which would silently file new queries under the
     already-covered head.
 
-    Class-2 internal order is NOT numeric (VERDICT r6 item 4): a
-    50-slot window that already holds 30 stale q-ops fits only 20 of
-    the 27 s-ops, and the 7 left out must be the cheapest one-shot
-    sinks, not the index-maintenance lanes a 100 TB deployment
-    actually runs. Priority: s23–s27 (streaming index maintenance:
-    incremental dedup / ANN serving / compaction / retention / vocab)
-    first, then the stateful-streaming lanes newest-first, then the
-    reader-shaped sink ops, then plain one-shot sinks (s01/s02-style)
-    last."""
+    Never-covered-s internal order is NOT numeric (VERDICT r6 item
+    4): the ops a 100 TB deployment actually runs come first —
+    s23–s27 (streaming index maintenance: incremental dedup / ANN
+    serving / compaction / retention / vocab), then the
+    stateful-streaming lanes newest-first, then the reader-shaped
+    sink ops, then plain one-shot sinks (s01/s02-style) last."""
     return _ordering(names)[0]
 
 
 def _ordering(names, hash_overrides=None):
     """The full ordering computation behind :func:`_contract_order`:
     returns ``(ordered names, name -> class int)`` using the 0-based
-    class values (0 never-covered q, 1 long-stale q, 2 never-covered
-    s, 3 just-lapsed q, 4 fresh q, 5 covered s).
+    class values (0 never-covered q, 1 declared-edited stale q,
+    2 never-covered s, 3 co-located stale q, 4 just-lapsed q,
+    5 fresh q, 6 covered s).
 
     ``hash_overrides`` maps repo-relative file paths to a hash value
     to use INSTEAD of the file's current content hash — the hook
@@ -166,18 +202,22 @@ def _ordering(names, hash_overrides=None):
 
     def klass(n: str) -> int:
         if not n.startswith("q"):
-            return 2 if n not in covered else 5
+            return 2 if n not in covered else 6
         if n not in covered:
             return 0
         v = verified.get(n)
         if not v or not v.get("sha256") or cur.get(v.get("file")) != v["sha256"]:
-            # covered but source changed (or unverifiable) since;
-            # edits to ids checked in the most recent round are the
-            # just-lapsed class (4) — everything older is class 1
+            # covered but source changed (or unverifiable) since:
+            # a declared semantic edit re-verifies before anything
+            # else checked before; edits to ids checked in the most
+            # recent round are just-lapsed (4); the rest are
+            # co-located stale (3), behind first-ever s records
+            if n in REVERIFY_FIRST:
+                return 1
             if v and v.get("round", 0) >= latest_round:
-                return 3
-            return 1
-        return 4
+                return 4
+            return 3
+        return 5
 
     def key(n: str):
         rnd = verified.get(n, {}).get("round", 0)

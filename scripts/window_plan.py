@@ -42,8 +42,9 @@ import __spark_entry__ as entry  # noqa: E402
 WINDOW = 50
 
 #: human labels for _ordering's 0-based class values
-LABEL = {0: "never-covered q", 1: "stale q", 2: "never-covered s",
-         3: "just-lapsed q", 4: "fresh q", 5: "covered s"}
+LABEL = {0: "never-covered q", 1: "declared-edited q",
+         2: "never-covered s", 3: "co-located stale q",
+         4: "just-lapsed q", 5: "fresh q", 6: "covered s"}
 
 
 def _resolve(arg: str, known_files: set[str]) -> str:
@@ -99,13 +100,13 @@ def main() -> int:
         print(f"  ENTER ({len(enter)}): {enter}")
     if leave:
         print(f"  LEAVE ({len(leave)}): {leave}")
-    # classes 0-2 are planned coverage (first records / stale
-    # re-checks); losing one starves it for the round
+    # classes 0-2 are planned coverage (first records / declared
+    # semantic-edit re-checks); losing one starves it for the round
     evicted = [n for n in leave if base_cls[n] in (0, 1, 2)]
-    # class 3 (just-lapsed) eviction only DELAYS a re-check of an id
-    # that was green last round and locally re-verified — flag it,
-    # don't fail on it
-    delayed = [n for n in leave if base_cls[n] == 3]
+    # class 3 (co-located stale) and 4 (just-lapsed) evictions only
+    # DELAY a re-check of an id whose behavior is asserted unchanged
+    # and locally re-verified — flag them, don't fail on them
+    delayed = [n for n in leave if base_cls[n] in (3, 4)]
     if delayed:
         print(f"  WARNING: delays just-lapsed re-checks: {delayed}")
     if evicted:

@@ -25,12 +25,14 @@ def test_contract_order_mechanism(monkeypatch, tmp_path):
     MECHANISM against a synthetic coverage/verified state (the r3
     verdict: asserting live round state here goes stale the moment the
     driver writes the next CORRECTNESS file). Expected classes:
-    never-covered q < stale q < never-covered s < fresh q < s."""
+    never-covered q < declared-edited stale q < never-covered s <
+    co-located stale q < fresh q < covered s."""
     h_live = (tmp_path / "live.py")
     h_live.write_bytes(b"current kernel")
     live_hash = entry_mod._current_file_hashes([str(h_live)])[str(h_live)]
 
-    covered = {"q01_fresh", "q02_stale", "q03_oldfresh", "s01_seen"}
+    covered = {"q01_fresh", "q02_stale", "q03_oldfresh", "s01_seen",
+               "q06_declared"}
     verified = {
         # fresh: checked r3, file hash still matches
         "q01_fresh": {"round": 3, "file": str(h_live), "sha256": live_hash},
@@ -39,22 +41,30 @@ def test_contract_order_mechanism(monkeypatch, tmp_path):
         # fresh but checked earlier than q01 -> rotates ahead of it
         "q03_oldfresh": {"round": 1, "file": str(h_live), "sha256": live_hash},
         "s01_seen": {"round": 1, "file": str(h_live), "sha256": live_hash},
+        # declared semantic edit: stale AND named in REVERIFY_FIRST
+        "q06_declared": {"round": 2, "file": str(h_live),
+                         "sha256": "feed" * 16},
     }
     monkeypatch.setattr(entry_mod, "_driver_covered", lambda: set(covered))
     monkeypatch.setattr(entry_mod, "_verified_map", lambda: dict(verified))
+    monkeypatch.setattr(entry_mod, "REVERIFY_FIRST",
+                        {"q06_declared", "q01_fresh"})
 
     names = ["q01_fresh", "q02_stale", "q03_oldfresh", "q04_new",
-             "q05_new", "s01_seen", "s02_new"]
+             "q05_new", "s01_seen", "s02_new", "q06_declared"]
     order = entry_mod._contract_order(names)
     assert order == [
         "q04_new", "q05_new",          # never-covered q, id-ascending
-        "q02_stale",                    # covered but source changed
+        "q06_declared",                 # declared semantic edit, stale
         "s02_new",                      # first-ever s record
+        "q02_stale",                    # co-located stale (undeclared)
         "q03_oldfresh", "q01_fresh",    # fresh q, oldest check first
+        # (q01's REVERIFY_FIRST entry is inert: hash still matches)
         "s01_seen",
     ]
     # unverifiable coverage (no VERIFIED entry / no hash) counts stale
     monkeypatch.setattr(entry_mod, "_verified_map", lambda: {})
+    monkeypatch.setattr(entry_mod, "REVERIFY_FIRST", set())
     order2 = entry_mod._contract_order(["q01_fresh", "q04_new"])
     assert order2 == ["q04_new", "q01_fresh"]
 
@@ -75,20 +85,22 @@ def test_contract_order_live_registry():
                  default=0)
 
     # independent re-derivation of the priority classes (docstring of
-    # _contract_order): 0 never-covered q, 1 long-stale q, 2
-    # never-covered s, 3 just-lapsed q (edited after a latest-round
-    # check), 4 fresh q, 5 covered s
+    # _contract_order): 0 never-covered q, 1 declared-edited stale q,
+    # 2 never-covered s, 3 co-located stale q, 4 just-lapsed q
+    # (edited after a latest-round check), 5 fresh q, 6 covered s
     def tier(n):
         if not n.startswith("q"):
-            return 2 if n not in covered else 5
+            return 2 if n not in covered else 6
         if n not in covered:
             return 0
         v = verified.get(n)
         stale = (not v or not v.get("sha256")
                  or cur.get(v.get("file")) != v["sha256"])
         if not stale:
-            return 4
-        return 3 if v and v.get("round", 0) >= latest else 1
+            return 5
+        if n in entry_mod.REVERIFY_FIRST:
+            return 1
+        return 4 if v and v.get("round", 0) >= latest else 3
 
     # no wasted slots: every id inside the 50-slot window must rank
     # at most as low-priority as every id outside it
