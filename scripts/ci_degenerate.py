@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""The degenerate-corpus gate (VERDICT r7 item 7): one command that
+fails on ANY engine/oracle divergence or crash across every audit
+mode, so the bug class the round-7 audit uncovered (27 findings seven
+rounds of green real-data checks could never reach) cannot silently
+re-enter.
+
+Runs scripts/audit_degenerate.py in all five modes:
+
+    rows=0                      every lane empty at once (+ rows-only
+                                crash smoke — found s09/s10/s19 live)
+    rows=1                      one-sided groups / zero denominators
+    rows=3                      small-but-plural (q122's width-0 lane
+                                needs equal prices; rows=3 passes it)
+    rows=-1 --null-text         all-null document payloads
+    rows=-1 --null-embedding    all-null vectors
+
+Exit code = total non-PASS results across all modes (0 = gate green).
+Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
+mode, ~15-25 min total at the audit's full 193-query scope. Use
+--fast to limit every mode to the ids named in --only.
+
+    python scripts/ci_degenerate.py            # the full CI gate
+    python scripts/ci_degenerate.py --only q18,q122
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+AUDIT = os.path.join(HERE, "audit_degenerate.py")
+
+MODES: list[tuple[str, list[str]]] = [
+    ("empty", ["--rows", "0", "--include-rows-only"]),
+    ("one-row", ["--rows", "1"]),
+    ("three-row", ["--rows", "3"]),
+    ("null-text", ["--rows", "-1", "--null-text"]),
+    ("null-embedding", ["--rows", "-1", "--null-embedding"]),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma list of query-id prefixes (passed to "
+                         "every mode)")
+    args = ap.parse_args()
+
+    total_bad = 0
+    for label, flags in MODES:
+        cmd = [sys.executable, AUDIT, *flags]
+        if args.only:
+            cmd += ["--only", args.only]
+        print(f"=== mode: {label} ({' '.join(flags)}) ===", flush=True)
+        rc = subprocess.run(cmd).returncode
+        print(f"=== mode {label}: "
+              f"{'PASS' if rc == 0 else f'{rc} non-PASS'} ===\n",
+              flush=True)
+        total_bad += rc
+    print(f"degenerate gate: "
+          f"{'GREEN' if total_bad == 0 else f'{total_bad} non-PASS total'}")
+    return min(total_bad, 120)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
