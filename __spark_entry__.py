@@ -98,6 +98,8 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: q62/q65/q71/q72 NULL-payload policy, q50/q51/q77 null-vector
 #: declarations, q177 empty-sketch guard) + the three persisted-
 #: index migrations (q118 minhash_sig_all, q98/q108 co_order_edges).
+#: + the two constant-measures-audit finds fixed in-round (q47's
+#: unstable-std garbage z, q63's ANSI corr crash on zero variance).
 REVERIFY_FIRST: set[str] = {
     "q18_agg_rollup", "q19_agg_cube", "q20_agg_groupingsets",
     "q122_histogram_price", "q89_shard_pack",
@@ -106,6 +108,7 @@ REVERIFY_FIRST: set[str] = {
     "q50_sim_topk", "q51_sim_threshold", "q77_dedup_embedding",
     "q177_ks_sketch_drift",
     "q118_dedup_minhash_exact", "q98_triangle_count", "q108_pagerank",
+    "q47_udtf_grouped_map", "q63_agg_regression",
 }
 
 

@@ -299,14 +299,34 @@ def q63_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_slope / regr_intercept) per return flag — the correlation
     surface an analytics engine needs for feature screening. All are
     single-pass moment aggregates: they ride the same partial+final
-    HashAggregate pair as sums (no extra shuffle, no sort)."""
+    HashAggregate pair as sums (no extra shuffle, no sort).
+
+    Zero-variance policy (constant-measures audit, round 8): Spark's
+    built-in ``corr``/``regr_slope``/``regr_intercept`` CRASH under
+    ANSI mode when a group's variance is exactly 0 (DIVIDE_BY_ZERO in
+    the final division) while SQL returns NULL — a constant-priced
+    ingestion day would abort the whole query. The engine therefore
+    composes them from the crash-free moment aggregates (covar_samp,
+    stddev_samp, var_samp, avg — mathematically identical ratios:
+    covar_samp/var_samp == covar_pop/var_pop) with a per-row-lazy
+    zero-denominator CASE that declares NULL, matching the oracle.
+    Same plan shape: one partial+final HashAggregate pair. The
+    pairwise-complete subtlety (SQL's corr/regr_* drop rows where
+    EITHER side is NULL, plain avg/stddev drop only their own) is
+    moot on these columns: lineitem quantities/prices are non-null by
+    generation."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    cov = F.covar_samp(q, p)
+    sd_prod = F.stddev_samp(q) * F.stddev_samp(p)
+    var_q = F.var_samp(q)
+    slope = F.when(var_q == 0, F.lit(None)).otherwise(cov / var_q)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr(q, p), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
-        F.round(F.regr_slope(p, q), 4).alias("slope"),
-        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.round(F.when(sd_prod == 0, F.lit(None)).otherwise(cov / sd_prod),
+                4).alias("corr_qty_price"),
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg(p) - slope * F.avg(q), 4).alias("intercept"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -108,13 +108,27 @@ def q46_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map: z-score of value within the group (ddof=1)."""
+    """Grouped-map: z-score of value within the group (ddof=1).
+
+    Identical-valued-group policy (constant-measures audit, round 8):
+    pandas' two-pass std is NOT exactly 0 on a constant group — the
+    float mean of n identical values can differ from them by one ulp,
+    making every deviation the same tiny e and z = e/(|e|·√(n/(n−1)))
+    ≈ ±0.9975 GARBAGE — while SQL's Welford stddev is exactly 0 there
+    (M2 accumulates (x−mean)·(x−mean_new) = 0 when x == mean always),
+    so the oracle's division yields NULL. The kernel declares the
+    same: a group with ≤ 1 distinct non-null value has no z-scores.
+    No-op on any well-conditioned group (the shipped corpora)."""
     mean = pdf["value"].mean()
     sd = pdf["value"].std(ddof=1)
+    if pdf["value"].nunique(dropna=True) <= 1 or pd.isna(sd) or sd == 0:
+        z = pd.array([None] * len(pdf), dtype="Float64")
+    else:
+        z = (pdf["value"] - mean) / sd
     return pd.DataFrame({
         "event_id": pdf["event_id"],
         "event_type": pdf["event_type"],
-        "z_raw": (pdf["value"] - mean) / sd,
+        "z_raw": z,
     })
 
 

@@ -37,8 +37,21 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
+#: (table, column) pairs flattened by --constant-measures: every
+#: value becomes the column's FIRST value, so every variance, range,
+#: and z-score denominator over them is exactly zero at full scale
+CONSTANT_MEASURES = (
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_extendedprice"),
+    ("events", "value"),
+)
+
+
 def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
-                  null_embedding: bool = False) -> None:
+                  null_embedding: bool = False,
+                  constant_text: bool = False,
+                  constant_measures: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -53,7 +66,21 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
     measures — which neither truncation mode reaches.
     ``null_embedding`` does the same to embeddings.embedding (the
     vector-table axis: NULL vectors into numpy kernels / index
-    training — round-7 work-log 25 ran this by hand; now a mode)."""
+    training — round-7 work-log 25 ran this by hand; now a mode).
+    ``constant_text`` replicates the FIRST document's text into every
+    row (round 8): the maximal-duplication corpus — every doc is an
+    exact AND near dup of every other (largest possible candidate-
+    pair density through the LSH/banding paths, one giant fingerprint
+    group), the tokenizer vocabulary collapses to one doc's tokens,
+    and every text-derived score ties, so any rank/row_number whose
+    tie-break is incomplete orders differently per engine.
+    ``constant_measures`` flattens the CONSTANT_MEASURES numeric
+    columns to their first value (round 8): zero variance / zero
+    range at FULL scale — corr/stddev/regression denominators,
+    histogram widths, z-scores, and min==max quantile lanes all
+    degenerate at once (the one-row mode reaches some of these, but
+    only with n=1 group sizes; this mode reaches them with real
+    group structure)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -73,6 +100,33 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                 i, "embedding",
                 pa.nulls(len(tbl),
                          type=tbl.schema.field("embedding").type))
+        if constant_text and t == "documents" and len(tbl):
+            i = tbl.schema.get_field_index("text")
+            first = tbl.column("text")[0].as_py()
+            tbl = tbl.set_column(
+                i, "text",
+                pa.array([first] * len(tbl),
+                         type=tbl.schema.field("text").type))
+            # keep the table's own invariant (n_chars IS the char
+            # count of text — the metadata contract): without this
+            # the mode audits an impossible corpus and every
+            # n_chars-vs-len(text) oracle pair "diverges" by
+            # construction (first run flagged q62/q65/q72 this way)
+            j = tbl.schema.get_field_index("n_chars")
+            tbl = tbl.set_column(
+                j, "n_chars",
+                pa.array([len(first)] * len(tbl),
+                         type=tbl.schema.field("n_chars").type))
+        if constant_measures and len(tbl):
+            for mt, col in CONSTANT_MEASURES:
+                if t != mt:
+                    continue
+                i = tbl.schema.get_field_index(col)
+                v = tbl.column(col)[0].as_py()
+                tbl = tbl.set_column(
+                    i, col,
+                    pa.array([v] * len(tbl),
+                             type=tbl.schema.field(col).type))
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
@@ -88,6 +142,14 @@ def main() -> int:
     ap.add_argument("--null-embedding", action="store_true",
                     help="null out embeddings.embedding (the vector-"
                          "table all-null axis; combine with --rows -1)")
+    ap.add_argument("--constant-text", action="store_true",
+                    help="replicate the first document's text into "
+                         "every row (maximal-duplication / all-ties "
+                         "axis; combine with --rows -1)")
+    ap.add_argument("--constant-measures", action="store_true",
+                    help="flatten the CONSTANT_MEASURES numeric "
+                         "columns to one value (zero-variance axis; "
+                         "combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -109,7 +171,9 @@ def main() -> int:
 
     tmp = tempfile.mkdtemp(prefix="hearthstats_empty_sf_")
     make_empty_sf(tmp, rows=args.rows, null_text=args.null_text,
-                  null_embedding=args.null_embedding)
+                  null_embedding=args.null_embedding,
+                  constant_text=args.constant_text,
+                  constant_measures=args.constant_measures)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

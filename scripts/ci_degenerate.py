@@ -14,6 +14,10 @@ Runs scripts/audit_degenerate.py in all five modes:
                                 needs equal prices; rows=3 passes it)
     rows=-1 --null-text         all-null document payloads
     rows=-1 --null-embedding    all-null vectors
+    rows=-1 --constant-text     maximal duplication / all-ties axis
+    rows=-1 --constant-measures zero-variance axis (found the q47
+                                unstable-std garbage and q63's ANSI
+                                corr crash on first run, round 8)
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -40,6 +44,8 @@ MODES: list[tuple[str, list[str]]] = [
     ("three-row", ["--rows", "3"]),
     ("null-text", ["--rows", "-1", "--null-text"]),
     ("null-embedding", ["--rows", "-1", "--null-embedding"]),
+    ("constant-text", ["--rows", "-1", "--constant-text"]),
+    ("constant-measures", ["--rows", "-1", "--constant-measures"]),
 ]
 
 

@@ -176,3 +176,38 @@ def test_null_embedding_matches_oracle(spark, registry,
         qid, q.fn(spark, null_embedding_sf).toPandas(),
         duck_connect(null_embedding_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+#: Zero-variance axis (audit --rows -1 --constant-measures, new in
+#: round 8). q47: pandas' two-pass std is a tiny NONZERO on a
+#: constant group (one-ulp mean error) so every z-score was ±0.9975
+#: garbage while SQL's exactly-zero Welford stddev NULLed them — the
+#: kernel now declares "≤1 distinct value → no z-scores". q63:
+#: Spark's built-in corr/regr_slope/regr_intercept CRASH under ANSI
+#: on a zero-variance group; recomposed from crash-free moment
+#: aggregates with a lazy zero-denominator CASE.
+FIXED_CONSTANT_MEASURES = [
+    "q47_udtf_grouped_map",
+    "q63_agg_regression",
+]
+
+
+@pytest.fixture(scope="module")
+def constant_measures_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("constmeas_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, constant_measures=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_CONSTANT_MEASURES)
+def test_constant_measures_matches_oracle(spark, registry,
+                                          constant_measures_sf, qid,
+                                          monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, constant_measures_sf).toPandas(),
+        duck_connect(constant_measures_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
