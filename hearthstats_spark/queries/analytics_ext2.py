@@ -1113,15 +1113,26 @@ def q117_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix sum (`with_global_prefix_sum` — range-bucketed
     two-pass, no global single-task window; negative deltas
     accumulate fine). Only change-point days are emitted (the curve
-    is constant between them)."""
+    is constant between them).
+
+    Shuffle order matters: lineitem pre-aggregates to one
+    (orderkey, last_ship) row BEFORE touching orders — the partial
+    agg combines map-side, so the fact table crosses the wire once
+    at ~1/4 the rows and the orderkey exchange it leaves behind
+    already satisfies the join's distribution (join ⊂ agg key). The
+    join-first form shuffles the full joined frame a second time for
+    the groupBy; o_orderkey is unique in orders, so grouping the
+    joined frame by (o_orderkey, o_orderdate) and pre-aggregating
+    lineitem by l_orderkey are row-identical."""
     from hearthstats_spark.operators.rankops import with_global_prefix_sum
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     iv = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
+        li.groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("last_ship"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.date_trunc("day", "o_orderdate").alias("s"),
             (F.date_trunc("day", "last_ship")
