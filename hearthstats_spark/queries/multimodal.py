@@ -48,17 +48,42 @@ def _decode_real(payload: bytes) -> dict:  # pragma: no cover
     )
 
 
+#: hex(encode(text)) is the oracle's view of the engine's UTF-8
+#: payload bytes (string→binary cast): byte i is the hex pair at
+#: substr(hx, 2i-1, 2), decoded with strpos on the uppercase digit
+#: table. On pure-ASCII corpora bytes == code points, which is why
+#: the former n_chars/unicode()-based oracles passed for six rounds —
+#: the unicode-text audit axis (round 8) exposed the conflation.
+_HEXDIGITS = "0123456789ABCDEF"
+
+
+def _hex_pair_sql(hx: str, pos: str) -> str:
+    """SQL for the INT value of byte #``pos`` (1-based) of the hex
+    dump ``hx`` — (high nibble)*16 + low nibble."""
+    return (f"(strpos('{_HEXDIGITS}', substr({hx}, 2 * ({pos}) - 1, 1)) - 1)"
+            f" * 16"
+            f" + strpos('{_HEXDIGITS}', substr({hx}, 2 * ({pos}), 1)) - 1")
+
+
 @register(
     "q62_multimodal_decode",
-    oracle="""
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    )
     SELECT doc_id,
            'image' AS modality,
-           CAST(CASE WHEN text IS NULL THEN NULL ELSE n_chars END
-                AS BIGINT) AS n_bytes,
-           CAST(unicode(SUBSTRING(text, 1, 1)) AS INT) AS header_byte,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     WHEN nb = 0 THEN -1
+                     ELSE {_hex_pair_sql('hx', '1')}
+                END AS INT) AS header_byte,
            CAST(32 + doc_id % 608 AS INT) AS width,
            CAST(32 + doc_id % 448 AS INT) AS height
-    FROM documents
+    FROM b
     """,
 )
 def q62_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,15 +145,24 @@ _N_FRAMES = 4
 @register(
     "q65_multimodal_frames",
     oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    )
     SELECT doc_id,
            CAST(f.frame_idx AS INT) AS frame_idx,
            CAST(CASE WHEN text IS NULL THEN NULL
-                     ELSE (f.frame_idx * n_chars) // {_N_FRAMES} END
+                     ELSE (f.frame_idx * nb) // {_N_FRAMES} END
                 AS BIGINT) AS offset,
-           CAST(unicode(SUBSTRING(text,
-                CAST((f.frame_idx * n_chars) // {_N_FRAMES} AS INT) + 1, 1))
-                AS INT) AS frame_byte
-    FROM documents
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     WHEN nb = 0 THEN -1
+                     ELSE {_hex_pair_sql(
+                         'hx',
+                         f'(f.frame_idx * nb) // {_N_FRAMES} + 1')}
+                END AS INT) AS frame_byte
+    FROM b
     CROSS JOIN (SELECT unnest(generate_series(0, {_N_FRAMES - 1}))
                 AS frame_idx) f
     """,
@@ -186,22 +220,29 @@ def q65_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_HIST = 16
+# q71's oracle decodes byte % 16 as the low hex nibble — only valid
+# at exactly this width
+assert _N_HIST == 16, "q71 oracle's low-nibble shortcut requires 16"
 
 
 @register(
     "q71_multimodal_features",
+    # byte % 16 is exactly the LOW NIBBLE — the second hex digit of
+    # the byte's pair (positions 2i in the hex dump); _N_HIST == 16
+    # is load-bearing for that shortcut
     oracle=f"""
-    SELECT doc_id,
-           CAST(bucket AS INT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_bytes_in_bucket
-    FROM (
+    WITH b AS (
         SELECT doc_id,
-               unicode(unnest(string_split_regex(text, ''))) % {_N_HIST}
-                   AS bucket
-        FROM documents
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents WHERE text IS NOT NULL
     )
-    WHERE bucket IS NOT NULL
-    GROUP BY doc_id, bucket
+    SELECT doc_id,
+           CAST(strpos('{_HEXDIGITS}', substr(hx, 2 * i, 1)) - 1 AS INT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes_in_bucket
+    FROM b, unnest(generate_series(1, nb)) t(i)
+    GROUP BY 1, 2
     """,
 )
 def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +291,13 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q72_multimodal_resize",
+    # GREATEST(…, 1) mirrors the kernel's max(stride, 1): an empty
+    # payload samples to 0 bytes, not NaN
     oracle="""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS nb
+        FROM documents
+    )
     SELECT doc_id,
            CAST(32 + doc_id % 608 AS INT) AS orig_w,
            CAST(32 + doc_id % 448 AS INT) AS orig_h,
@@ -258,10 +305,11 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(64.0 / (32 + doc_id % 608), 4) AS scale_x,
            ROUND(64.0 / (32 + doc_id % 448), 4) AS scale_y,
            CAST(CASE WHEN text IS NULL THEN NULL
-                     ELSE CEIL(CAST(n_chars AS DOUBLE)
-                          / CEIL(CAST(n_chars AS DOUBLE) / 4096)) END
+                     ELSE CEIL(CAST(nb AS DOUBLE)
+                          / GREATEST(CEIL(CAST(nb AS DOUBLE) / 4096),
+                                     1)) END
                 AS BIGINT) AS n_sampled_bytes
-    FROM documents
+    FROM b
     """,
 )
 def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

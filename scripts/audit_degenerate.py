@@ -47,11 +47,47 @@ CONSTANT_MEASURES = (
     ("events", "value"),
 )
 
+#: deterministic word→word substitution used by --unicode-text: the
+#: corpus keeps its exact duplicate/near-duplicate structure (a pure
+#: word map preserves equality and shingle overlap) but every text
+#: routes multi-byte UTF-8 through the whole text family — CJK and
+#: Hangul (3-byte), emoji (4-byte, supplementary plane), combining
+#: marks (Hebrew niqqud, composed accents), RTL Arabic, and the two
+#: classic case-mapping landmines: ß (uppercases to SS, length
+#:  changes) and Σ/ς (contextual final sigma). Spark compares strings
+#: as UTF8String code points and DuckDB as UTF-8 code points, so
+#: length/substring/levenshtein SHOULD agree — this mode is the
+#: audit that they actually do, and that no regex or case-fold path
+#: silently assumes ASCII on one engine only.
+UNICODE_WORDS = {
+    "the": "日本語の",
+    "data": "données",
+    "fast": "빠른",
+    "slow": "לְאַט",
+    "join": "🔗связь",
+    "key": "ключ",
+    "table": "τραπέζι",
+    "row": "строка",
+    "big": "大きい",
+    "small": "pequeño",
+    "sort": "ترتيب",
+    "merge": "mërgé",
+    "scan": "σκανάρωΣ",
+    "window": "ウィンドウ",
+    "filter": "filtré",
+    "hash": "ハッシュ",
+    "batch": "一括",
+    "stream": "스트림",
+    "value": "größe",
+    "query": "ΣΊΣΥΦΟΣ",
+}
+
 
 def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                   null_embedding: bool = False,
                   constant_text: bool = False,
-                  constant_measures: bool = False) -> None:
+                  constant_measures: bool = False,
+                  unicode_text: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -117,6 +153,24 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                 j, "n_chars",
                 pa.array([len(first)] * len(tbl),
                          type=tbl.schema.field("n_chars").type))
+        if unicode_text and t == "documents" and len(tbl):
+            i = tbl.schema.get_field_index("text")
+            texts = [
+                None if s is None else " ".join(
+                    UNICODE_WORDS.get(w, w) for w in s.split(" "))
+                for s in tbl.column("text").to_pylist()
+            ]
+            tbl = tbl.set_column(
+                i, "text",
+                pa.array(texts, type=tbl.schema.field("text").type))
+            # n_chars IS len(text) (code points — identical in
+            # Python/Spark/DuckDB); keep the metadata contract true
+            # just as --constant-text does
+            j = tbl.schema.get_field_index("n_chars")
+            tbl = tbl.set_column(
+                j, "n_chars",
+                pa.array([None if s is None else len(s) for s in texts],
+                         type=tbl.schema.field("n_chars").type))
         if constant_measures and len(tbl):
             for mt, col in CONSTANT_MEASURES:
                 if t != mt:
@@ -150,6 +204,11 @@ def main() -> int:
                     help="flatten the CONSTANT_MEASURES numeric "
                          "columns to one value (zero-variance axis; "
                          "combine with --rows -1)")
+    ap.add_argument("--unicode-text", action="store_true",
+                    help="route every document through the "
+                         "UNICODE_WORDS map (multi-byte/UTF-8 axis: "
+                         "CJK, emoji, combining marks, RTL, ß/Σ case "
+                         "landmines; combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -173,7 +232,8 @@ def main() -> int:
     make_empty_sf(tmp, rows=args.rows, null_text=args.null_text,
                   null_embedding=args.null_embedding,
                   constant_text=args.constant_text,
-                  constant_measures=args.constant_measures)
+                  constant_measures=args.constant_measures,
+                  unicode_text=args.unicode_text)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

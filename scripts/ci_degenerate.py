@@ -5,7 +5,7 @@ mode, so the bug class the round-7 audit uncovered (27 findings seven
 rounds of green real-data checks could never reach) cannot silently
 re-enter.
 
-Runs scripts/audit_degenerate.py in all five modes:
+Runs scripts/audit_degenerate.py in every corpus mode:
 
     rows=0                      every lane empty at once (+ rows-only
                                 crash smoke — found s09/s10/s19 live)
@@ -18,6 +18,9 @@ Runs scripts/audit_degenerate.py in all five modes:
     rows=-1 --constant-measures zero-variance axis (found the q47
                                 unstable-std garbage and q63's ANSI
                                 corr crash on first run, round 8)
+    rows=-1 --unicode-text      multi-byte UTF-8 axis (CJK / emoji /
+                                combining marks / RTL / ß and Σ case
+                                landmines through the text family)
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -46,6 +49,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("null-embedding", ["--rows", "-1", "--null-embedding"]),
     ("constant-text", ["--rows", "-1", "--constant-text"]),
     ("constant-measures", ["--rows", "-1", "--constant-measures"]),
+    ("unicode-text", ["--rows", "-1", "--unicode-text"]),
 ]
 
 

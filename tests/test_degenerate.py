@@ -211,3 +211,40 @@ def test_constant_measures_matches_oracle(spark, registry,
         qid, q.fn(spark, constant_measures_sf).toPandas(),
         duck_connect(constant_measures_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+#: Multi-byte UTF-8 axis (audit --rows -1 --unicode-text, new in
+#: round 8). The multimodal family treats the payload as UTF-8 BYTES
+#: (string→binary cast; len/indexing/bincount over bytes) but its
+#: oracles approximated bytes with CHARACTER functions (n_chars,
+#: unicode(first char), per-char histogram) — identical on the
+#: all-ASCII shipped corpora, divergent on any multi-byte text. The
+#: oracles are now genuinely byte-level (hex(encode(text)) pairs),
+#: pinned here on the unicode corpus. Everything else in the text
+#: family came back clean on first run (189/193 PASS).
+FIXED_UNICODE_TEXT = [
+    "q62_multimodal_decode",
+    "q65_multimodal_frames",
+    "q71_multimodal_features",
+    "q72_multimodal_resize",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_text_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("unicode_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, unicode_text=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_UNICODE_TEXT)
+def test_unicode_text_matches_oracle(spark, registry, unicode_text_sf,
+                                     qid, monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, unicode_text_sf).toPandas(),
+        duck_connect(unicode_text_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
