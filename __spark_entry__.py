@@ -100,8 +100,9 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: index migrations (q118 minhash_sig_all, q98/q108 co_order_edges).
 #: + the two constant-measures-audit finds fixed in-round (q47's
 #: unstable-std garbage z, q63's ANSI corr crash on zero variance).
-#: + q117's deliberate plan rewrite (lineitem pre-agg before the
-#: orders join — row-identical, one fewer full-size shuffle).
+#: + the q117/q116 deliberate plan rewrites (lineitem pre-agg before
+#: the orders join; single-pass sweep-event explode; localCheckpoint
+#: barriers under the rank/prefix kernels' three walks).
 REVERIFY_FIRST: set[str] = {
     "q18_agg_rollup", "q19_agg_cube", "q20_agg_groupingsets",
     "q122_histogram_price", "q89_shard_pack",
@@ -111,7 +112,7 @@ REVERIFY_FIRST: set[str] = {
     "q177_ks_sketch_drift",
     "q118_dedup_minhash_exact", "q98_triangle_count", "q108_pagerank",
     "q47_udtf_grouped_map", "q63_agg_regression",
-    "q117_order_concurrency",
+    "q117_order_concurrency", "q116_decile_lift",
 }
 
 

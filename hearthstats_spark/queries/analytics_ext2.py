@@ -1041,11 +1041,18 @@ def q116_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile cut is exact integer math on the position. The only
     whole-frame window runs AFTER aggregation to 10 rows (allowlisted
     like q92's post-limit rank), and the total rides a broadcast
-    1-row cross join (q53 shape)."""
+    1-row cross join (q53 shape).
+
+    The spend frame (one row per customer — the aggregated SMALL
+    side) is localCheckpoint'ed because the position kernel walks it
+    three times (quantile boundaries, bucket counts, output plan);
+    without the barrier each walk repeats the orders scan+shuffle
+    (q117's deltas lesson applied to the position variant)."""
     from hearthstats_spark.operators.rankops import with_global_position
 
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))
+    spend = (o.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))
+             .localCheckpoint())
     posed, n = with_global_position(
         spend, "spend", tiebreak=("o_custkey",), pos_col="__pos")
     dec = posed.select(
@@ -1123,7 +1130,15 @@ def q117_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-first form shuffles the full joined frame a second time for
     the groupBy; o_orderkey is unique in orders, so grouping the
     joined frame by (o_orderkey, o_orderdate) and pre-aggregating
-    lineitem by l_orderkey are row-identical."""
+    lineitem by l_orderkey are row-identical.
+
+    Both sweep events leave one interval row via a 2-element
+    struct-array explode — a UNION ALL of two projections of ``iv``
+    embeds the join/agg subtree twice and executes it per branch.
+    The collapsed delta table (O(distinct days) rows) is
+    localCheckpoint'ed because the prefix kernel walks it three
+    times (quantile boundaries, per-bucket sums, the output plan);
+    without the barrier each walk re-runs the fact-table agg."""
     from hearthstats_spark.operators.rankops import with_global_prefix_sum
 
     o = load_table(spark, sf_dir, "orders")
@@ -1140,10 +1155,14 @@ def q117_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deltas = (
-        iv.select(F.col("s").alias("day"), F.lit(1).alias("d"))
-        .unionAll(iv.select(F.col("e").alias("day"), F.lit(-1).alias("d")))
-        .groupBy("day").agg(F.sum("d").alias("delta"))
+        iv.select(F.explode(F.array(
+            F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+            F.struct(F.col("e").alias("day"), F.lit(-1).alias("d")),
+        )).alias("ev"))
+        .groupBy(F.col("ev.day").alias("day"))
+        .agg(F.sum("ev.d").alias("delta"))
         .withColumn("__ord", F.col("day").cast("long"))
+        .localCheckpoint()
     )
     cum, _total = with_global_prefix_sum(
         deltas, "__ord", "delta", cum_col="concurrent")
