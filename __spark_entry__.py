@@ -103,6 +103,13 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: + the q117/q116 deliberate plan rewrites (lineitem pre-agg before
 #: the orders join; single-pass sweep-event explode; localCheckpoint
 #: barriers under the rank/prefix kernels' three walks).
+#: + the negated-measures-audit finds (q133 ABS-first Benford, q36
+#: declared sqrt/ln/log10 domains) and the davg/favg_sql signed-
+#: kernel unification — a SHARED-MODULE change (functions/numeric.py)
+#: the per-file hash staleness cannot see, so its two measure-column
+#: users (q97 live-diverged, q15 latent) are declared here explicitly
+#: even though the claim is bit-identity on non-negative sums
+#: (machine-checked by the full post-change sf0.01 sweep).
 REVERIFY_FIRST: set[str] = {
     "q18_agg_rollup", "q19_agg_cube", "q20_agg_groupingsets",
     "q122_histogram_price", "q89_shard_pack",
@@ -113,6 +120,8 @@ REVERIFY_FIRST: set[str] = {
     "q118_dedup_minhash_exact", "q98_triangle_count", "q108_pagerank",
     "q47_udtf_grouped_map", "q63_agg_regression",
     "q117_order_concurrency", "q116_decile_lift",
+    "q133_benford_digits", "q36_math_funcs",
+    "q97_gap_fill", "q15_agg_pricing",
 }
 
 

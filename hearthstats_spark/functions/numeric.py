@@ -54,20 +54,22 @@ def davg(col: Column | str, alias: str, ndigits: int = 4) -> Column:
     (-> 47.2537). Found live at sf0.1 (q97, 4 cells of 3600).
 
     Exact formulation: with p = sum·10^d (an integer-valued decimal)
-    and n = count, the half-up-rounded mean is
-    ``(p div n) + [2·(p mod n) >= n]``, all in exact decimal/integer
-    arithmetic, then one deterministic double division by 10^d.
-    ``(p - r)/n`` is exactly divisible, so the decimal division is
-    exact and floor is safe. Assumes non-negative inputs (half-up ==
-    half-away; every averaged measure in the schema is >= 0)."""
-    c = F.col(col) if isinstance(col, str) else col
-    scale = 10 ** ndigits
-    p = F.sum(c.cast(DEC)) * scale
-    n = F.count(c)
-    r = F.pmod(p, n)
-    qf = F.floor((p - r) / n)
-    bump = F.when(F.lit(2) * r >= n, 1).otherwise(0)
-    return ((qf + bump).cast("double") / scale).alias(alias)
+    and n = count, the half-away-rounded mean is
+    ``sign(p)·((|p| div n) + [2·(|p| mod n) >= n])``, all in exact
+    decimal/integer arithmetic, then one deterministic double
+    division by 10^d. ``(|p| - r)/n`` is exactly divisible, so the
+    decimal division is exact and floor is safe.
+
+    SIGNED-SAFE since round 8: the kernel runs on |sum| with the
+    sign reapplied (identical to :func:`davg_signed`). The previous
+    bare pmod/floor form assumed a non-negative sum — on a NEGATIVE
+    non-divisible sum Spark's floor + positive remainder disagrees
+    with DuckDB's truncating HUGEINT ``//``/``%`` by one ulp of the
+    rounding scale on EVERY such group, not just ties (the
+    negated-measures audit found q97 live at one grid cell; q15 was
+    latent). For sum >= 0 the signed kernel is bit-identical, so
+    every green hash is unchanged."""
+    return davg_signed(col, alias, ndigits)
 
 
 def round4(col: Column | str, alias: str | None = None) -> Column:
@@ -172,16 +174,9 @@ def favg_signed_sql(expr: str, alias: str, ndigits: int = 4) -> str:
 
 
 def favg_sql(expr: str, alias: str, ndigits: int = 4) -> str:
-    """Oracle twin of davg(): the same exact integer half-up mean.
-    HUGEINT arithmetic (the decimal sum times 10^d is integer-valued,
-    so the cast is exact); one deterministic double division at the
-    end."""
-    scale = 10 ** ndigits
-    p = (f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) * {scale}"
-         f" AS HUGEINT)")
-    n = f"COUNT({expr})"
-    return (
-        f"CAST(({p} // {n})"
-        f" + CASE WHEN 2 * ({p} % {n}) >= {n} THEN 1 ELSE 0 END"
-        f" AS DOUBLE) / {scale} AS {alias}"
-    )
+    """Oracle twin of davg(): the same exact integer half-away mean.
+    SIGNED-SAFE since round 8 — delegates to the signed kernel, which
+    is bit-identical for non-negative sums (see davg's note; the old
+    unsigned ``//``/``%`` form truncated toward zero and disagreed
+    with Spark's floor on every negative non-divisible sum)."""
+    return favg_signed_sql(expr, alias, ndigits)

@@ -241,7 +241,12 @@ _BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 4) for d in range(1, 10)}
     "q133_benford_digits",
     oracle=f"""
     WITH c AS (
-        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+        -- ABS first: Benford's law is a statement about MAGNITUDES,
+        -- and without it a refund/chargeback row makes the leading
+        -- "digit" the '-' sign — an ANSI cast abort on the engine
+        -- side (negated-measures audit, round 8)
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(ABS(o_totalprice))
+                                        AS BIGINT)
                                    AS VARCHAR), 1, 1) AS INT) AS digit,
                COUNT(*) AS n
         FROM orders GROUP BY 1
@@ -275,8 +280,10 @@ def q133_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     total rides back on a 1-row broadcast (scalar-subquery shape,
     q122's pattern — no global window)."""
     o = load_table(spark, sf_dir, "orders")
+    # ABS first (both engines): magnitudes, and '-' is not a digit
     digit = F.substring(
-        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        F.floor(F.abs(F.col("o_totalprice"))).cast("long").cast("string"),
+        1, 1,
     ).cast("int")
     counts = (o.select(digit.alias("digit"))
               .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))

@@ -98,9 +98,12 @@ def q35_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ABS(o_totalprice - 200000), 4) AS abs_dev,
            CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
-           ROUND(SQRT(o_totalprice), 4) AS price_sqrt,
-           ROUND(LN(o_totalprice), 4) AS price_ln,
-           ROUND(LOG10(o_totalprice), 4) AS price_log10,
+           CASE WHEN o_totalprice >= 0
+                THEN ROUND(SQRT(o_totalprice), 4) END AS price_sqrt,
+           CASE WHEN o_totalprice > 0
+                THEN ROUND(LN(o_totalprice), 4) END AS price_ln,
+           CASE WHEN o_totalprice > 0
+                THEN ROUND(LOG10(o_totalprice), 4) END AS price_log10,
            ROUND(POW(o_totalprice / 100000, 2), 4) AS price_pow2,
            CAST(MOD(o_orderkey, 7) AS BIGINT) AS key_mod7
     FROM orders
@@ -108,7 +111,15 @@ def q35_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math kitchen-sink. ceil/floor yield BIGINT in Spark but DOUBLE
-    in DuckDB — cast both to BIGINT; pmod==mod here (no negatives)."""
+    in DuckDB — cast both to BIGINT; key_mod7 is over the
+    always-positive orderkey so pmod==mod.
+
+    Declared domains (negated-measures audit, round 8): sqrt/ln/log10
+    of an out-of-domain price (a refund row) are NULL on BOTH engines
+    — without the guard Spark answers NaN for sqrt(<0) while DuckDB
+    ABORTS the whole query (Out of Range), the crash-vs-value
+    asymmetry class. abs/ceil/floor/round/pow are sign-complete and
+    stay unguarded."""
     o = load_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
     return o.select(
@@ -117,9 +128,9 @@ def q36_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(p - 200000), 4).alias("abs_dev"),
         F.ceil(p).cast("long").alias("price_ceil"),
         F.floor(p).cast("long").alias("price_floor"),
-        F.round(F.sqrt(p), 4).alias("price_sqrt"),
-        F.round(F.log(p), 4).alias("price_ln"),
-        F.round(F.log10(p), 4).alias("price_log10"),
+        F.when(p >= 0, F.round(F.sqrt(p), 4)).alias("price_sqrt"),
+        F.when(p > 0, F.round(F.log(p), 4)).alias("price_ln"),
+        F.when(p > 0, F.round(F.log10(p), 4)).alias("price_log10"),
         F.round(F.pow(p / 100000, 2), 4).alias("price_pow2"),
         F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
     )

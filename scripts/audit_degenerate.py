@@ -47,6 +47,17 @@ CONSTANT_MEASURES = (
     ("events", "value"),
 )
 
+#: rows negated by --negated-measures: every 3rd row of each
+#: CONSTANT_MEASURES column flips sign — the refunds/returns-day
+#: corpus. Mixed signs (not a blanket negation) so sums cross zero,
+#: min/max straddle it, and every integer-division / modulo /
+#: leading-digit / log-sqrt path sees a negative operand with real
+#: positive rows still present. Engines disagree about negative
+#: operands more than anything else in SQL (truncating vs flooring
+#: DIV, dividend- vs divisor-signed %), so this axis audits that the
+#: queries only use the sign-agnostic forms.
+NEGATE_EVERY = 3
+
 #: deterministic word→word substitution used by --unicode-text: the
 #: corpus keeps its exact duplicate/near-duplicate structure (a pure
 #: word map preserves equality and shingle overlap) but every text
@@ -87,7 +98,8 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                   null_embedding: bool = False,
                   constant_text: bool = False,
                   constant_measures: bool = False,
-                  unicode_text: bool = False) -> None:
+                  unicode_text: bool = False,
+                  negated_measures: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -181,6 +193,19 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                     i, col,
                     pa.array([v] * len(tbl),
                              type=tbl.schema.field(col).type))
+        if negated_measures and len(tbl):
+            for mt, col in CONSTANT_MEASURES:
+                if t != mt:
+                    continue
+                i = tbl.schema.get_field_index(col)
+                vals = [
+                    -v if (v is not None and k % NEGATE_EVERY == 0)
+                    else v
+                    for k, v in enumerate(tbl.column(col).to_pylist())
+                ]
+                tbl = tbl.set_column(
+                    i, col,
+                    pa.array(vals, type=tbl.schema.field(col).type))
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
@@ -209,6 +234,11 @@ def main() -> int:
                          "UNICODE_WORDS map (multi-byte/UTF-8 axis: "
                          "CJK, emoji, combining marks, RTL, ß/Σ case "
                          "landmines; combine with --rows -1)")
+    ap.add_argument("--negated-measures", action="store_true",
+                    help="flip the sign of every 3rd value of the "
+                         "CONSTANT_MEASURES columns (refunds/returns "
+                         "axis: mixed-sign sums, DIV/% sign "
+                         "semantics; combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -233,7 +263,8 @@ def main() -> int:
                   null_embedding=args.null_embedding,
                   constant_text=args.constant_text,
                   constant_measures=args.constant_measures,
-                  unicode_text=args.unicode_text)
+                  unicode_text=args.unicode_text,
+                  negated_measures=args.negated_measures)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

@@ -21,6 +21,11 @@ Runs scripts/audit_degenerate.py in every corpus mode:
     rows=-1 --unicode-text      multi-byte UTF-8 axis (CJK / emoji /
                                 combining marks / RTL / ß and Σ case
                                 landmines through the text family)
+    rows=-1 --negated-measures  refunds/returns axis: mixed-sign
+                                measures (found q133's ANSI '-' cast
+                                abort, q36's crash-vs-NaN asymmetry
+                                and the unsigned davg/favg floor-vs-
+                                trunc divergence, round 8)
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -50,6 +55,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("constant-text", ["--rows", "-1", "--constant-text"]),
     ("constant-measures", ["--rows", "-1", "--constant-measures"]),
     ("unicode-text", ["--rows", "-1", "--unicode-text"]),
+    ("negated-measures", ["--rows", "-1", "--negated-measures"]),
 ]
 
 

@@ -248,3 +248,43 @@ def test_unicode_text_matches_oracle(spark, registry, unicode_text_sf,
         qid, q.fn(spark, unicode_text_sf).toPandas(),
         duck_connect(unicode_text_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+#: Mixed-sign axis (audit --rows -1 --negated-measures, new in round
+#: 8 — the refunds/returns-day corpus). q133: leading-digit
+#: extraction hit the '-' sign (ANSI cast abort) — Benford now
+#: screens magnitudes (ABS both sides). q36: sqrt/ln/log10 of a
+#: negative price was Spark-NaN vs DuckDB-ABORT — domains declared
+#: (NULL on both engines). q97 (and latently every davg/favg_sql
+#: user, q15 included): the unsigned mean kernel paired Spark's
+#: floor + positive remainder with DuckDB's truncating HUGEINT
+#: //-% — off by one rounding ulp on EVERY negative non-divisible
+#: group sum; davg/favg_sql now delegate to the signed kernel,
+#: bit-identical for the non-negative sums of every green corpus.
+FIXED_NEGATED_MEASURES = [
+    "q15_agg_pricing",
+    "q36_math_funcs",
+    "q97_gap_fill",
+    "q133_benford_digits",
+]
+
+
+@pytest.fixture(scope="module")
+def negated_measures_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("negmeas_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, negated_measures=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_NEGATED_MEASURES)
+def test_negated_measures_matches_oracle(spark, registry,
+                                         negated_measures_sf, qid,
+                                         monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, negated_measures_sf).toPandas(),
+        duck_connect(negated_measures_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
