@@ -55,6 +55,29 @@ def test_dratio_matches_decimal_reference(spark, cases):
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(-10**8, 10**8), min_size=1, max_size=30))
+def test_davg_matches_favg_sql_on_signed_input(spark, raw):
+    """Cross-engine pin of the round-8 unification: davg (Spark) and
+    favg_sql (DuckDB text) are the SAME signed half-away kernel for
+    any sign mix — the unsigned pair diverged by one rounding ulp on
+    every negative non-divisible sum (negated-measures audit)."""
+    import duckdb
+
+    from hearthstats_spark.functions import davg
+    from hearthstats_spark.functions.numeric import favg_sql
+
+    vals = [v / 10_000.0 for v in raw]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(davg(F.col("v"), "m")).collect()[0]["m"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck = con.execute(
+        f"SELECT {favg_sql('v', 'm')} FROM t").fetchone()[0]
+    assert got == duck, (vals, got, duck)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-10**8, 10**8), min_size=1, max_size=30))
 def test_davg_signed_matches_decimal_reference(spark, raw):
     # values with exactly <= 4 dp so the per-row decimal cast is exact
     vals = [v / 10_000.0 for v in raw]
