@@ -122,6 +122,12 @@ REVERIFY_FIRST: set[str] = {
     "q117_order_concurrency", "q116_decile_lift",
     "q133_benford_digits", "q36_math_funcs",
     "q97_gap_fill", "q15_agg_pricing",
+    # round 8, null-measures axis: declared NULL-measure policies
+    # (NULLS FIRST rank order: q29; NULL not a sample point/weight/
+    # interval: q150/q152/q158/q167/q176; q116 already declared)
+    "q29_win_ntile", "q150_gini_concentration",
+    "q152_interval_coverage", "q158_sample_pps",
+    "q167_iqr_outliers", "q176_ks_two_sample",
 }
 
 

@@ -21,6 +21,16 @@ Rows with equal leading values always land in the same bucket
 (boundaries cut strictly between values), so bucket ranges respect
 the total order and the result is exact, not approximate —
 quantile-based boundaries only affect balance, never correctness.
+
+NULL order values: the kernels implement **ASC NULLS FIRST** — a
+NULL leading value fails every ``> boundary`` comparison (bucket 0,
+before all value buckets) and Spark's window sort places NULLS
+FIRST within it, so NULL rows occupy positions 1..k of the total
+order. This is a DECLARED semantic: consuming oracles must state
+``NULLS FIRST`` explicitly (DuckDB's bare ``ASC`` defaults to NULLS
+LAST — the null-measures degenerate axis caught q29/q116 diverging
+on exactly this). Statistical consumers that want NULLs excluded
+(quantiles, ECDFs, weights) filter BEFORE calling the kernel.
 """
 
 from __future__ import annotations

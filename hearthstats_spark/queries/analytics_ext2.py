@@ -1007,7 +1007,12 @@ def q115_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pos AS (
         SELECT spend,
-               ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS p,
+               -- NULLS FIRST: the rank kernel's declared NULL
+               -- placement (a customer whose every order price is
+               -- NULL has NULL spend and ranks below all priced
+               -- customers; DuckDB's bare ASC would put it last)
+               ROW_NUMBER() OVER (ORDER BY spend NULLS FIRST,
+                                  o_custkey) AS p,
                COUNT(*) OVER () AS n
         FROM spend
     ),

@@ -1287,7 +1287,10 @@ def q149_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY nationkey
                                   ORDER BY x, c_custkey) AS i,
                COUNT(*) OVER (PARTITION BY nationkey) AS n
-        FROM rev
+        -- declared: a NULL revenue (every order price NULL) is not
+        -- a sample point of the revenue distribution — both engines
+        -- exclude it (null-measures degenerate axis)
+        FROM rev WHERE x IS NOT NULL
     )
     SELECT nationkey, CAST(MAX(n) AS BIGINT) AS n_cust,
            CAST(SUM(x) AS DOUBLE) AS total_rev,
@@ -1317,7 +1320,11 @@ def q150_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                   o["o_custkey"] == F.col("c_custkey"))
            .groupBy(F.col("c_nationkey").alias("nationkey"),
                     "c_custkey")
-           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("x")))
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("x"))
+           # declared NULL policy: a customer whose every order price
+           # is NULL has no revenue observation — not a sample point
+           # of the concentration distribution (oracle mirrors)
+           .where(F.col("x").isNotNull()))
     wr = Window.partitionBy("nationkey").orderBy("x", "c_custkey")
     wn = Window.partitionBy("nationkey")
     r = rev.select(

@@ -32,7 +32,10 @@ from hearthstats_spark.queries.registry import register
                datediff('day', DATE '1970-01-01', l_shipdate)
                    + CAST(l_quantity AS BIGINT) - 1 AS e,
                l_orderkey, l_linenumber
-        FROM lineitem
+        -- declared: a NULL quantity gives the line no duration — it
+        -- is not an interval and occupies no days (null-measures
+        -- degenerate axis; engine filter mirrors)
+        FROM lineitem WHERE l_quantity IS NOT NULL
     ),
     m AS (
         SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
@@ -100,7 +103,12 @@ def q152_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     epoch = F.lit("1970-01-01").cast("date")
-    iv = li.select(
+    iv = li.where(
+        # declared NULL policy: no quantity -> no duration -> not an
+        # interval (a NULL end would also make the running-max island
+        # test order-dependent across engines' NULL sort defaults)
+        F.col("l_quantity").isNotNull()
+    ).select(
         "l_suppkey", "l_orderkey", "l_linenumber",
         F.datediff(F.col("l_shipdate"), epoch).cast("bigint").alias("s"),
         (F.datediff(F.col("l_shipdate"), epoch)

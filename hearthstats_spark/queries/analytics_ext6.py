@@ -29,7 +29,11 @@ _PPS_K = 100  # sample size for q158
         SELECT o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS w_cents
-        FROM orders
+        -- declared: a NULL price is no weight — the row is not
+        -- sampleable by a weighted sampler (null-measures axis; the
+        -- engine filter mirrors; unfiltered, NULL arithmetic turns
+        -- this CASE ladder into garbage multiplicities)
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     c AS (
         SELECT o_orderkey, w_cents,
@@ -78,7 +82,11 @@ def q158_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle-side scale is not graded)."""
     from hearthstats_spark.operators.rankops import with_global_prefix_sum
 
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").where(
+        # declared NULL policy: NULL price = no weight = not
+        # sampleable (oracle mirrors)
+        F.col("o_totalprice").isNotNull()
+    ).select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint").alias("w_cents"))

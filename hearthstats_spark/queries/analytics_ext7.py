@@ -392,7 +392,11 @@ def q166_rolling_distinct_delta(spark: SparkSession,
                                   ORDER BY o_totalprice, o_orderkey)
                    AS rn,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-        FROM orders
+        -- declared: quantiles are over the NON-NULL values (SQL
+        -- aggregate-percentile semantics; null-measures axis — an
+        -- in-window NULL lands at opposite ends of the two engines'
+        -- default sorts and poisons the rank-at-ceil pick)
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     q AS (
         SELECT grp,
@@ -425,7 +429,10 @@ def q167_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles scaled by small INTEGER coefficients (identical IEEE
     ops on identical inputs; no 1.5·x rounding surface). Two window
     passes + one join back, all keyed on the group — one Exchange."""
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").where(
+        # declared NULL policy: quantiles over non-null values only
+        F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("v"),
         "o_orderkey")
@@ -1079,7 +1086,11 @@ def q175_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN o_orderpriority = '1-URGENT'
                     THEN 0 ELSE 1 END AS g,
                o_orderkey
-        FROM orders
+        -- declared: an ECDF is over the non-null sample points — a
+        -- NULL order value is not an observation (null-measures
+        -- axis: the NULL group's CDF step lands first on one
+        -- engine's sort and last on the other's, shifting D)
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     -- COALESCE: no-op on any non-empty orders table; on an EMPTY one
     -- it matches the engine's prefix-sum kernel, whose grand totals
@@ -1139,7 +1150,11 @@ def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_prefix_sums
 
     o = load_table(spark, sf_dir, "orders")
-    s = o.select(
+    s = o.where(
+        # declared NULL policy: a NULL value is not a sample point
+        # of either distribution (oracle mirrors)
+        F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
         .alias("g"))

@@ -217,7 +217,11 @@ def q28_win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
            ROUND(CUME_DIST() OVER w, 6) AS cume
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    -- NULLS FIRST: the rank kernel's declared NULL placement
+    -- (operators/rankops — NULL order values land in bucket 0 and
+    -- Spark's window sorts NULLS FIRST; DuckDB's bare ASC default
+    -- is NULLS LAST, so the order must be stated)
+    WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def q29_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:

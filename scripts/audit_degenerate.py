@@ -58,6 +58,18 @@ CONSTANT_MEASURES = (
 #: queries only use the sign-agnostic forms.
 NEGATE_EVERY = 3
 
+#: rows nulled by --null-measures: every 3rd value of each
+#: CONSTANT_MEASURES column becomes NULL (offset 1 so the nulled set
+#: differs from the negated set) — the missing-data corpus every
+#: production feed eventually produces. SQL aggregates SKIP NULLs
+#: (SUM/AVG/COUNT(col), corr pairs, window frames) identically on
+#: both engines, so any divergence here is an ENGINE-side kernel
+#: leaking NaN-vs-NULL through a numpy/pandas lane, a COUNT(*) used
+#: where COUNT(col) was meant, or an exact-mean kernel dividing by
+#: the wrong row count. Mixed (not all-null) so real values remain
+#: in every group and the aggregates stay non-degenerate.
+NULL_EVERY = 3
+
 #: deterministic word→word substitution used by --unicode-text: the
 #: corpus keeps its exact duplicate/near-duplicate structure (a pure
 #: word map preserves equality and shingle overlap) but every text
@@ -99,7 +111,8 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                   constant_text: bool = False,
                   constant_measures: bool = False,
                   unicode_text: bool = False,
-                  negated_measures: bool = False) -> None:
+                  negated_measures: bool = False,
+                  null_measures: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -206,6 +219,18 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                 tbl = tbl.set_column(
                     i, col,
                     pa.array(vals, type=tbl.schema.field(col).type))
+        if null_measures and len(tbl):
+            for mt, col in CONSTANT_MEASURES:
+                if t != mt:
+                    continue
+                i = tbl.schema.get_field_index(col)
+                vals = [
+                    None if k % NULL_EVERY == 1 else v
+                    for k, v in enumerate(tbl.column(col).to_pylist())
+                ]
+                tbl = tbl.set_column(
+                    i, col,
+                    pa.array(vals, type=tbl.schema.field(col).type))
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
@@ -239,6 +264,11 @@ def main() -> int:
                          "CONSTANT_MEASURES columns (refunds/returns "
                          "axis: mixed-sign sums, DIV/% sign "
                          "semantics; combine with --rows -1)")
+    ap.add_argument("--null-measures", action="store_true",
+                    help="null every 3rd value of the "
+                         "CONSTANT_MEASURES columns (missing-data "
+                         "axis: SQL NULL-skipping vs engine kernel "
+                         "NaN lanes; combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -264,7 +294,8 @@ def main() -> int:
                   constant_text=args.constant_text,
                   constant_measures=args.constant_measures,
                   unicode_text=args.unicode_text,
-                  negated_measures=args.negated_measures)
+                  negated_measures=args.negated_measures,
+                  null_measures=args.null_measures)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

@@ -26,6 +26,10 @@ Runs scripts/audit_degenerate.py in every corpus mode:
                                 abort, q36's crash-vs-NaN asymmetry
                                 and the unsigned davg/favg floor-vs-
                                 trunc divergence, round 8)
+    rows=-1 --null-measures     missing-data axis: every 3rd measure
+                                value NULL — SQL NULL-skipping vs the
+                                numpy/pandas kernel lanes and
+                                COUNT(*)-vs-COUNT(col) confusions
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -56,6 +60,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("constant-measures", ["--rows", "-1", "--constant-measures"]),
     ("unicode-text", ["--rows", "-1", "--unicode-text"]),
     ("negated-measures", ["--rows", "-1", "--negated-measures"]),
+    ("null-measures", ["--rows", "-1", "--null-measures"]),
 ]
 
 

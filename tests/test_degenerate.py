@@ -288,3 +288,45 @@ def test_negated_measures_matches_oracle(spark, registry,
         qid, q.fn(spark, negated_measures_sf).toPandas(),
         duck_connect(negated_measures_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+# the missing-data axis (--null-measures, round 8): every 3rd measure
+# value NULL. Found the two NULL-ordering divergence families on
+# first run — the rank kernel's NULLS FIRST vs DuckDB's bare-ASC
+# NULLS LAST (q29/q116, fixed by DECLARING the order in the oracle)
+# and statistical kernels silently ranking NULLs into quantile/ECDF/
+# weight/interval positions (q150/q152/q158/q167/q176, fixed by the
+# declared "a NULL measure is not a sample point" filter on BOTH
+# engines). All seven are provable real-data no-ops (the shipped
+# corpora have zero NULL measures — asserted by check_oracle ALL
+# GREEN at sf0.01 after the change).
+FIXED_NULL_MEASURES = [
+    "q29_win_ntile",
+    "q116_decile_lift",
+    "q150_gini_concentration",
+    "q152_interval_coverage",
+    "q158_sample_pps",
+    "q167_iqr_outliers",
+    "q176_ks_two_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def null_measures_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("nullmeas_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, null_measures=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_NULL_MEASURES)
+def test_null_measures_matches_oracle(spark, registry,
+                                      null_measures_sf, qid,
+                                      monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, null_measures_sf).toPandas(),
+        duck_connect(null_measures_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
