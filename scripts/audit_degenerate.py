@@ -70,6 +70,20 @@ NEGATE_EVERY = 3
 #: in every group and the aggregates stay non-degenerate.
 NULL_EVERY = 3
 
+#: columns flattened by --constant-ts: every time value in the
+#: corpus becomes its column's FIRST value — the one-instant corpus.
+#: Every tumbling/sliding/session window collapses to a single
+#: bucket, every as-of lookup is an all-ties race, every interval is
+#: zero-length or identical, every duration/rate denominator
+#:  (TWAP, gap-fill deltas, conversion lag) hits zero, and any
+#: window ordered by time with an incomplete tie-break becomes
+#: engine-arbitrary — the time analog of --constant-measures.
+CONSTANT_TS = (
+    ("events", "ts"),
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+)
+
 #: deterministic word→word substitution used by --unicode-text: the
 #: corpus keeps its exact duplicate/near-duplicate structure (a pure
 #: word map preserves equality and shingle overlap) but every text
@@ -112,7 +126,8 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                   constant_measures: bool = False,
                   unicode_text: bool = False,
                   negated_measures: bool = False,
-                  null_measures: bool = False) -> None:
+                  null_measures: bool = False,
+                  constant_ts: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -219,6 +234,16 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                 tbl = tbl.set_column(
                     i, col,
                     pa.array(vals, type=tbl.schema.field(col).type))
+        if constant_ts and len(tbl):
+            for tt, col in CONSTANT_TS:
+                if t != tt:
+                    continue
+                i = tbl.schema.get_field_index(col)
+                first = tbl.column(col)[0].as_py()
+                tbl = tbl.set_column(
+                    i, col,
+                    pa.array([first] * len(tbl),
+                             type=tbl.schema.field(col).type))
         if null_measures and len(tbl):
             for mt, col in CONSTANT_MEASURES:
                 if t != mt:
@@ -269,6 +294,11 @@ def main() -> int:
                          "CONSTANT_MEASURES columns (missing-data "
                          "axis: SQL NULL-skipping vs engine kernel "
                          "NaN lanes; combine with --rows -1)")
+    ap.add_argument("--constant-ts", action="store_true",
+                    help="flatten every time column to its first "
+                         "value (one-instant axis: all-ties as-of, "
+                         "single-bucket windows, zero durations; "
+                         "combine with --rows -1)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the tmp dir for inspection")
     ap.add_argument("--include-rows-only", action="store_true",
@@ -295,7 +325,8 @@ def main() -> int:
                   constant_measures=args.constant_measures,
                   unicode_text=args.unicode_text,
                   negated_measures=args.negated_measures,
-                  null_measures=args.null_measures)
+                  null_measures=args.null_measures,
+                  constant_ts=args.constant_ts)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's
