@@ -30,6 +30,14 @@ Runs scripts/audit_degenerate.py in every corpus mode:
                                 value NULL — SQL NULL-skipping vs the
                                 numpy/pandas kernel lanes and
                                 COUNT(*)-vs-COUNT(col) confusions
+                                (found the two NULL-sort-order
+                                divergence families, round 8)
+    rows=-1 --constant-ts       one-instant axis: every time value
+                                flattened — all-ties as-of, single-
+                                bucket windows, zero durations
+                                (first run 193/193 clean — the
+                                deterministic-tie-break discipline
+                                held)
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -61,6 +69,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("unicode-text", ["--rows", "-1", "--unicode-text"]),
     ("negated-measures", ["--rows", "-1", "--negated-measures"]),
     ("null-measures", ["--rows", "-1", "--null-measures"]),
+    ("constant-ts", ["--rows", "-1", "--constant-ts"]),
 ]
 
 
