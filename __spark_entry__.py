@@ -128,6 +128,14 @@ REVERIFY_FIRST: set[str] = {
     "q29_win_ntile", "q150_gini_concentration",
     "q152_interval_coverage", "q158_sample_pps",
     "q167_iqr_outliers", "q176_ks_two_sample",
+    # round 8, null-keys axis: "a NULL key is not an entity" —
+    # q13/q109 via the SHARED operators/asof.py edit (per-file
+    # staleness cannot see it, so they are declared explicitly, the
+    # numeric.py precedent), q138/q162 candidate gates, q175/q181
+    # load-edge exclusions
+    "q13_join_asof", "q109_join_asof_tolerance",
+    "q138_join_asof_forward", "q162_join_asof_nearest",
+    "q175_srm_check", "q181_cdc_apply",
 }
 
 

@@ -58,7 +58,19 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in on]
     right_cols = list(right_cols)
 
-    r = right.select(
+    # SQL ASOF equality semantics by construction: a reference row
+    # with a NULL key can match NOTHING (`p.key = r.key` is never
+    # true for NULL), but the union+window formulation would group
+    # it with NULL-keyed probe rows into one partition and serve it
+    # as a match — the null-keys degenerate axis caught q13/q109
+    # diverging from the DuckDB ASOF JOIN on exactly this. Dropping
+    # NULL-keyed reference rows restores the join semantics; probe
+    # rows keep LEFT semantics (a NULL-keyed probe row survives with
+    # a NULL payload, since its partition then holds no references).
+    r = right
+    for key in on:
+        r = r.filter(F.col(key).isNotNull())
+    r = r.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),

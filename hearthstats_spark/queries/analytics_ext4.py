@@ -591,7 +591,12 @@ def q138_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.unix_micros("ts").alias("__us"))
     w = (Window.partitionBy("user_id").orderBy("__us")
          .rangeBetween(1, Window.unboundedFollowing))
-    err_us = F.when(F.col("event_type") == "error", F.col("__us"))
+    # a NULL user is not an entity: its error events are match
+    # candidates for nothing (the oracle's `e.user_id = p.user_id`
+    # never equals NULL; the NULL window partition would otherwise
+    # serve them to NULL-user purchases — null-keys degenerate axis)
+    err_us = F.when((F.col("event_type") == "error")
+                    & F.col("user_id").isNotNull(), F.col("__us"))
     withnext = base.withColumn("__next_us", F.min(err_us).over(w))
     gap = dratio(F.col("__next_us") - F.col("__us"),
                  F.lit(1_000_000), "gap_s")

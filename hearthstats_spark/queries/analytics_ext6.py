@@ -324,7 +324,11 @@ def q162_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id", "user_id", "ts", "event_type",
                 (F.col("event_type") == "purchase").cast("int")
                 .alias("is_p"),
-                F.when(F.col("event_type") == "signup", F.col("ts"))
+                # NULL-user signups are match candidates for
+                # nothing (oracle: `s.user_id = p.user_id` — the
+                # null-keys axis declaration, as in q13/q138)
+                F.when((F.col("event_type") == "signup")
+                       & F.col("user_id").isNotNull(), F.col("ts"))
                 .alias("s_ts")))
     order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
     w_back = (Window.partitionBy("user_id").orderBy(*order)

@@ -1035,7 +1035,12 @@ def q174_split_stratified_exact(spark: SparkSession,
                CAST(CONCAT('0x', SUBSTRING(
                    md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
                    % 2 AS arm
-        FROM (SELECT DISTINCT user_id FROM events)
+        -- declared: a NULL user cannot be assigned an arm (the
+        -- engine's md5(NULL) silently lands in neither count while
+        -- DuckDB's CONCAT ignores NULL and crashes casting '0x' —
+        -- null-keys degenerate axis)
+        FROM (SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL)
     ),
     c AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
                  SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
@@ -1061,7 +1066,9 @@ def q175_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the division entirely ((n0−n1)² ≥ 4·(n0+n1) — integer products).
     Shape: distinct users, one map-side hash, two scalar aggs."""
     ev = load_table(spark, sf_dir, "events")
-    arm = (ev.select("user_id").distinct()
+    arm = (ev.select("user_id")
+           # declared: a NULL user has no arm (oracle mirrors)
+           .where(F.col("user_id").isNotNull()).distinct()
            .select(F.pmod(
                F.conv(F.substring(
                    F.md5(F.col("user_id").cast("string").cast("binary")),

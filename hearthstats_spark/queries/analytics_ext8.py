@@ -342,7 +342,12 @@ def q180_dim_quantile_bucketing(spark: SparkSession,
                CASE WHEN event_type = 'error' THEN 'D'
                     WHEN event_type = 'signup' THEN 'I'
                     ELSE 'U' END AS op
-        FROM events
+        -- declared: a CDC record with a NULL key targets no row —
+        -- excluded on both engines (the engine's NULL hash group
+        -- would otherwise emit a phantom key whose NaN poisons the
+        -- pandas int column; the oracle's equi-join silently drops
+        -- it — null-keys degenerate axis)
+        FROM events WHERE user_id IS NOT NULL
     ),
     w AS (
         SELECT user_id, op, value,
@@ -383,7 +388,8 @@ def q181_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARGMAX row, not ranks — the oracle uses the window form, which
     is the semantic definition."""
     ev = load_table(spark, sf_dir, "events")
-    log = ev.select(
+    # declared: a CDC record with a NULL key targets no row
+    log = ev.where(F.col("user_id").isNotNull()).select(
         "user_id", "ts", "event_id", "value",
         F.when(F.col("event_type") == "error", "D")
         .when(F.col("event_type") == "signup", "I")

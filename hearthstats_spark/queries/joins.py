@@ -255,7 +255,13 @@ def q13_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASOF join: latest prior (or simultaneous) signup per purchase.
     Library operator — union + last(ignorenulls) window, one shuffle
     (operators/asof.py). Timestamps projected as minute-truncated
-    strings per the ns/µs hashing rule (SURVEY.md §1.3 note 1)."""
+    strings per the ns/µs hashing rule (SURVEY.md §1.3 note 1).
+
+    NULL keys (round 8, null-keys degenerate axis): the operator
+    drops NULL-keyed reference rows, so a NULL-user purchase keeps
+    its row with a NULL match — exactly the oracle's ASOF JOIN
+    equality semantics (`p.user_id = s.user_id` never matches NULL),
+    not the one-NULL-partition grouping a bare window would give."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

@@ -84,6 +84,23 @@ CONSTANT_TS = (
     ("lineitem", "l_shipdate"),
 )
 
+#: FOREIGN-key columns nulled by --null-keys: every 3rd value (offset
+#: 2, disjoint from both measure axes) becomes NULL — the dirty-FK
+#: feed (unmatched imports, anonymized users, parts retired from the
+#: catalog). Primary keys stay intact (a NULL PK would violate the
+#: tables' declared contract and audit an impossible corpus — the
+#: constant-text n_chars lesson). The axis stresses the semantics
+#: engines CAN disagree on: NULL groups in GROUP BY, NULL partitions
+#: in windows, join-key drop vs preserve on outer joins, the packed-
+#: pair/basket kernels (Spark collect_set silently drops NULLs — the
+#: oracle formulations must agree), and COUNT(col) vs COUNT(*) over
+#: keys.
+NULL_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
 #: deterministic word→word substitution used by --unicode-text: the
 #: corpus keeps its exact duplicate/near-duplicate structure (a pure
 #: word map preserves equality and shingle overlap) but every text
@@ -127,7 +144,8 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                   unicode_text: bool = False,
                   negated_measures: bool = False,
                   null_measures: bool = False,
-                  constant_ts: bool = False) -> None:
+                  constant_ts: bool = False,
+                  null_keys: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -256,6 +274,18 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                 tbl = tbl.set_column(
                     i, col,
                     pa.array(vals, type=tbl.schema.field(col).type))
+        if null_keys and len(tbl):
+            for kt, col in NULL_KEYS:
+                if t != kt:
+                    continue
+                i = tbl.schema.get_field_index(col)
+                vals = [
+                    None if k % NULL_EVERY == 2 else v
+                    for k, v in enumerate(tbl.column(col).to_pylist())
+                ]
+                tbl = tbl.set_column(
+                    i, col,
+                    pa.array(vals, type=tbl.schema.field(col).type))
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
@@ -294,6 +324,11 @@ def main() -> int:
                          "CONSTANT_MEASURES columns (missing-data "
                          "axis: SQL NULL-skipping vs engine kernel "
                          "NaN lanes; combine with --rows -1)")
+    ap.add_argument("--null-keys", action="store_true",
+                    help="null every 3rd value of the NULL_KEYS "
+                         "foreign-key columns (dirty-FK axis: NULL "
+                         "groups/partitions, join-key drops, pack/"
+                         "basket kernels; combine with --rows -1)")
     ap.add_argument("--constant-ts", action="store_true",
                     help="flatten every time column to its first "
                          "value (one-instant axis: all-ties as-of, "
@@ -326,7 +361,8 @@ def main() -> int:
                   unicode_text=args.unicode_text,
                   negated_measures=args.negated_measures,
                   null_measures=args.null_measures,
-                  constant_ts=args.constant_ts)
+                  constant_ts=args.constant_ts,
+                  null_keys=args.null_keys)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

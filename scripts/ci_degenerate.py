@@ -38,6 +38,13 @@ Runs scripts/audit_degenerate.py in every corpus mode:
                                 (first run 193/193 clean — the
                                 deterministic-tie-break discipline
                                 held)
+    rows=-1 --null-keys         dirty-FK axis: every 3rd foreign-key
+                                value NULL — NULL-as-one-group
+                                windows vs NULL-matches-nothing SQL
+                                equality (found the as-of kernel
+                                serving NULL-keyed references, the
+                                q175 '0x' crash and the q181 phantom
+                                CDC key, round 8)
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -70,6 +77,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("negated-measures", ["--rows", "-1", "--negated-measures"]),
     ("null-measures", ["--rows", "-1", "--null-measures"]),
     ("constant-ts", ["--rows", "-1", "--constant-ts"]),
+    ("null-keys", ["--rows", "-1", "--null-keys"]),
 ]
 
 
