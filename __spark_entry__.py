@@ -136,6 +136,10 @@ REVERIFY_FIRST: set[str] = {
     "q13_join_asof", "q109_join_asof_tolerance",
     "q138_join_asof_forward", "q162_join_asof_nearest",
     "q175_srm_check", "q181_cdc_apply",
+    # round 8, empty-text axis: Spark sequence(1,0) runs DESCENDING
+    # where DuckDB generate_series(1,0) is empty — q91's shingle
+    # bound crashed on any sub-_GRAM-word document
+    "q91_contamination",
 }
 
 

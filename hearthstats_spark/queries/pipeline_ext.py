@@ -140,13 +140,20 @@ def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the standard n-gram decontamination pass (e.g. GPT-3
     appendix C) as one Spark job."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # size filter BEFORE the sequence (the q172/q153 guard style): a
+    # doc with < _GRAM tokens has no shingles. The previous
+    # greatest(size - 2, 0) bound was the cross-engine trap the
+    # empty-text degenerate axis caught — DuckDB's
+    # generate_series(1, 0) is EMPTY but Spark's sequence(1, 0) runs
+    # DESCENDING ([1, 0]), feeding slice(t, 0, …) an illegal start
+    # and crashing the whole screen on any 1-2-word document.
+    toks = (d.select("doc_id", F.split("text", " ").alias("t"))
+            .filter(F.size("t") >= _GRAM))
     sh = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1),
-                           F.greatest(F.size("t") - (_GRAM - 1), F.lit(0))),
+                F.sequence(F.lit(1), F.size("t") - (_GRAM - 1)),
                 lambda i: F.array_join(F.slice("t", i, _GRAM), " "),
             )
         ).alias("g"),

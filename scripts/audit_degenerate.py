@@ -101,6 +101,16 @@ NULL_KEYS = (
     ("events", "user_id"),
 )
 
+#: every 3rd document's text becomes the EMPTY STRING under
+#: --empty-text (n_chars updated to 0 — the metadata contract stays
+#: true): the scraped-empty-page corpus. Empty string is NOT NULL —
+#: it flows through every text path as a real value (split/shingle
+#: of "", length-0 quality denominators, md5(''), zero-token docs in
+#: vocab/BPE/tf-idf builds), and "''-vs-NULL" is the classic
+#: cross-engine asymmetry surface after NULL ordering. Mixed (not
+#: all-empty) so the corpus keeps real structure around the holes.
+EMPTY_EVERY = 3
+
 #: deterministic word→word substitution used by --unicode-text: the
 #: corpus keeps its exact duplicate/near-duplicate structure (a pure
 #: word map preserves equality and shingle overlap) but every text
@@ -145,7 +155,8 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                   negated_measures: bool = False,
                   null_measures: bool = False,
                   constant_ts: bool = False,
-                  null_keys: bool = False) -> None:
+                  null_keys: bool = False,
+                  empty_text: bool = False) -> None:
     """Copies of every table truncated to ``rows`` rows (0 = empty,
     negative = ALL rows) with the EXACT physical parquet schema
     (pyarrow roundtrip — Spark re-writing limit(0) would retype
@@ -210,6 +221,21 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
             tbl = tbl.set_column(
                 j, "n_chars",
                 pa.array([len(first)] * len(tbl),
+                         type=tbl.schema.field("n_chars").type))
+        if empty_text and t == "documents" and len(tbl):
+            i = tbl.schema.get_field_index("text")
+            texts = [
+                "" if (k % EMPTY_EVERY == 0 and v is not None) else v
+                for k, v in enumerate(tbl.column("text").to_pylist())
+            ]
+            tbl = tbl.set_column(
+                i, "text",
+                pa.array(texts, type=tbl.schema.field("text").type))
+            # keep the n_chars == len(text) metadata contract true
+            j = tbl.schema.get_field_index("n_chars")
+            tbl = tbl.set_column(
+                j, "n_chars",
+                pa.array([None if v is None else len(v) for v in texts],
                          type=tbl.schema.field("n_chars").type))
         if unicode_text and t == "documents" and len(tbl):
             i = tbl.schema.get_field_index("text")
@@ -324,6 +350,11 @@ def main() -> int:
                          "CONSTANT_MEASURES columns (missing-data "
                          "axis: SQL NULL-skipping vs engine kernel "
                          "NaN lanes; combine with --rows -1)")
+    ap.add_argument("--empty-text", action="store_true",
+                    help="empty-string every 3rd document's text "
+                         "(''-vs-NULL axis: zero-length strings "
+                         "through the whole text family; combine "
+                         "with --rows -1)")
     ap.add_argument("--null-keys", action="store_true",
                     help="null every 3rd value of the NULL_KEYS "
                          "foreign-key columns (dirty-FK axis: NULL "
@@ -362,7 +393,8 @@ def main() -> int:
                   negated_measures=args.negated_measures,
                   null_measures=args.null_measures,
                   constant_ts=args.constant_ts,
-                  null_keys=args.null_keys)
+                  null_keys=args.null_keys,
+                  empty_text=args.empty_text)
     con = duck_connect(tmp)
 
     # the persisted-artifact store must not serve another corpus's

@@ -45,6 +45,11 @@ Runs scripts/audit_degenerate.py in every corpus mode:
                                 serving NULL-keyed references, the
                                 q175 '0x' crash and the q181 phantom
                                 CDC key, round 8)
+    rows=-1 --empty-text        ''-vs-NULL axis: every 3rd document
+                                empty-string — zero-length text
+                                through the whole family (found
+                                q91's sequence(1,0)-descending
+                                crash on sub-gram docs, round 8)
 
 Exit code = total non-PASS results across all modes (0 = gate green).
 Each mode is a subprocess (own SparkSession) — ~15 s JVM startup per
@@ -78,6 +83,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("null-measures", ["--rows", "-1", "--null-measures"]),
     ("constant-ts", ["--rows", "-1", "--constant-ts"]),
     ("null-keys", ["--rows", "-1", "--null-keys"]),
+    ("empty-text", ["--rows", "-1", "--empty-text"]),
 ]
 
 

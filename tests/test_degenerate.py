@@ -374,3 +374,36 @@ def test_null_keys_matches_oracle(spark, registry, null_keys_sf, qid,
         qid, q.fn(spark, null_keys_sf).toPandas(),
         duck_connect(null_keys_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+# the ''-vs-NULL axis (--empty-text, round 8): every 3rd document's
+# text becomes the EMPTY STRING (n_chars kept true at 0). One find
+# on first run, a latent production crash: Spark's sequence(1, 0)
+# runs DESCENDING where DuckDB's generate_series(1, 0) is empty, so
+# q91's unguarded shingle bound fed slice() an illegal start on any
+# document shorter than the gram width — one 2-word doc killed the
+# whole contamination screen. Fixed with the q172/q153 size-filter
+# guard style; the rest of the 35-op text family was ''-clean.
+FIXED_EMPTY_TEXT = [
+    "q91_contamination",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_text_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("emptytext_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, empty_text=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_EMPTY_TEXT)
+def test_empty_text_matches_oracle(spark, registry, empty_text_sf,
+                                   qid, monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, empty_text_sf).toPandas(),
+        duck_connect(empty_text_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
