@@ -93,53 +93,30 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: VERIFIED.json record is unaffected (it stays in the fresh class),
 #: so a stale declaration from a previous round is inert.
 #:
-#: Round 8: the 13 degenerate-audit patches (q18/q19/q20 rollup-
-#: family oracle HAVING, q122 width-0, q89 zero-filled measure,
-#: q62/q65/q71/q72 NULL-payload policy, q50/q51/q77 null-vector
-#: declarations, q177 empty-sketch guard) + the three persisted-
-#: index migrations (q118 minhash_sig_all, q98/q108 co_order_edges).
-#: + the two constant-measures-audit finds fixed in-round (q47's
-#: unstable-std garbage z, q63's ANSI corr crash on zero variance).
-#: + the q117/q116 deliberate plan rewrites (lineitem pre-agg before
-#: the orders join; single-pass sweep-event explode; localCheckpoint
-#: barriers under the rank/prefix kernels' three walks).
-#: + the negated-measures-audit finds (q133 ABS-first Benford, q36
-#: declared sqrt/ln/log10 domains) and the davg/favg_sql signed-
-#: kernel unification — a SHARED-MODULE change (functions/numeric.py)
-#: the per-file hash staleness cannot see, so its two measure-column
-#: users (q97 live-diverged, q15 latent) are declared here explicitly
-#: even though the claim is bit-identity on non-negative sums
-#: (machine-checked by the full post-change sf0.01 sweep).
+#: Round 9 (freshness-convergence round — deliberately small so the
+#: 50-slot window burns down the ~137 co-located-stale backlog):
+#: q13/q109 via the SHARED operators/asof.py plan change (ADVICE r8:
+#: NULL-keyed probe rows now route AROUND the window instead of
+#: piling into the single NULL partition — hash-identical, locally
+#: re-verified, but the per-file staleness cannot see an operator
+#: edit so both users are declared explicitly, the numeric.py /
+#: round-8 precedent, with docstring notes marking their files
+#: stale). The round-8 declarations are retired: every r8-declared
+#: id got its driver record in CORRECTNESS_r08 and its file hash now
+#: matches VERIFIED.json, so they would be inert here anyway.
+#: Also round 9: the q117-style pre-aggregate-before-join plan
+#: rewrites (VERDICT r8 item 3) — q123 (lineitem→per-order decimal
+#: partials before the orders join), q113 (orders→per-customer
+#: partials before the customer join), q103 (events→per-(user,week)
+#: max-ts before the first-signup join, which also deletes the
+#: post-join DISTINCT's second full-fact shuffle). All hash-exact at
+#: sf0.01 AND sf0.1; at sf0.01's broadcast regime each costs one
+#: extra map-side-combined Exchange (PLANS.md regenerated, gate
+#: diff eyeballed), at the 100 TB SMJ regime each strictly reduces
+#: the rows crossing the wire.
 REVERIFY_FIRST: set[str] = {
-    "q18_agg_rollup", "q19_agg_cube", "q20_agg_groupingsets",
-    "q122_histogram_price", "q89_shard_pack",
-    "q62_multimodal_decode", "q65_multimodal_frames",
-    "q71_multimodal_features", "q72_multimodal_resize",
-    "q50_sim_topk", "q51_sim_threshold", "q77_dedup_embedding",
-    "q177_ks_sketch_drift",
-    "q118_dedup_minhash_exact", "q98_triangle_count", "q108_pagerank",
-    "q47_udtf_grouped_map", "q63_agg_regression",
-    "q117_order_concurrency", "q116_decile_lift",
-    "q133_benford_digits", "q36_math_funcs",
-    "q97_gap_fill", "q15_agg_pricing",
-    # round 8, null-measures axis: declared NULL-measure policies
-    # (NULLS FIRST rank order: q29; NULL not a sample point/weight/
-    # interval: q150/q152/q158/q167/q176; q116 already declared)
-    "q29_win_ntile", "q150_gini_concentration",
-    "q152_interval_coverage", "q158_sample_pps",
-    "q167_iqr_outliers", "q176_ks_two_sample",
-    # round 8, null-keys axis: "a NULL key is not an entity" —
-    # q13/q109 via the SHARED operators/asof.py edit (per-file
-    # staleness cannot see it, so they are declared explicitly, the
-    # numeric.py precedent), q138/q162 candidate gates, q175/q181
-    # load-edge exclusions
     "q13_join_asof", "q109_join_asof_tolerance",
-    "q138_join_asof_forward", "q162_join_asof_nearest",
-    "q175_srm_check", "q181_cdc_apply",
-    # round 8, empty-text axis: Spark sequence(1,0) runs DESCENDING
-    # where DuckDB generate_series(1,0) is empty — q91's shingle
-    # bound crashed on any sub-_GRAM-word document
-    "q91_contamination",
+    "q103_cohort_retention", "q113_revenue_share", "q123_mom_growth",
 }
 
 

@@ -41,12 +41,46 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
         pass
 
 
+#: partition-directory helper columns a layout copy may add (see
+#: sources/layout.py + scripts/check_layout_parity.py); dropped on
+#: read so a partitioned copy is schema-identical to the flat corpus.
+#: Explicit names, NOT a "p_*" prefix rule — the part table's real
+#: columns all start with p_.
+_LAYOUT_PARTITION_COLS = ("p_month", "p_day")
+
+
+def _layout_manifest(sf_dir: str) -> dict | None:
+    """Optional ``_layout.json`` in an sf dir: marks a cluster-layout
+    copy of the corpus (written by scripts/check_layout_parity.py).
+    Shape: {"bucketed": {"orders": "<catalog table>", ...}} — tables
+    named there are read from the session catalog (bucketed reads
+    only exist for catalog tables; a path read drops the bucket
+    metadata), everything else reads its (possibly partitioned)
+    parquet path. Absent on the shipped flat corpora, so the normal
+    path is one os.path.exists per load."""
+    path = os.path.join(sf_dir, "_layout.json")
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; normalizes events.ts bigint-ns -> timestamp(µs)."""
+    """Load one table; normalizes events.ts bigint-ns -> timestamp(µs).
+    Layout-aware: a ``_layout.json`` manifest routes bucketed tables
+    to the catalog, and partition helper columns are dropped so every
+    layout serves the exact flat-corpus schema."""
+    man = _layout_manifest(sf_dir)
+    if man:
+        catalog_name = man.get("bucketed", {}).get(name)
+        if catalog_name:
+            return spark.table(catalog_name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         _enable_nanos_as_long(spark)
-        df = spark.read.parquet(path)
+        df = _drop_partition_cols(spark.read.parquet(path))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # integer div (not /1000-then-cast): keeps µs exact
@@ -60,7 +94,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # bigint-ns path produced.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _drop_partition_cols(spark.read.parquet(path))
+
+
+def _drop_partition_cols(df: DataFrame) -> DataFrame:
+    """Drop layout partition helper columns (no-op on flat corpora;
+    Catalyst still partition-prunes on them because the filter
+    pushdown happens against the scan relation, and queries that
+    filter the underlying time column benefit from row-group pruning
+    either way)."""
+    extra = [c for c in _LAYOUT_PARTITION_COLS if c in df.columns]
+    return df.drop(*extra) if extra else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,

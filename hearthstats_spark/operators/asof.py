@@ -67,6 +67,25 @@ def asof_join(
     # NULL-keyed reference rows restores the join semantics; probe
     # rows keep LEFT semantics (a NULL-keyed probe row survives with
     # a NULL payload, since its partition then holds no references).
+    #
+    # NULL-keyed PROBE rows are routed AROUND the window entirely
+    # (ADVICE r8): Spark's partitionBy treats NULL as ONE key, so on
+    # dirty-FK data every NULL-keyed probe row would land in a single
+    # hot partition and sort there for nothing — they can never match.
+    # Split them out up front, attach NULL payload columns directly,
+    # and union them back after the window. Only keys the schema
+    # declares nullable can produce such rows, so the split (an extra
+    # filter branch over the probe scan) is skipped when the schema
+    # proves it dead.
+    null_probe = None
+    nullable_keys = [k for k in on if left.schema[k].nullable]
+    if nullable_keys:
+        null_cond = F.lit(False)
+        for key in nullable_keys:
+            null_cond = null_cond | F.col(key).isNull()
+        null_probe = left.filter(null_cond)
+        left = left.filter(~null_cond)
+
     r = right
     for key in on:
         r = r.filter(F.col(key).isNotNull())
@@ -96,7 +115,17 @@ def asof_join(
         F.col(f"{_PAYLOAD}.{c}").alias(c + suffix if c in left.columns else c)
         for c in right_cols
     ]
-    return (
+    out = (
         matched.filter(F.col(_SIDE) == 1)
         .select(*[F.col(c) for c in left.columns], *out_payload)
     )
+    if null_probe is not None:
+        null_payload = [
+            F.lit(None).cast(right.schema[c].dataType)
+            .alias(c + suffix if c in left.columns else c)
+            for c in right_cols
+        ]
+        out = out.unionByName(
+            null_probe.select(*[F.col(c) for c in left.columns],
+                              *null_payload))
+    return out

@@ -134,11 +134,16 @@ def q103_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user produced any event (at/after that first signup) counts them
     as retained for that (cohort, offset) cell.
 
-    Plan: one filtered agg for first-signup (user-keyed), one
-    shuffle join back to events on user_id, distinct on the cell key,
-    final count agg. user_id is the natural partition key throughout
-    — at 100 TB every stage shuffles on it once and the cohort matrix
-    itself is tiny (weeks × offsets). No window functions needed."""
+    Plan (round 9, the q117 pre-agg rewrite generalized): events
+    first collapse to one (user, week, max ts) row — a map-side-
+    combinable agg, so the fact table crosses the wire once at
+    distinct-(user,week) rows instead of raw events — then join the
+    per-user first-signup frame. The cell is retained iff ANY event
+    of that week has ts >= fts, i.e. iff the week's MAX ts does, and
+    one row per (user, week) makes the old post-join DISTINCT (a
+    second full-fact shuffle) unnecessary by construction: week
+    starts are 7 days apart, so floor(datediff/7) is injective per
+    user. The cohort matrix itself is tiny (weeks × offsets)."""
     ev = load_table(spark, sf_dir, "events")
     first = (
         ev.filter(F.col("event_type") == "signup")
@@ -146,17 +151,20 @@ def q103_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("fts"))
         .withColumn("cw", F.date_trunc("week", "fts"))
     )
+    weekly = (
+        ev.groupBy("user_id", F.date_trunc("week", "ts").alias("w"))
+        .agg(F.max("ts").alias("max_ts"))
+    )
     cells = (
-        ev.join(first, "user_id")
-        .filter(F.col("ts") >= F.col("fts"))
+        weekly.join(first, "user_id")
+        .filter(F.col("max_ts") >= F.col("fts"))
         .select(
             "user_id",
             "cw",
             F.floor(
-                F.datediff(F.date_trunc("week", "ts"), F.col("cw")) / 7
+                F.datediff(F.col("w"), F.col("cw")) / 7
             ).cast("long").alias("week_offset"),
         )
-        .distinct()
     )
     return (
         cells.groupBy("cw", "week_offset")
@@ -600,7 +608,11 @@ def q109_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window' — so the tolerance is a post-filter on the matched
     timestamp, adding zero shuffles to the operator (same single
     union+window pass as q13; DuckDB mirrors with CASE over its
-    native ASOF)."""
+    native ASOF).
+
+    Round 9 (ADVICE r8): the shared operator now routes NULL-keyed
+    probe rows around the window — hash-identical, skew-safe on
+    dirty FKs; declared in REVERIFY_FIRST like q13."""
     from hearthstats_spark.operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -852,19 +864,32 @@ def q113_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The share denominator is a decimal windowed sum of the already-
     decimal-exact nation revenues, and the rank orders by the
     ROUNDED revenue (q61 discipline), so both engines agree
-    bit-for-bit."""
+    bit-for-bit.
+
+    Shuffle order (round 9, the q117 pre-agg rewrite generalized):
+    orders collapses to one (custkey, decimal revenue partial) row
+    BEFORE touching customer — map-side combine, so the fact table
+    crosses the wire at ~|customer| rows and the custkey exchange it
+    leaves behind already satisfies the join's distribution. Decimal
+    partials re-summed at nation granularity are bit-identical to
+    the direct sum (exact, associative; one double cast at the
+    end, dsum's own DEC→double path)."""
     from hearthstats_spark.io import load_tables
 
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    per_cust = (
+        t["orders"].groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_part"))
+    )
     rev = (
-        t["orders"]
+        per_cust
         .join(t["customer"],
-              t["orders"].o_custkey == t["customer"].c_custkey)
+              F.col("o_custkey") == t["customer"].c_custkey)
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_regionkey").alias("regionkey"),
                  F.col("c_nationkey").alias("nationkey"))
-        .agg(dsum("o_totalprice", "nation_rev"))
+        .agg(F.sum("rev_part").cast("double").alias("nation_rev"))
     )
     wreg = Window.partitionBy("regionkey")
     denom = F.sum(F.col("nation_rev").cast(DEC)).over(wreg).cast("double")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hearthstats_spark.functions import dsum, fsum_sql
+from hearthstats_spark.functions import fsum_sql
 from hearthstats_spark.functions.numeric import DEC
 from hearthstats_spark.io import load_table
 from hearthstats_spark.queries.registry import register
@@ -131,16 +131,31 @@ def q123_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar months (≤ ~80 rows at any raw scale — q28's safe
     global-window shape); the trailing figure is an exact decimal
     frame SUM, deliberately NOT a rounded mean (cross-engine mean
-    rounding is the one float trap this corpus has actually hit)."""
+    rounding is the one float trap this corpus has actually hit).
+
+    Shuffle order (round 9, the q117 rewrite generalized): lineitem
+    pre-aggregates to one (orderkey, decimal revenue partial) row
+    BEFORE touching orders — the partial agg combines map-side, so
+    the fact table crosses the wire once at ~1/4 the rows and the
+    orderkey exchange it leaves behind already satisfies the join's
+    distribution (join key ⊂ agg key). Decimal partials re-summed by
+    month are bit-identical to the direct month sum (decimal addition
+    is exact and associative; the double cast happens once, at the
+    end — same DEC→double path dsum takes)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum((F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))).cast(DEC))
+             .alias("rev_part"))
+    )
     monthly = (
-        li.join(o.select("o_orderkey", "o_orderdate"),
-                li.l_orderkey == F.col("o_orderkey"))
+        per_order.join(o.select("o_orderkey", "o_orderdate"),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
                                "yyyy-MM").alias("month"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                  "revenue"))
+        .agg(F.sum("rev_part").cast("double").alias("revenue"))
     )
     w = Window.orderBy("month")
     frame = w.rowsBetween(-2, 0)

@@ -261,7 +261,10 @@ def q13_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops NULL-keyed reference rows, so a NULL-user purchase keeps
     its row with a NULL match — exactly the oracle's ASOF JOIN
     equality semantics (`p.user_id = s.user_id` never matches NULL),
-    not the one-NULL-partition grouping a bare window would give."""
+    not the one-NULL-partition grouping a bare window would give.
+    Round 9 (ADVICE r8): NULL-keyed PROBE rows are now routed around
+    the window inside the operator — same rows, same hash, but dirty
+    FKs no longer pile into a single hot window partition at scale."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

@@ -224,18 +224,25 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                          type=tbl.schema.field("n_chars").type))
         if empty_text and t == "documents" and len(tbl):
             i = tbl.schema.get_field_index("text")
-            texts = [
-                "" if (k % EMPTY_EVERY == 0 and v is not None) else v
-                for k, v in enumerate(tbl.column("text").to_pylist())
+            old = tbl.column("text").to_pylist()
+            emptied = [
+                k % EMPTY_EVERY == 0 and v is not None
+                for k, v in enumerate(old)
             ]
+            texts = ["" if e else v for e, v in zip(emptied, old)]
             tbl = tbl.set_column(
                 i, "text",
                 pa.array(texts, type=tbl.schema.field("text").type))
-            # keep the n_chars == len(text) metadata contract true
+            # keep the n_chars == len(text) metadata contract true —
+            # but ONLY for the rows actually emptied (ADVICE r8):
+            # recomputing n_chars for every row would silently repair
+            # any pre-existing n_chars/text violation in the source
+            # corpus and mask that divergence class
             j = tbl.schema.get_field_index("n_chars")
+            old_n = tbl.column("n_chars").to_pylist()
             tbl = tbl.set_column(
                 j, "n_chars",
-                pa.array([None if v is None else len(v) for v in texts],
+                pa.array([0 if e else n for e, n in zip(emptied, old_n)],
                          type=tbl.schema.field("n_chars").type))
         if unicode_text and t == "documents" and len(tbl):
             i = tbl.schema.get_field_index("text")
@@ -283,7 +290,15 @@ def make_empty_sf(dst: str, rows: int = 0, null_text: bool = False,
                 if t != tt:
                     continue
                 i = tbl.schema.get_field_index(col)
-                first = tbl.column(col)[0].as_py()
+                # first NON-NULL value (ADVICE r8): a NULL first row
+                # would silently turn the intended one-instant corpus
+                # into an all-NULL-timestamp corpus (a different,
+                # already-covered axis)
+                first = next(
+                    (v for v in tbl.column(col).to_pylist()
+                     if v is not None), None)
+                assert first is not None, \
+                    f"--constant-ts: {t}.{col} is all-NULL in source"
                 tbl = tbl.set_column(
                     i, col,
                     pa.array([first] * len(tbl),

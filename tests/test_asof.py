@@ -57,6 +57,47 @@ def test_latest_of_many_wins(spark):
     assert out[0]["tag"] == "r9"  # latest ≤ 10, not r11
 
 
+def test_null_keys_route_around_window(spark):
+    """NULL-keyed rows (ADVICE r8): a NULL-keyed reference matches
+    nothing; a NULL-keyed probe survives exactly once with NULL
+    payload — served from the union-back branch, not the window's
+    single NULL partition (skew guard), which a SECOND Union node in
+    the optimized plan evidences (the first is the probe∪reference
+    union the formulation always has)."""
+    probe = spark.createDataFrame([
+        Row(k=1, ts=10, ev="p1"),
+        Row(k=None, ts=10, ev="pnull"),
+    ])
+    ref = spark.createDataFrame([
+        Row(k=1, ts=5, tag="r1"),
+        Row(k=None, ts=5, tag="rnull"),  # must match NOTHING
+    ])
+    out = asof_join(probe, ref, on=["k"])
+    got = {r["ev"]: r["tag"] for r in out.collect()}
+    assert got == {"p1": "r1", "pnull": None}
+    assert out.count() == 2
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") == 2
+
+
+def test_nonnullable_keys_skip_split(spark):
+    """When the schema proves the probe keys non-nullable the split
+    branch is dead and must not be planned (only the formulation's
+    single probe∪reference Union remains)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+    ])
+    probe = spark.createDataFrame([(1, 10)], schema)
+    ref = spark.createDataFrame([Row(k=1, ts=5, tag="r1")])
+    out = asof_join(probe, ref, on=["k"])
+    assert out.collect()[0]["tag"] == "r1"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") == 1
+
+
 def test_collision_suffix(spark):
     probe = spark.createDataFrame([Row(k=1, ts=10, v="left")])
     ref = spark.createDataFrame([Row(k=1, ts=5, v="right")])
