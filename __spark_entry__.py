@@ -114,9 +114,16 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: extra map-side-combined Exchange (PLANS.md regenerated, gate
 #: diff eyeballed), at the 100 TB SMJ regime each strictly reduces
 #: the rows crossing the wire.
+#: Also round 9, extreme-measures axis (mode 14) crash fixes — ANSI
+#: aborts at 1e12-scale magnitudes, hash-exact at every shipped SF:
+#: q15/q180 DECIMAL(12,2)→(18,2) width (q15's oracle additionally
+#: (28,2) to force DuckDB off the INT64 multiply path), q171's
+#: dratio denominator bigint→decimal(38,0).
 REVERIFY_FIRST: set[str] = {
     "q13_join_asof", "q109_join_asof_tolerance",
     "q103_cohort_retention", "q113_revenue_share", "q123_mom_growth",
+    "q15_agg_pricing", "q171_share_of_parent",
+    "q180_dim_quantile_bucketing",
 }
 
 

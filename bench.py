@@ -65,6 +65,17 @@ HEADLINE = (  # BASELINE.md anchor queries, reported individually
     "q41_win_tumbling", "q50_sim_topk", "q52_text_tokens",
 )
 
+#: Host-canary anchors (VERDICT r8 item 6): WARM sf0.1 times of two
+#: queries untouched since round 1/4 (q34 pure projection scan, q25
+#: window top-k) as measured on the round-7 reference host — the
+#: host every BASELINE.md comparison was made on. canary_factor =
+#: median(current_warm / anchor); a uniform shift on these untouched
+#: scans is VM speed, not a regression, so cross-round comparisons
+#: divide by it instead of relying on round-notes archaeology
+#: (round 8 measured 1.29-1.40x on a CPU-stealing VM, verified by a
+#: 16M-element numpy probe — ROUND8_NOTES work-log 20/23).
+CANARY_ANCHORS = {"q34_str_funcs": 0.138, "q25_win_topk": 0.330}
+
 
 def _drop_blocks(spark) -> None:
     """Free every cached/checkpointed block between timed runs —
@@ -217,11 +228,18 @@ def main() -> int:
         except Exception as e:  # steady phase is additive, never fatal
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+    import statistics
+    ratios = [warm[k] / v for k, v in CANARY_ANCHORS.items()
+              if warm.get(k, -1) > 0]
+    canary = round(statistics.median(ratios), 3) if ratios else None
+
     detail = {
         "metric": "headline6_total_latency",
         "value": headline_total,
         "unit": "sec",
         "sf": sf,
+        "canary_factor": canary,
+        "canary_anchors": CANARY_ANCHORS,
         "ann_cache_at_start": arts_at_start,
         "ann_cache_at_end": _list_artifacts(),
         "headline": {k: timings.get(k) for k in HEADLINE},
@@ -248,6 +266,7 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(ok),
         "total_all_queries": round(sum(ok.values()), 3),
+        "canary_factor": canary,
     }))
     return 0 if len(ok) == len(timings) else 1
 

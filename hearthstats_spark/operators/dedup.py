@@ -209,6 +209,15 @@ def prefix_filtered_jaccard_pairs(
     # the candidate-gen cost at sf0.1)
     prefix = (ranked.filter(F.col("__rk") <= plen)
               .select("__id", "__s").cache())
+    return _jaccard_candidates_verify(sets, prefix, t_num, t_den)
+
+
+def _jaccard_candidates_verify(sets: DataFrame, prefix: DataFrame,
+                               t_num: int, t_den: int) -> DataFrame:
+    """Candidate generation + exact verify over a (__id, __arr) set
+    frame and a (__id, __s) prefix index — the back half of
+    ``prefix_filtered_jaccard_pairs``, shared verbatim by the
+    persisted-index tier so the two lanes cannot drift."""
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
@@ -230,6 +239,66 @@ def prefix_filtered_jaccard_pairs(
                 F.round(inter.cast("double") / union.cast("double"),
                         4).alias("jaccard"))
     )
+
+
+def prefix_filtered_jaccard_pairs_indexed(
+    spark,
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Persisted-index tier of ``prefix_filtered_jaccard_pairs``: the
+    shingle-set frame and the prefix posting list are served from the
+    content-keyed artifact store (operators/ann_index.persisted, the
+    q118 minhash_sig_all shape) instead of being recomputed — a warm
+    run skips the explode, the corpus-wide doc-frequency shuffle, and
+    the per-doc rank window entirely, leaving only the candidate
+    self-join + verify.
+
+    MEASURED AND REJECTED at sf0.1 in round 8 (ROUND8_NOTES: parquet
+    array<long> deserialization of the corpus-sized set frame costs
+    more than recomputing xxhash64 shingles inside whole-stage
+    codegen); kept as a callable lane for the round-9 larger-scale
+    re-measure (scripts/exp_shingle_index.py) and for cluster
+    deployments where the doc-frequency shuffle dominates. Output is
+    bit-identical to the in-plan kernel by construction: the builders
+    below ARE the kernel's first half, and the back half is shared
+    code (_jaccard_candidates_verify)."""
+    from hearthstats_spark.io import load_table
+    from hearthstats_spark.operators.ann_index import persisted
+
+    def build_sets() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            F.col(id_col).alias("__id"),
+            F.transform(shingles(text_col, k),
+                        lambda s: F.xxhash64(s)).alias("__arr"))
+
+    sets = persisted(spark, sf_dir, f"jaccard_sets_k{k}", build_sets,
+                     table="documents")
+
+    def build_prefix() -> DataFrame:
+        from pyspark.sql import Window
+
+        sh = sets.select("__id", F.size("__arr").alias("__sz"),
+                         F.explode("__arr").alias("__s"))
+        freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        plen = (F.col("__sz")
+                - F.expr(f"({t_num} * __sz + {t_den - 1}) div {t_den}")
+                + 1)
+        ranked = sh.join(freq, "__s").withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy("__df", "__s")))
+        return ranked.filter(F.col("__rk") <= plen).select("__id", "__s")
+
+    prefix = persisted(spark, sf_dir,
+                       f"jaccard_prefix_k{k}_t{t_num}d{t_den}",
+                       build_prefix, table="documents")
+    return _jaccard_candidates_verify(sets, prefix, t_num, t_den)
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str,

@@ -31,10 +31,10 @@ from hearthstats_spark.queries.registry import register
     SELECT l_returnflag, l_linestatus,
            {fsum_sql('l_quantity', 'sum_qty')},
            {fsum_sql('l_extendedprice', 'sum_base_price')},
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
                     * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
                AS sum_charge,
@@ -55,9 +55,18 @@ def q15_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     products are exact on both engines, while a double product cast to
     decimal diverges at half-way points (Spark rounds the shortest
     repr via BigDecimal.valueOf, DuckDB the exact binary expansion).
+
+    Widths (extreme-measures axis, round 9): engine casts price to
+    DECIMAL(18,2) — TPC-H's native (12,2) ANSI-aborted at 1e12-scale
+    prices; (18,2) keeps the two chained multiplies inside Spark's
+    38-precision cap with zero scale loss ((23,4) then (29,6)). The
+    oracle casts to DECIMAL(28,2) instead because DuckDB's (18,2)
+    multiply stays on the INT64 fast path and overflows at the same
+    magnitudes — (28,2) forces HUGEINT. Asymmetric widths, identical
+    exact values.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_price = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     return (

@@ -772,8 +772,12 @@ def q171_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         # share by 10^-4 identically on BOTH engines (hash-green,
         # wrong!) — caught by the share-sums invariant test, the
         # reason semantic tests exist beside oracle parity.
+        # decimal(38,0), not bigint: dratio only needs an
+        # integer-VALUED denominator, and parent·10^4 crosses 2^63 at
+        # 1e12-scale prices (extreme-measures axis, round 9) — the
+        # oracle's HUGEINT twin always had the headroom
         dratio(F.col("rv") * 10000,
-               (parent * 10000).cast("bigint"), "share_of_parent"),
+               (parent * 10000).cast("decimal(38,0)"), "share_of_parent"),
     )
 
 

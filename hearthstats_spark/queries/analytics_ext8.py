@@ -278,7 +278,7 @@ def q179_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pb.p_brand AS brand, CAST(pb.q AS INT) AS price_quartile,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
                 AS DOUBLE) AS revenue
     FROM lineitem l JOIN pb ON l.l_partkey = pb.p_partkey
@@ -328,7 +328,7 @@ def q180_dim_quantile_bucketing(spark: SparkSession,
             .groupBy(F.col("p_brand").alias("brand"),
                      F.col("q").cast("int").alias("price_quartile"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
                        * (F.lit(1) - F.col("l_discount")
                           .cast("decimal(4,2)")))
                  .cast("double").alias("revenue")))

@@ -45,6 +45,15 @@ Runs scripts/audit_degenerate.py in every corpus mode:
                                 serving NULL-keyed references, the
                                 q175 '0x' crash and the q181 phantom
                                 CDC key, round 8)
+    rows=-1 --extreme-measures  magnitude axis: measures scaled to
+                                1e12 (exact cents·10^5 integers) —
+                                DECIMAL headroom vs double 2^53 vs
+                                BIGINT intermediates (found the
+                                q15/q180 DECIMAL(12,2) ANSI aborts
+                                and q171's 2^63 denominator, round
+                                9; the documented double-output /
+                                q158 domain bounds are [SKIP]-listed
+                                in EXTREME_EXPECTED with reasons)
     rows=-1 --empty-text        ''-vs-NULL axis: every 3rd document
                                 empty-string — zero-length text
                                 through the whole family (found
@@ -84,6 +93,7 @@ MODES: list[tuple[str, list[str]]] = [
     ("constant-ts", ["--rows", "-1", "--constant-ts"]),
     ("null-keys", ["--rows", "-1", "--null-keys"]),
     ("empty-text", ["--rows", "-1", "--empty-text"]),
+    ("extreme-measures", ["--rows", "-1", "--extreme-measures"]),
 ]
 
 

@@ -407,3 +407,55 @@ def test_empty_text_matches_oracle(spark, registry, empty_text_sf,
         qid, q.fn(spark, empty_text_sf).toPandas(),
         duck_connect(empty_text_sf).execute(q.oracle).fetchdf())
     assert res.ok, str(res)
+
+
+# ---- extreme-measures axis (round 9): 1e12-scale magnitudes --------
+#
+# q171/q180 were ANSI ABORTS (BIGINT/DECIMAL(12,2) intermediates) and
+# now match the oracle exactly at 1e12 scale; q15 was an abort and
+# now COMPUTES exactly in decimal — its two >2^53-unscaled output
+# columns are the documented 1-ulp double-spelling domain
+# (scripts/audit_degenerate.EXTREME_EXPECTED), so its pin asserts
+# crash-freedom + the exact columns, not the full hash.
+
+FIXED_EXTREME_MEASURES = [
+    "q171_share_of_parent",
+    "q180_dim_quantile_bucketing",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("extreme_sf"))
+    _audit_mod().make_empty_sf(dst, rows=-1, extreme_measures=True)
+    return dst
+
+
+@pytest.mark.parametrize("qid", FIXED_EXTREME_MEASURES)
+def test_extreme_measures_matches_oracle(spark, registry, extreme_sf,
+                                         qid, monkeypatch):
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "0")
+    q = registry[qid]
+    res = compare(
+        qid, q.fn(spark, extreme_sf).toPandas(),
+        duck_connect(extreme_sf).execute(q.oracle).fetchdf())
+    assert res.ok, str(res)
+
+
+def test_extreme_measures_q15_computes_exactly(spark, registry,
+                                               extreme_sf):
+    """q15 at 1e12-scale prices: no ANSI abort (the DECIMAL(12,2)
+    regression), and every column OUTSIDE the documented double-
+    output domain matches the oracle bit-exactly."""
+    from hearthstats_spark.oracle import compare, duck_connect
+
+    q = registry["q15_agg_pricing"]
+    spark_pdf = q.fn(spark, extreme_sf).toPandas()
+    duck_pdf = duck_connect(extreme_sf).execute(q.oracle).fetchdf()
+    drop = ["sum_disc_price", "sum_charge"]  # the 1-ulp domain
+    res = compare("q15_minus_domain_cols",
+                  spark_pdf.drop(columns=drop),
+                  duck_pdf.drop(columns=drop))
+    assert res.ok, str(res)
