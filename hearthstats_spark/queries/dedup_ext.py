@@ -95,11 +95,35 @@ def q83_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffle budget). Oracle: same algorithm in DuckDB SQL —
     integer-only threshold math, so the match is hash-exact; the
     prefix-filter output is additionally brute-force-verified in
-    tests/test_operators.py."""
+    tests/test_operators.py.
+
+    Two lanes, measured crossover (round 9): the default recomputes
+    shingles in-plan — at the 5k-doc bench corpus that BEATS reading
+    the persisted index back (r8: 1.92 s vs 2.46 s; corpus-sized
+    array<long> deserialization loses to xxhash64 in codegen). At
+    50k docs the trade flips hard (in-plan 5.60 s vs indexed 3.73 s,
+    −33% — the corpus-wide doc-frequency shuffle dominates), so
+    SPARK_GRAFT_JACCARD_INDEX=1 serves the shingle-set frame and
+    prefix posting list from the artifact store (the q118 shape);
+    lane equality is pinned at 10× scale in the round-9 experiment
+    and in tests. A cluster deployment past the crossover flips the
+    env var; results are bit-identical either way."""
+    return _jaccard_pairs(spark, sf_dir)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q83/q88's shared pair source: env-gated lane selection (see
+    q83's docstring for the measured crossover)."""
+    import os
+
     from hearthstats_spark.operators.dedup import (
         prefix_filtered_jaccard_pairs,
+        prefix_filtered_jaccard_pairs_indexed,
     )
 
+    if os.environ.get("SPARK_GRAFT_JACCARD_INDEX") == "1":
+        return prefix_filtered_jaccard_pairs_indexed(
+            spark, sf_dir, "doc_id", "text", k=3, t_num=3, t_den=5)
     d = load_table(spark, sf_dir, "documents")
     return prefix_filtered_jaccard_pairs(
         d, "doc_id", "text", k=3, t_num=3, t_den=5)
@@ -155,13 +179,10 @@ def q88_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters: (member, canonical) for every clustered doc, canonical
     being the component's min doc_id — the survivor the dedup pass
     keeps (see comment block above; scale notes in SCALE.md §dedup).
-    """
-    from hearthstats_spark.operators.dedup import (
-        prefix_filtered_jaccard_pairs,
-    )
+    Pair source is q83's env-gated lane (_jaccard_pairs): the
+    persisted-index tier applies identically here (−27% at 10×,
+    round-9 experiment)."""
     from hearthstats_spark.operators.graph import dedup_clusters
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = prefix_filtered_jaccard_pairs(
-        d, "doc_id", "text", k=3, t_num=3, t_den=5)
+    pairs = _jaccard_pairs(spark, sf_dir)
     return dedup_clusters(pairs.select("id_a", "id_b"))

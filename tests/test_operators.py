@@ -222,6 +222,32 @@ def test_prefix_jaccard_known_pairs(spark):
     assert not any(4 in pair for pair in got)
 
 
+def test_prefix_jaccard_indexed_lane_equal(spark, registry,
+                                           monkeypatch):
+    """The persisted-index tier (SPARK_GRAFT_JACCARD_INDEX=1) must be
+    bit-identical to the in-plan kernel — q83's env-gated lane, the
+    round-9 crossover measurement's correctness precondition. Runs
+    both lanes at sf0.001 through the REGISTRY entry so the gate in
+    _jaccard_pairs is what's tested, with the artifact cache ON for
+    the indexed lane (that's the lane being shipped) in an isolated
+    cache root."""
+    import tempfile
+
+    from hearthstats_spark.oracle import compare
+
+    sf = "/root/testdata/sf0.001"
+    q83 = registry["q83_dedup_jaccard_exact"]
+    monkeypatch.delenv("SPARK_GRAFT_JACCARD_INDEX", raising=False)
+    base = q83.fn(spark, sf).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_JACCARD_INDEX", "1")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE_DIR",
+                       tempfile.mkdtemp(prefix="hs_jidx_"))
+    indexed = q83.fn(spark, sf).toPandas()
+    res = compare("jaccard_lanes", base, indexed)
+    assert res.ok, str(res)
+    assert len(base) > 0
+
+
 def test_skyline_dominance_and_ties(spark):
     """q99's formulation on a hand-built frontier: strictly dominated
     points drop, equal-on-both-axes points survive together, and the
