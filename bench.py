@@ -77,6 +77,17 @@ HEADLINE = (  # BASELINE.md anchor queries, reported individually
 CANARY_ANCHORS = {"q34_str_funcs": 0.138, "q25_win_topk": 0.330}
 
 
+def canary_factor(warm: dict) -> float | None:
+    """median(current warm / reference-host anchor) over the canary
+    queries; None when neither canary produced a warm timing (a
+    failed run must not crash the bench report)."""
+    import statistics
+
+    ratios = [warm[k] / v for k, v in CANARY_ANCHORS.items()
+              if warm.get(k, -1) is not None and warm.get(k, -1) > 0]
+    return round(statistics.median(ratios), 3) if ratios else None
+
+
 def _drop_blocks(spark) -> None:
     """Free every cached/checkpointed block between timed runs —
     and make the cleanup finish BEFORE the next timing starts.
@@ -228,10 +239,7 @@ def main() -> int:
         except Exception as e:  # steady phase is additive, never fatal
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    import statistics
-    ratios = [warm[k] / v for k, v in CANARY_ANCHORS.items()
-              if warm.get(k, -1) > 0]
-    canary = round(statistics.median(ratios), 3) if ratios else None
+    canary = canary_factor(warm)
 
     detail = {
         "metric": "headline6_total_latency",

@@ -1,0 +1,32 @@
+"""Host-canary factor pins (round 9, VERDICT r8 item 6): bench.py's
+cross-round self-normalization must stay robust to failed or missing
+canary runs — a bench that crashes while REPORTING would lose the
+whole round's numbers."""
+
+from __future__ import annotations
+
+from bench import CANARY_ANCHORS, canary_factor
+
+
+def test_canary_factor_median_of_ratios():
+    warm = {k: v * 1.5 for k, v in CANARY_ANCHORS.items()}
+    assert canary_factor(warm) == 1.5
+
+
+def test_canary_factor_single_survivor():
+    # one canary failed (-1.0 sentinel): factor comes from the other
+    k1, k2 = sorted(CANARY_ANCHORS)
+    warm = {k1: CANARY_ANCHORS[k1] * 2.0, k2: -1.0}
+    assert canary_factor(warm) == 2.0
+
+
+def test_canary_factor_none_when_all_missing():
+    assert canary_factor({}) is None
+    assert canary_factor({k: -1.0 for k in CANARY_ANCHORS}) is None
+
+
+def test_anchors_are_the_reference_host_values():
+    # the r7 reference host's warm medians — changing these rebases
+    # every cross-round comparison, so pin them
+    assert CANARY_ANCHORS == {"q34_str_funcs": 0.138,
+                              "q25_win_topk": 0.330}
