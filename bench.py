@@ -77,12 +77,17 @@ HEADLINE = (  # BASELINE.md anchor queries, reported individually
 CANARY_ANCHORS = {"q34_str_funcs": 0.138, "q25_win_topk": 0.330}
 
 
-def canary_factor(warm: dict) -> float | None:
+def canary_factor(warm: dict, sf: float = 0.1) -> float | None:
     """median(current warm / reference-host anchor) over the canary
     queries; None when neither canary produced a warm timing (a
-    failed run must not crash the bench report)."""
+    failed run must not crash the bench report) or when the bench
+    ran at any SF other than 0.1 — the anchors are sf0.1 warm
+    medians, so at another scale the ratio would measure data
+    volume, not host speed (code-review find, round 9)."""
     import statistics
 
+    if sf != 0.1:
+        return None
     ratios = [warm[k] / v for k, v in CANARY_ANCHORS.items()
               if warm.get(k, -1) is not None and warm.get(k, -1) > 0]
     return round(statistics.median(ratios), 3) if ratios else None
@@ -239,7 +244,7 @@ def main() -> int:
         except Exception as e:  # steady phase is additive, never fatal
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    canary = canary_factor(warm)
+    canary = canary_factor(warm, sf)
 
     detail = {
         "metric": "headline6_total_latency",

@@ -76,25 +76,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if man:
         catalog_name = man.get("bucketed", {}).get(name)
         if catalog_name:
-            return spark.table(catalog_name)
+            # events normalization must apply on EVERY source route —
+            # a manifest that buckets events would otherwise silently
+            # skip the bigint-ns → timestamp conversion (code-review
+            # find, round 9)
+            df = spark.table(catalog_name)
+            return _normalize_events_ts(df) if name == "events" else df
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         _enable_nanos_as_long(spark)
-        df = _drop_partition_cols(spark.read.parquet(path))
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integer div (not /1000-then-cast): keeps µs exact
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # driver regenerations have also shipped ts as
-            # TIMESTAMP(isAdjustedToUTC=false) → Spark reads TIMESTAMP_NTZ.
-            # Session tz is pinned UTC (session.py), so this cast is a
-            # wall-clock-preserving relabel to the TIMESTAMP type the
-            # event-time queries/watermarks expect — same instants the
-            # bigint-ns path produced.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return _normalize_events_ts(
+            _drop_partition_cols(spark.read.parquet(path)))
     return _drop_partition_cols(spark.read.parquet(path))
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts to a plain microsecond TIMESTAMP, whatever physical
+    form the source carried (see module docstring)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # integer div (not /1000-then-cast): keeps µs exact
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # driver regenerations have also shipped ts as
+        # TIMESTAMP(isAdjustedToUTC=false) → Spark reads TIMESTAMP_NTZ.
+        # Session tz is pinned UTC (session.py), so this cast is a
+        # wall-clock-preserving relabel to the TIMESTAMP type the
+        # event-time queries/watermarks expect — same instants the
+        # bigint-ns path produced.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _drop_partition_cols(df: DataFrame) -> DataFrame:

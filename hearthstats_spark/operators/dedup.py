@@ -268,7 +268,18 @@ def prefix_filtered_jaccard_pairs_indexed(
     below ARE the kernel's first half, and the back half is shared
     code (_jaccard_candidates_verify)."""
     from hearthstats_spark.io import load_table
-    from hearthstats_spark.operators.ann_index import persisted
+    from hearthstats_spark.operators.ann_index import cache_enabled, persisted
+
+    if not cache_enabled():
+        # with the artifact store disabled, persisted() would return
+        # the RAW build plans — sets read by the prefix builder plus
+        # both verify joins, prefix by both self-join sides, with no
+        # cache — re-running the explode/doc-frequency/rank chain
+        # 3-4×. The in-plan kernel's own caching exists for exactly
+        # this, so fall back to it (code-review find, round 9).
+        return prefix_filtered_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            id_col, text_col, k=k, t_num=t_num, t_den=t_den)
 
     def build_sets() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")

@@ -25,8 +25,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-HEADLINE = ("q06_join_multiway", "q15_agg_pricing", "q25_win_topk",
-            "q41_win_tumbling", "q50_sim_topk", "q52_text_tokens")
+# the SAME anchor set bench.py reports — imported, not re-declared,
+# so the two sides of the ratio can never drift (code-review find)
+from bench import HEADLINE  # noqa: E402
 
 
 def main() -> int:

@@ -116,6 +116,7 @@ def assert_plan_evidence(spark, layout_sf: str) -> list[str]:
     # one extra map-side-combined Exchange the rewrite costs on the
     # flat broadcast regime is free once the layout pays the shuffle
     # at write time.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         p = explain_str(REGISTRY["q123_mom_growth"].fn(spark, layout_sf))
@@ -130,8 +131,10 @@ def assert_plan_evidence(spark, layout_sf: str) -> list[str]:
                   f"(SelectedBucketsCount {N_BUCKETS}/{N_BUCKETS}), "
                   f"no orderkey Exchange, {n_ex} Exchange nodes total")
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       str(32 * 1024 * 1024))
+        # restore the SAVED value, not a constant — the parity
+        # queries after this probe must run under the same broadcast
+        # regime as the flat baseline (test_plan_audit.py pattern)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
     # (2) partition pruning probe on the partitioned events copy:
     # a p_day predicate must reach PartitionFilters (plan-time dir

@@ -41,7 +41,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     d = load_table(spark, args.src, "documents")
     n_docs = d.count()
-    offset = 10 ** len(str(n_docs))  # clean id namespace per replica
+    # offset from the MAX id, not the row count: a sparse id space
+    # (ids >> count) would otherwise collide across replicas and
+    # silently corrupt the pair graph (code-review find, round 9)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    offset = 10 ** len(str(max_id))  # clean id namespace per replica
 
     rep = d.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(args.n - 1))).alias("__r"))

@@ -70,6 +70,7 @@ def test_layout_plan_evidence(spark, registry, layout_sf):
     """q123 on the bucketed layout: both facts read bucket-locally
     and no orderkey-level Exchange survives (the pre-agg key == the
     bucket key == the join key)."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         p = explain_str(registry["q123_mom_growth"].fn(spark, layout_sf))
@@ -79,5 +80,4 @@ def test_layout_plan_evidence(spark, registry, layout_sf):
         assert "hashpartitioning(l_orderkey" not in p
         assert "hashpartitioning(o_orderkey" not in p
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       str(32 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
