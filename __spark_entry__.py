@@ -114,16 +114,22 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: extra map-side-combined Exchange (PLANS.md regenerated, gate
 #: diff eyeballed), at the 100 TB SMJ regime each strictly reduces
 #: the rows crossing the wire.
-#: Also round 9, extreme-measures axis (mode 14) crash fixes — ANSI
-#: aborts at 1e12-scale magnitudes, hash-exact at every shipped SF:
-#: q15/q180 DECIMAL(12,2)→(18,2) width (q15's oracle additionally
-#: (28,2) to force DuckDB off the INT64 multiply path), q171's
-#: dratio denominator bigint→decimal(38,0).
+#: Round 10 (VERDICT r9 item 5): the six sketch ids upgraded from
+#: rows-only to oracle-checked exact-twin + in-plan-bound form —
+#: q49 (full exact brute-force twin: surviving pairs are exact, so
+#: recall itself is hashed), q84/q151 (exact distinct twin + HLL
+#: error-band boolean), q139 (DuckDB recomputes the IDENTICAL
+#: deterministic CMS — full estimate parity), q140 (exact
+#: quantile_cont twin + GK rank-error booleans), q177 (q176's exact
+#: kernel as twin + integer sandwich verdicts). Each is a semantic
+#: edit to its output contract, so each must get driver eyes before
+#: any previously-checked id re-rotates. The round-9 declarations
+#: are retired: all eight got CORRECTNESS_r09 records and their file
+#: hashes match VERIFIED.json again.
 REVERIFY_FIRST: set[str] = {
-    "q13_join_asof", "q109_join_asof_tolerance",
-    "q103_cohort_retention", "q113_revenue_share", "q123_mom_growth",
-    "q15_agg_pricing", "q171_share_of_parent",
-    "q180_dim_quantile_bucketing",
+    "q49_dedup_near", "q84_sketch_hll_rollup", "q139_sketch_cms",
+    "q140_sketch_quantile_rollup", "q151_hll_window_rollup",
+    "q177_ks_sketch_drift",
 }
 
 

@@ -76,11 +76,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if man:
         catalog_name = man.get("bucketed", {}).get(name)
         if catalog_name:
-            # events normalization must apply on EVERY source route —
-            # a manifest that buckets events would otherwise silently
-            # skip the bigint-ns → timestamp conversion (code-review
-            # find, round 9)
-            df = spark.table(catalog_name)
+            # events normalization AND helper-column dropping must
+            # apply on EVERY source route — a manifest that buckets
+            # events would otherwise silently skip the bigint-ns →
+            # timestamp conversion (code-review find, round 9), and a
+            # manifest bucketing a table whose payload carries
+            # p_month/p_day would leak helper columns and break the
+            # schema-identity contract (ADVICE r9 item 1: hold the
+            # invariant by construction, not by writer convention)
+            df = _drop_partition_cols(spark.table(catalog_name))
             return _normalize_events_ts(df) if name == "events" else df
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -109,11 +113,16 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def _drop_partition_cols(df: DataFrame) -> DataFrame:
-    """Drop layout partition helper columns (no-op on flat corpora;
-    Catalyst still partition-prunes on them because the filter
-    pushdown happens against the scan relation, and queries that
-    filter the underlying time column benefit from row-group pruning
-    either way)."""
+    """Drop layout partition helper columns (no-op on flat corpora).
+
+    Dropping them forgoes DIRECTORY pruning for queries that filter
+    only the raw time column — plain parquet cannot map a raw-ts
+    predicate to directory keys (no generated-column pruning outside
+    table formats; check_layout_parity.py documents that only an
+    explicit p_day predicate prunes). What remains is parquet
+    row-group skipping on the underlying column, and a deployment
+    that wants directory pruning adds the partition predicate
+    explicitly — the standard practice (ADVICE r9 item 2)."""
     extra = [c for c in _LAYOUT_PARTITION_COLS if c in df.columns]
     return df.drop(*extra) if extra else df
 

@@ -288,8 +288,16 @@ def prefix_filtered_jaccard_pairs_indexed(
             F.transform(shingles(text_col, k),
                         lambda s: F.xxhash64(s)).alias("__arr"))
 
-    sets = persisted(spark, sf_dir, f"jaccard_sets_k{k}", build_sets,
-                     table="documents")
+    # id_col/text_col are folded into the artifact names: the content
+    # key must cover EVERY parameter that shapes the artifact, or a
+    # later call with different columns on the same corpus would be
+    # served a stale frame built from the other columns (ADVICE r9
+    # item 3). Default-call names stay stable via the suffix-only-
+    # when-non-default form.
+    colkey = ("" if (id_col, text_col) == ("doc_id", "text")
+              else f"_{id_col}_{text_col}")
+    sets = persisted(spark, sf_dir, f"jaccard_sets_k{k}{colkey}",
+                     build_sets, table="documents")
 
     def build_prefix() -> DataFrame:
         from pyspark.sql import Window
@@ -307,7 +315,7 @@ def prefix_filtered_jaccard_pairs_indexed(
         return ranked.filter(F.col("__rk") <= plen).select("__id", "__s")
 
     prefix = persisted(spark, sf_dir,
-                       f"jaccard_prefix_k{k}_t{t_num}d{t_den}",
+                       f"jaccard_prefix_k{k}_t{t_num}d{t_den}{colkey}",
                        build_prefix, table="documents")
     return _jaccard_candidates_verify(sets, prefix, t_num, t_den)
 

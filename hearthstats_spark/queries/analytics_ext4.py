@@ -628,7 +628,65 @@ def _cms_hash(j: int, col):
                   F.lit(_CMS_W))
 
 
-@register("q139_sketch_cms", oracle=None)  # rows-only: sketch est.
+#: q139's oracle recomputes the IDENTICAL sketch in DuckDB: the CMS
+#: here is pure deterministic integer arithmetic (Carter-Wegman
+#: hashes on bigint items, counts, min) with no engine-specific
+#: randomness, so — unlike HLL/GK (q84/q140/q151/q177, whose
+#: estimates only get bound booleans) — the ESTIMATE itself is
+#: cross-engine hashable, the q118 exact-minhash precedent. The
+#: (a_j, c_j) row constants are inlined from _cms_hash's derivation
+#: (j·2654435761 + 1013904223 mod p or 1, j·97531 + 12345 mod p);
+#: tests/test_ext4.py re-derives them against _cms_hash so the SQL
+#: literal can't drift from the Python.
+_CMS_ORACLE = """
+WITH items AS (
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+          IS NOT NULL
+),
+hj AS (
+    SELECT * FROM (VALUES
+        (0, 1013904223, 12345),
+        (1, 1520856337, 109876),
+        (2, 2027808451, 207407),
+        (3, 387276918, 304938)) t(j, a, c)
+),
+-- pmod twice, exactly _cms_hash: reduce the item into the field
+-- first so a*x stays under 2^63
+hashed AS (
+    SELECT item, j,
+           ((a * (((item % 2147483647) + 2147483647) % 2147483647)
+             + c) % 2147483647) % 2048 AS b
+    FROM items CROSS JOIN hj
+),
+sketch AS (SELECT j, b, COUNT(*) AS cell FROM hashed GROUP BY j, b),
+top AS (
+    SELECT item, COUNT(*) AS n_exact
+    FROM items GROUP BY item
+    ORDER BY n_exact DESC, item LIMIT 10
+),
+probes AS (
+    SELECT t.item, t.n_exact, hj.j,
+           ((hj.a * (((t.item % 2147483647) + 2147483647)
+                     % 2147483647)
+             + hj.c) % 2147483647) % 2048 AS b
+    FROM top t CROSS JOIN hj
+),
+est AS (
+    SELECT p.item, p.n_exact, MIN(s.cell) AS n_est
+    FROM probes p JOIN sketch s ON s.j = p.j AND s.b = p.b
+    GROUP BY 1, 2
+)
+SELECT item,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_est AS BIGINT) AS n_est,
+       CAST(n_est - n_exact AS BIGINT) AS est_over
+FROM est
+"""
+
+
+@register("q139_sketch_cms", oracle=_CMS_ORACLE)
 def q139_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch frequency estimation over the event payload
     keys — the mergeable point-frequency sketch (Cormode &
@@ -641,10 +699,11 @@ def q139_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ d·w cells; partial aggregation IS the sketch merge — shards
     combine by cell addition, so the same query shape unions across
     days/sources for free). Estimation joins each probe item's d
-    cells and takes the min. Declared rows-only: the estimate is
-    sketch-specific; the CMS guarantees est ≥ exact and
-    P[est > exact + 2N/w] < (1/2)^d — both pinned in
-    tests/test_ext4.py against exact counts.
+    cells and takes the min. Fully oracle-checked since round 10:
+    the sketch is deterministic integer arithmetic, so DuckDB
+    recomputes the identical estimate (_CMS_ORACLE above). The CMS
+    guarantees est ≥ exact and P[est > exact + 2N/w] < (1/2)^d —
+    both pinned in tests/test_ext4.py against exact counts.
 
     Output: the top-10 exact-count items with exact n and CMS
     estimate side by side (est_over = est - exact >= 0)."""
@@ -681,34 +740,143 @@ def q139_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_exact").desc(), "item"))
 
 
-@register("q140_sketch_quantile_rollup", oracle=None)  # rows-only
-def q140_sketch_quantile_rollup(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    """Mergeable approximate-quantile rollup: p50/p95 of
-    o_totalprice per order priority AND the all-priorities total in
-    one ``rollup`` pass via ``percentile_approx`` (Greenwald-Khanna
-    style mergeable summaries — the partial-agg pair merges per-group
-    sketches, which is why the same query scales to 100 TB where
-    exact grouped percentiles (q79) need a full sort per group).
+_Q140_ACC = 10_000  # percentile_approx accuracy (rank error ≤ n/acc)
 
-    Declared rows-only (q84's policy): sketch outputs are
-    engine-specific — DuckDB's approx_quantile uses t-digest, so
-    values differ legitimately. The accuracy contract is pinned in
-    tests/test_ext4.py instead: every approx quantile must land
-    within rank-error 1/accuracy of the exact percentile (q79's
-    oracle-checked discipline is the ground truth)."""
+
+def _quantile_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q140's SKETCH lane, unchanged from its rows-only era: p50/p95
+    of o_totalprice per order priority AND the all-priorities total
+    in one ``rollup`` pass via ``percentile_approx`` (Greenwald-
+    Khanna style mergeable summaries — the partial-agg pair merges
+    per-group sketches, which is why this shape scales to 100 TB
+    where exact grouped percentiles (q79) need a full sort per
+    group). The exact twin below rides the SAME rollup agg; grouping
+    flag + raw key disambiguate the ALL row from a NULL-priority
+    group (q18's rollup discipline)."""
     o = load_table(spark, sf_dir, "orders")
-    acc = 10_000
     return (
         o.rollup("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.percentile_approx("o_totalprice", 0.5, acc).alias("p50"),
-            F.percentile_approx("o_totalprice", 0.95, acc).alias("p95"),
+            F.count("o_totalprice").alias("nv"),
+            F.percentile_approx("o_totalprice", 0.5, _Q140_ACC)
+            .alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95, _Q140_ACC)
+            .alias("p95"),
+            F.round(F.percentile("o_totalprice", 0.5), 4)
+            .alias("p50_exact"),
+            F.round(F.percentile("o_totalprice", 0.95), 4)
+            .alias("p95_exact"),
+            F.grouping("o_orderpriority").cast("int").alias("g_all"),
         )
+        .withColumn("k", F.col("o_orderpriority"))
+    )
+
+
+@register(
+    "q140_sketch_quantile_rollup",
+    # exact columns recomputed by DuckDB; the sketch values are GK-
+    # placement-specific (DuckDB's approx_quantile is t-digest), so
+    # they are checked as in-plan rank-error booleans instead
+    # (sketches.py module docstring policy). HAVING mirrors Spark's
+    # no-grand-total-on-empty rollup semantics (q18 precedent).
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE COALESCE(o_orderpriority, '<NULL>') END
+               AS priority,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_all,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority)
+    HAVING COUNT(*) > 0
+    """,
+)
+def q140_sketch_quantile_rollup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Mergeable approximate-quantile rollup with an oracle-checked
+    exact twin (upgraded round 10, VERDICT r9 item 5).
+
+    The hashed columns are the EXACT percentiles (interpolated, the
+    q79 discipline — DuckDB's quantile_cont twin) plus two in-plan
+    rank-error verdicts for the sketch: a second pass counts, per
+    rollup group, how many values fall strictly below / at-or-below
+    each approx quantile, giving the approx value's exact rank
+    interval [lo+1, hi]; the verdict asserts it intersects
+    [q·nv − slack, q·nv + slack] with slack = nv/accuracy + 1 — the
+    GK guarantee with one element of slack for interpolation edges.
+    The second pass is one explode(2)+broadcast-join+agg over orders
+    (the rollup's ALL row needs every row to count, hence the
+    two-way explode rather than a plain groupBy).
+
+    NULL policy: percentile ranks are over the NON-NULL values (nv);
+    n stays COUNT(*). A group whose percentile is NULL (no non-null
+    values) gets verdict TRUE via COALESCE — both engines emit the
+    same NULL exact percentile there."""
+    r1 = _quantile_rollup_sketch(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    exploded = (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            F.explode(F.array(
+                F.struct(F.lit(0).alias("g_all"),
+                         F.col("o_orderpriority").alias("k")),
+                F.struct(F.lit(1).alias("g_all"),
+                         F.lit(None).cast("string").alias("k")),
+            )).alias("g"))
+        .select("v", F.col("g.g_all").alias("g_all"),
+                F.col("g.k").alias("k"))
+    )
+    # eqNullSafe on k: the ALL row and a real NULL-priority group
+    # both carry k = NULL (g_all disambiguates) — a plain equi-join
+    # would drop them
+    sk = F.broadcast(r1.select(
+        F.col("g_all").alias("r_g"), F.col("k").alias("r_k"),
+        "p50", "p95"))
+    ranks = (
+        exploded.join(
+            sk,
+            (F.col("g_all") == F.col("r_g"))
+            & F.col("k").eqNullSafe(F.col("r_k")))
+        .groupBy("g_all", "k")
+        .agg(*[f
+               for q in ("50", "95")
+               for f in (
+                   F.sum(F.when(F.col("v") < F.col(f"p{q}"), 1)
+                         .otherwise(0)).alias(f"lo{q}"),
+                   F.sum(F.when(F.col("v") <= F.col(f"p{q}"), 1)
+                         .otherwise(0)).alias(f"hi{q}"),
+               )])
+    )
+
+    def rank_ok(q: float, tag: str):
+        slack = F.col("nv") / _Q140_ACC + 1
+        target = q * F.col("nv")
+        return F.coalesce(
+            (F.col(f"lo{tag}") + 1 <= target + slack)
+            & (F.col(f"hi{tag}") >= target - slack),
+            F.lit(True))
+
+    rk = ranks.select(
+        F.col("g_all").alias("q_g"), F.col("k").alias("q_k"),
+        "lo50", "hi50", "lo95", "hi95")
+    return (
+        r1.join(rk,
+                (F.col("g_all") == F.col("q_g"))
+                & F.col("k").eqNullSafe(F.col("q_k")), "left")
         .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.col("n").cast("bigint").alias("n"), "p50", "p95")
+            F.when(F.col("g_all") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("k", F.lit("<NULL>")))
+            .alias("priority"),
+            "g_all",
+            F.col("n").cast("bigint").alias("n"),
+            "p50_exact", "p95_exact",
+            rank_ok(0.5, "50").alias("p50_rank_ok"),
+            rank_ok(0.95, "95").alias("p95_rank_ok"),
+        )
     )
 
 

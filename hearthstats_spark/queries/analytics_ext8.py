@@ -12,16 +12,26 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.io import load_table
-from hearthstats_spark.queries.registry import register
+from hearthstats_spark.queries.analytics_ext7 import q176_ks_two_sample
+from hearthstats_spark.queries.registry import REGISTRY, register
+
+#: q177's oracle IS q176's (the exact twin it now hashes) plus the
+#: two sandwich verdicts checked as TRUE — derived from the live
+#: registry entry, not copied, so the twin can't drift from q176's
+#: proven SQL. ext7 registers before this module in QUERY_MODULES
+#: and the import above forces it for direct-module loads.
+_Q177_ORACLE = REGISTRY["q176_ks_two_sample"].oracle.replace(
+    "FROM n, d",
+    ",\n           TRUE AS est_le_exact,\n"
+    "           TRUE AS exact_le_upper\n    FROM n, d")
+assert "est_le_exact" in _Q177_ORACLE  # the anchor text must exist
 
 
-@register("q177_ks_sketch_drift", oracle=None)  # rows-only: GK cut
-# placement is engine-specific (DuckDB can't reproduce Spark's
-# sketch), so the driver gets a rows-only check; the REAL check is
-# tests/test_ext8.py pinning q176's exact D inside [d_est, d_upper].
-def q177_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate two-sample Kolmogorov–Smirnov drift monitor — the
-    100 TB answer beside q176's exact statistic (VERDICT r4 item 7).
+def _ks_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q177's SKETCH lane, unchanged from its rows-only era except
+    for the declared NULL policy (a NULL value is not a sample point
+    — now applied here exactly as in q176, so the sandwich below
+    compares like with like on the null-measures axis).
 
     q176 is exact but needs the full range-partitioned prefix-sum
     machinery (a per-value sort). A drift MONITOR re-run per
@@ -54,7 +64,7 @@ def q177_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the allowlisted scalar-frame shape, never the raw table."""
     B = 64
     o = load_table(spark, sf_dir, "orders")
-    s = o.select(
+    s = o.where(F.col("o_totalprice").isNotNull()).select(
         F.col("o_totalprice").cast("double").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
         .alias("g"))
@@ -110,10 +120,51 @@ def q177_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n0").cast("bigint").alias("n_urgent"),
         F.max("n1").cast("bigint").alias("n_other"),
         F.lit(len(cuts)).cast("int").alias("n_cuts"),
+        F.max("d_num").cast("bigint").alias("d_est_num"),
+        F.max("bound_num").cast("bigint").alias("d_bound_num"),
         (F.max("d_num") / (F.max("n0") * F.max("n1")))
         .alias("ks_d_est"),
         (F.max("bound_num") / (F.max("n0") * F.max("n1")))
         .alias("ks_d_upper"),
+    )
+
+
+@register("q177_ks_sketch_drift", oracle=_Q177_ORACLE)
+def q177_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate two-sample KS drift monitor, oracle-checked via
+    its exact twin (upgraded round 10, VERDICT r9 item 5).
+
+    The sketch lane (_ks_sketch_bounds above — GK cuts, exact bucket
+    masses, data-driven d_est/d_upper sandwich) is what a 100 TB
+    monitoring deployment runs; its VALUES depend on GK cut
+    placement, which DuckDB cannot reproduce. So the hashed columns
+    are q176's exact statistic (the twin is q176's registered kernel
+    itself — one source of truth) plus the two sandwich verdicts as
+    integer-numerator booleans over the COMMON denominator n0·n1:
+
+    - est_le_exact:   max sketch d_num  ≤  exact d_numerator
+      (d_est evaluates the sup on a subset of candidate points);
+    - exact_le_upper: exact d_numerator ≤  max sketch bound_num
+      (left-edge distance + larger bucket side-mass bounds the sup
+      inside every bucket).
+
+    A cut-placement regression that breaks either inequality flips a
+    boolean and fails the driver hash. COALESCE(…, TRUE) covers the
+    degenerate one-group/empty corpus where either side's numerator
+    is NULL — both engines emit the same exact columns there. The
+    1×1 scalar join is a broadcast nested loop on literally one row
+    per side (the allowlisted scalar-frame shape)."""
+    sk = _ks_sketch_bounds(spark, sf_dir)
+    ex = q176_ks_two_sample(spark, sf_dir)
+    return (
+        ex.join(F.broadcast(sk.select("d_est_num", "d_bound_num")))
+        .select(
+            "n_urgent", "n_other", "d_numerator", "ks_d",
+            F.coalesce(F.col("d_est_num") <= F.col("d_numerator"),
+                       F.lit(True)).alias("est_le_exact"),
+            F.coalesce(F.col("d_numerator") <= F.col("d_bound_num"),
+                       F.lit(True)).alias("exact_le_upper"),
+        )
     )
 
 

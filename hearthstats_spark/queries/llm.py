@@ -55,7 +55,53 @@ _N_BANDS = 8  # 1-row bands: P(candidate) = 1-(1-j)^8 → recall ≈ 1 for j ≥
 from hearthstats_spark.operators.dedup import shingles as _shingles  # noqa: E402
 
 
-@register("q49_dedup_near", oracle=None)  # rows-only: LSH sketch is engine-specific
+#: q49's oracle (added round 10, VERDICT r9 item 5): the SURVIVING
+#: pairs are exact-verified Jaccard, so the full output is
+#: cross-engine checkable by an exact brute-force twin — q83's
+#: prefix-filtered AllPairs SQL at k=5, with the candidate threshold
+#: loosened to 0.69 (Spark filters on the ROUNDED distance, so a
+#: true J ∈ [0.69995, 0.7) still rounds into ≤ 0.3 — the prefix
+#: filter must not prune it) and the final filter mirroring the
+#: engine's ROUND(dist, 4) ≤ 0.3 exactly. This makes the MinHash
+#: lane's ~1-recall a HASHED contract at driver scale: a banding
+#: regression that drops a true pair fails the row hash. Shingle
+#: semantics (whole-text shingle for docs ≤ 5 words, NULL text
+#: contributes nothing) mirror operators/dedup.shingles via the
+#: q83-proven slice-truncation form.
+_Q49_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS s
+       FROM toks CROSS JOIN generate_series(0, 4096) g(i)
+       WHERE i <= greatest(len(t) - 5, 0)),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+ranked AS (
+    SELECT sh.doc_id, sh.s,
+           row_number() OVER (PARTITION BY sh.doc_id
+                              ORDER BY f.df, sh.s) AS rk,
+           count(*)    OVER (PARTITION BY sh.doc_id) AS sz
+    FROM sh JOIN freq f USING (s)),
+prefix AS (SELECT * FROM ranked
+           WHERE rk <= sz - (69*sz + 99) // 100 + 1),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sz AS sz_a, b.sz AS sz_b
+    FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, count(*) AS i
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2, 3, 4)
+SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+       ROUND(1.0 - CAST(i AS DOUBLE) / (sz_a + sz_b - i), 4)
+           AS jaccard_dist
+FROM inter
+WHERE ROUND(1.0 - CAST(i AS DOUBLE) / (sz_a + sz_b - i), 4) <= 0.3
+"""
+
+
+@register("q49_dedup_near", oracle=_Q49_ORACLE)
 def q49_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (Jaccard distance ≤ 0.3 over word
     5-shingles) via DataFrame-native MinHash banding — built-in
@@ -72,8 +118,10 @@ def q49_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness on survivors means tests/test_operators.py can compare
     against brute-force Jaccard with zero sketch tolerance; missing a
     true pair needs all 8 bands to disagree (P ≈ (1-0.7)^8 ≈ 7e-5 at
-    the threshold, ~1e-14 for real near-dups). Driver check is
-    rows-only (sketches are engine-specific).
+    the threshold, ~1e-14 for real near-dups). Fully oracle-checked
+    since round 10 against the exact prefix-filtered twin
+    (_Q49_ORACLE above) — recall at driver scale is a hashed
+    contract, not just a probability argument.
 
     Scale notes: two shuffles (band join, pair distinct); signature
     width is a constant 8 longs per doc; skewed bands (stop-phrase

@@ -12,14 +12,19 @@ rollup level without rescanning. Spark ships Apache DataSketches HLL
 natively: `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`
 (SPARK-16484, public API since 3.5).
 
-Rows-only check: the estimate is engine-specific (DuckDB's
-approx_count_distinct is a different HLL implementation), so there is
-no cross-engine oracle; instead the query carries its own exact
-distinct counts and relative error, and tests/test_sketches.py pins
-(a) rel_err < 2 % per region at the default lgConfigK=12 and (b) the
-two-level nation→region merge estimate == the direct region-level
-sketch estimate (merge losslessness — the property that makes the
-pattern safe to roll up).
+Oracle policy (upgraded round 10, VERDICT r9 item 5): the HLL
+ESTIMATE value is engine-specific (DuckDB's approx_count_distinct is
+a different HLL implementation), so the raw estimate cannot be
+hash-compared. Instead each query runs a twin EXACT subplan and emits
+(exact value, in-plan bound boolean): the boolean asserts the sketch
+estimate lies inside its error band, the oracle recomputes the exact
+column and emits literal TRUE — a sketch drifting out of band flips
+the boolean and fails the driver's value hash. The estimates
+themselves stay pinned in tests/test_sketches.py: (a) rel_err < 2 %
+per region at the default lgConfigK=12 and (b) the two-level
+nation→region merge estimate == the direct region-level sketch
+estimate (merge losslessness — the property that makes the pattern
+safe to roll up).
 """
 
 from __future__ import annotations
@@ -44,13 +49,29 @@ def hll_rollup(df: DataFrame, fine_keys: list[str], coarse_keys: list[str],
         .alias("est_distinct"))
 
 
-@register("q84_sketch_hll_rollup", oracle=None)  # rows-only: HLL estimate is engine-specific
+@register(
+    "q84_sketch_hll_rollup",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
 def q84_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customers per region two ways: nation-level HLL
     sketches union-merged to region (the rollup path a 100 TB
-    pipeline takes) next to the exact count (feasible at test scale),
-    with relative error. Self-verifying; see module docstring for why
-    this is rows-only."""
+    pipeline takes) next to the exact count (feasible at test scale).
+    Emits the exact count plus an in-plan error-band boolean; the
+    oracle recomputes the exact column and checks the boolean as
+    TRUE — see module docstring for the sketch-oracle policy. Band:
+    5 % = ~3σ at lgConfigK=12 (RSE 1.04/√4096 ≈ 1.6 %) — a 2 %
+    band is only 1.25σ and ASIA's 2931 customers at sf0.1 land at
+    2.2 % legitimate sketch error (found by the sf0.1 sweep); the
+    tests keep the tighter 2 % pin at sf0.01 where it holds."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -63,21 +84,47 @@ def q84_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a second wide shuffle
     exact = (cn.groupBy("n_regionkey")
              .agg(F.count_distinct("c_custkey").alias("exact_distinct")))
+    # est_within_5pct: the estimate value itself is engine-specific
+    # (module docstring), so the HASHED columns are the exact count
+    # and the error-band verdict; COALESCE declares TRUE on a group
+    # the sketch legitimately can't score (exact 0 is impossible for
+    # an existing group, but the null-measures audit axis can NULL
+    # every custkey, making both sides NULL)
     return (
         est.join(exact, "n_regionkey")
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
             "r_name",
-            F.col("est_distinct").cast("long").alias("est_customers"),
             "exact_distinct",
-            F.round(
+            F.coalesce(
                 F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-                / F.col("exact_distinct"), 4).alias("rel_err"))
+                <= 0.05 * F.col("exact_distinct"),
+                F.lit(True)).alias("est_within_5pct"))
         .orderBy("r_name")
     )
 
 
-@register("q151_hll_window_rollup", oracle=None)  # rows-only: HLL estimate is engine-specific
+@register(
+    "q151_hll_window_rollup",
+    # q100's oracle (same window grid by construction) + the in-plan
+    # error-band verdict checked as TRUE (module docstring policy)
+    oracle="""
+    WITH hu AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, event_type, user_id
+        FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT event_type, user_id,
+               h + i * INTERVAL 1 HOUR AS win
+        FROM hu CROSS JOIN unnest(generate_series(0, 23)) t(i)
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M') AS win_end_hour,
+           event_type,
+           COUNT(*) AS exact_users_24h,
+           TRUE AS est_within_bound
+    FROM contrib GROUP BY 1, 2
+    """,
+)
 def q151_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h distinct active users per event_type via MERGEABLE
     HLL sketches at hour grain — the 100 TB answer to sliding distinct
@@ -97,10 +144,16 @@ def q151_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals what a direct sketch of the window's users would give.
 
     Windows and labels mirror q100 exactly (window END hours h..h+23
-    per contributing hour, no bounds trim); the error-bound contract
-    vs q100's exact answer — relative error within HLL's lgK=12 bands
-    — is unit-pinned in tests/test_sketches.py. Rows-only for the
-    same reason as q84: the estimate value is engine-specific."""
+    per contributing hour, no bounds trim), so the exact twin IS
+    q100's oracle-proven kernel (imported, not re-derived — one
+    source of truth for the contribution expansion). The hashed
+    output is the exact count + the error-band verdict
+    (|est − exact| ≤ max(2, 5 % · exact), the tests' HLL lgK=12
+    band); the estimate itself stays pinned in
+    tests/test_sketches.py (module docstring policy)."""
+    from hearthstats_spark.queries.analytics_ext import \
+        q100_rolling_distinct
+
     ev = load_table(spark, sf_dir, "events")
     hour_sk = (
         ev.select(F.date_trunc("hour", "ts").alias("h"),
@@ -115,7 +168,7 @@ def q151_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "__sk",
                 F.expr("h + i * INTERVAL '1' HOUR").alias("win"))
     )
-    return (
+    est = (
         contrib.groupBy("win", "event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk"))
              .cast("long").alias("est_users_24h"))
@@ -123,3 +176,15 @@ def q151_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("win_end_hour"),
                 "event_type", "est_users_24h")
     )
+    exact = (q100_rolling_distinct(spark, sf_dir)
+             .withColumnRenamed("users_24h", "exact_users_24h"))
+    # identical window grid by construction (same hour-grain frame,
+    # same explode), so an inner join loses nothing — pinned in
+    # tests/test_sketches.py's set-equality assertion
+    return exact.join(est, ["win_end_hour", "event_type"]).select(
+        "win_end_hour", "event_type", "exact_users_24h",
+        F.coalesce(
+            F.abs(F.col("est_users_24h") - F.col("exact_users_24h"))
+            <= F.greatest(F.lit(2.0),
+                          0.05 * F.col("exact_users_24h")),
+            F.lit(True)).alias("est_within_bound"))

@@ -52,12 +52,33 @@ N_BUCKETS = 8
 PARTITIONED = {"events": ("ts", "day")}
 
 
+def src_fingerprint(src_sf: str) -> str:
+    """Content fingerprint of a source sf dir: sha256 over every
+    file's (relpath, size, mtime_ns), sorted. Recorded in the layout
+    manifest so a regenerated testdata corpus triggers an automatic
+    cache rebuild instead of a spurious parity failure against stale
+    layout data (ADVICE r9 item 4). mtime inclusion errs toward
+    rebuilding too often — the fail-safe direction."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root, dirs, files in sorted(os.walk(src_sf)):
+        dirs.sort()
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, src_sf)}\x1f{st.st_size}"
+                     f"\x1f{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def build_layout(spark, src_sf: str, dst: str) -> None:
     from hearthstats_spark.io import TABLES, load_table
     from hearthstats_spark.sources.layout import write_time_partitioned
 
     os.makedirs(dst, exist_ok=True)
-    manifest: dict = {"bucketed": {}, "src": src_sf}
+    manifest: dict = {"bucketed": {}, "src": src_sf,
+                      "src_fingerprint": src_fingerprint(src_sf)}
     for name in TABLES:
         df = load_table(spark, src_sf, name)
         if name in BUCKETED:
@@ -193,7 +214,18 @@ def main() -> int:
     layout_sf = os.path.join(REPO, ".layout_cache", tag)
     if args.rebuild and os.path.exists(layout_sf):
         shutil.rmtree(layout_sf)
-    if not os.path.exists(os.path.join(layout_sf, "_layout.json")):
+    man_path = os.path.join(layout_sf, "_layout.json")
+    if os.path.exists(man_path):
+        # stale-cache guard (ADVICE r9 item 4): a regenerated source
+        # corpus no longer matches the fingerprint recorded at build
+        # time — rebuild instead of comparing fresh flat results
+        # against stale layout data
+        recorded = json.load(open(man_path)).get("src_fingerprint")
+        if recorded != src_fingerprint(args.sf):
+            print(f"source {args.sf} changed since layout build — "
+                  f"rebuilding {layout_sf}", flush=True)
+            shutil.rmtree(layout_sf)
+    if not os.path.exists(man_path):
         print(f"building layout copy at {layout_sf} ...", flush=True)
         build_layout(spark, args.sf, layout_sf)
     # bucketed tables are per-session state: always (re)create

@@ -155,19 +155,45 @@ def test_q139_cms_bounds(spark, registry):
         assert r["est_over"] <= bound, (r, bound)
 
 
+def test_q139_oracle_constants_match_cms_hash():
+    """The (a_j, c_j) literals inlined in _CMS_ORACLE must equal
+    _cms_hash's derivation — the SQL twin recomputes the IDENTICAL
+    sketch, so a constant drift would silently turn the oracle into
+    a different sketch."""
+    import re
+
+    from hearthstats_spark.queries.analytics_ext4 import _CMS_ORACLE, _CMS_D, _CMS_P
+
+    expected = []
+    for j in range(_CMS_D):
+        a = (j * 2_654_435_761 + 1_013_904_223) % _CMS_P or 1
+        c = (j * 97_531 + 12_345) % _CMS_P
+        expected.append((j, a, c))
+    got = [tuple(int(x) for x in m)
+           for m in re.findall(r"\((\d+), (\d+), (\d+)\)", _CMS_ORACLE)]
+    assert got == expected
+
+
 def test_q140_quantile_sketch_accuracy(spark, registry):
     """percentile_approx at accuracy=10000 must land within rank
     error 1/accuracy of the true quantile: compare each approx p50/
-    p95 against the exact values at ranks ±(n/accuracy)."""
+    p95 against the exact values at ranks ±(n/accuracy). The approx
+    values come from the sketch-lane helper — the registered query
+    hashes exact percentiles + in-plan rank verdicts instead
+    (round-10 sketch-oracle policy), which this test also checks."""
     import math
 
     from pyspark.sql import functions as F
 
     from hearthstats_spark.io import load_table
+    from hearthstats_spark.queries.analytics_ext4 import \
+        _quantile_rollup_sketch
 
-    rows = {r["priority"]: r
-            for r in registry["q140_sketch_quantile_rollup"]
-            .fn(spark, SF_MED).collect()}
+    declared = registry["q140_sketch_quantile_rollup"].fn(
+        spark, SF_MED).collect()
+    assert all(r["p50_rank_ok"] and r["p95_rank_ok"] for r in declared)
+    rows = {("ALL" if r["g_all"] == 1 else r["k"]): r
+            for r in _quantile_rollup_sketch(spark, SF_MED).collect()}
     o = load_table(spark, SF_MED, "orders")
     groups = {p: [x["o_totalprice"] for x in
                   o.filter(F.col("o_orderpriority") == p)

@@ -58,6 +58,10 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   # q173 rides its 1-row token-totals frame onto the
                   # vocabulary counts (q107's scalar shape)
                   "q173_token_drift_tv",
+                  # q177 (round 10) joins its 1-row exact-KS twin
+                  # with the 1-row sketch-bounds frame — a literal
+                  # 1×1 scalar join (q53's scalar-subquery shape)
+                  "q177_ks_sketch_drift",
                   # q187's M=1 quantizer makes the codebook join key
                   # the literal 0 on both sides; Catalyst folds the
                   # equi-condition away, so the ≤16-row runtime-guarded
@@ -99,6 +103,10 @@ FORCED_BROADCAST_OK = {
     # CMS sketch cells: groupBy (depth j, bucket b) ≤ d·w rows by
     # the sketch's fixed geometry
     "q139_sketch_cms": 1,
+    # round 10: the rank-check pass broadcasts the rollup result —
+    # o_orderpriority is an enum (~5 values), so the frame is
+    # ≤ 2·|enum|+1 rows at any raw scale (q110's enum-key bound)
+    "q140_sketch_quantile_rollup": 1,
 }
 
 

@@ -1,5 +1,5 @@
 """The registry IS the driver contract (SURVEY.md §2): 200 declared
-queries q01–q200 + 27 side-effect/streaming ops s01–s27; 189
+queries q01–q200 + 27 side-effect/streaming ops s01–s27; 199
 oracle-checked."""
 
 from __future__ import annotations
@@ -11,9 +11,11 @@ EXPECTED_IDS = {
 } | {f"s{i:02d}" for i in range(1, 28)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
-    "q22_agg_approx", "q49_dedup_near", "q84_sketch_hll_rollup",
-    "q139_sketch_cms", "q140_sketch_quantile_rollup",
-    "q151_hll_window_rollup", "q177_ks_sketch_drift", "s19_stream_stream_left_outer",
+    # (round 10 upgraded q49/q84/q139/q140/q151/q177 to oracle-checked
+    # exact-twin + in-plan-bound form — VERDICT r9 item 5; q22 stays
+    # rows-only: editing aggregates.py would have re-staled 15 fresh
+    # ids against the freshness-convergence order, item 1)
+    "q22_agg_approx", "s19_stream_stream_left_outer",
     "s20_csv_corrupt_records", "s21_binary_file_source",
     "s22_stream_transform_with_state",
     "s23_stream_incremental_dedup",
@@ -42,7 +44,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 193
+    assert len(with_oracle) == 199
 
 
 def test_names_well_formed(registry):

@@ -1,6 +1,9 @@
 """q84 HLL sketch rollup: accuracy and merge-losslessness (the two
-properties that make the sketch pattern safe at 100 TB; no DuckDB
-oracle exists because estimates are implementation-specific)."""
+properties that make the sketch pattern safe at 100 TB). Since round
+10 the queries hash exact-twin columns + in-plan bound booleans
+against DuckDB (sketches.py module docstring); the ESTIMATE values
+themselves — implementation-specific, unhashable — stay pinned
+here."""
 
 from __future__ import annotations
 
@@ -14,8 +17,25 @@ def test_hll_rollup_accuracy(spark, registry):
     assert len(rows) == 5  # one per region
     for r in rows:
         assert r["exact_distinct"] > 0
-        # default lgConfigK=12 → ~1.6% relative standard error
-        assert r["rel_err"] < 0.02, (r["r_name"], r["rel_err"])
+        # default lgConfigK=12 → ~1.6% relative standard error; the
+        # in-plan verdict the driver hashes must agree
+        assert r["est_within_5pct"], r
+    # the raw estimates (not hashable — engine-specific): re-derive
+    # via the same rollup operator and pin the 2% band directly
+    from hearthstats_spark.io import load_table
+    from hearthstats_spark.queries.sketches import hll_rollup
+
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    est = {r["n_regionkey"]: r["est_distinct"]
+           for r in hll_rollup(cn, ["n_regionkey", "n_nationkey"],
+                               ["n_regionkey"], "c_custkey").collect()}
+    exact = {r["n_regionkey"]: r["x"]
+             for r in cn.groupBy("n_regionkey")
+             .agg(F.count_distinct("c_custkey").alias("x")).collect()}
+    for k, x in exact.items():
+        assert abs(est[k] - x) / x < 0.02, (k, est[k], x)
 
 
 def test_hll_merge_equals_direct_sketch(spark):
@@ -66,18 +86,42 @@ def test_hll_window_rollup_error_bound_vs_exact(spark, registry):
     same window set, and every estimate within HLL lgK=12 error bands
     (theoretical RSE ~1.04/sqrt(2^12) ≈ 1.6%; assert a generous 5%
     plus an absolute slack of 2 for tiny counts)."""
-    est = {(r["win_end_hour"], r["event_type"]): r["est_users_24h"]
-           for r in registry["q151_hll_window_rollup"]
-           .fn(spark, SF).collect()}
+    rows = registry["q151_hll_window_rollup"].fn(spark, SF).collect()
+    got = {(r["win_end_hour"], r["event_type"]): r["exact_users_24h"]
+           for r in rows}
     exact = {(r["win_end_hour"], r["event_type"]): r["users_24h"]
              for r in registry["q100_rolling_distinct"]
              .fn(spark, SF).collect()}
-    assert set(est) == set(exact)  # identical window grid
+    # identical window grid AND identical exact counts — the twin
+    # subplan IS q100's kernel, so any divergence is a wiring bug
+    assert got == exact
+    # every in-plan verdict the driver hashes must be TRUE
+    assert all(r["est_within_bound"] for r in rows)
+    # the raw estimates (unhashable): re-derive the sketch lane and
+    # pin the band + usefulness directly
+    from hearthstats_spark.io import load_table
+
+    ev = load_table(spark, SF, "events")
+    hour_sk = (ev.select(F.date_trunc("hour", "ts").alias("h"),
+                         "event_type", "user_id")
+               .groupBy("h", "event_type")
+               .agg(F.hll_sketch_agg("user_id").alias("__sk")))
+    contrib = (hour_sk.select(
+        "event_type", "__sk", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"))
+        .select("event_type", "__sk",
+                F.expr("h + i * INTERVAL '1' HOUR").alias("win")))
+    est = {(r["w"], r["event_type"]): r["e"]
+           for r in contrib.groupBy("win", "event_type")
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+                .cast("long").alias("e"))
+           .select(F.date_format("win", "yyyy-MM-dd HH:mm").alias("w"),
+                   "event_type", "e").collect()}
+    assert set(est) == set(exact)
     worst = 0.0
     for k, e in est.items():
         x = exact[k]
-        err = abs(e - x) / x
-        worst = max(worst, err)
+        worst = max(worst, abs(e - x) / x)
         assert abs(e - x) <= max(2, 0.05 * x), (k, e, x)
     # the sketch must also be USEFUL, not vacuous: sub-1% typical
     assert worst < 0.05
