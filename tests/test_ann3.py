@@ -221,3 +221,31 @@ def test_q187_partition_count_independent(spark, registry):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt
+
+
+def test_recall_floor_at_sf01(spark, registry):
+    """Round-10 recall grade pins (VERDICT r9 item 4; full curve in
+    SCALE.md §ANN recall grades): at sf0.1 — 2k near-random vectors,
+    the honest recall regime — the data-dependent quantizer (q187
+    k-means IVF) must hold ≥ 0.9 recall@5 while the sign-bit lanes
+    sit at chance, and Hamming-1 multiprobe (q87) must dominate
+    single-probe (q61): its candidate set is a superset and
+    top-k-by-exact-sim recall is monotone in the candidate set."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.1"
+    df = duckdb.connect().execute(
+        f"select vec_id, embedding from "
+        f"read_parquet('{sf}/embeddings.parquet') "
+        f"where vec_id is not null and embedding is not null "
+        f"order by vec_id").fetchdf()
+    ids = df["vec_id"].values
+    mat = np.stack(df["embedding"].values).astype(np.float64)
+    exact = _exact_l2_top5(ids, mat)
+    r187 = _recall(
+        registry["q187_ann_ivf_kmeans"].fn(spark, sf).collect(), exact)
+    r87 = _recall(
+        registry["q87_ann_ivf_multiprobe"].fn(spark, sf).collect(), exact)
+    r61 = _recall(registry["q61_ann_ivf"].fn(spark, sf).collect(), exact)
+    assert r187 >= 0.9, r187
+    assert r87 >= r61, (r87, r61)
