@@ -42,14 +42,18 @@ sys.path.insert(0, REPO)
 
 SRC_SF = "/root/testdata/sf0.1"
 
-FAMILIES = [
-    ("dedup", "docs10x", ["q83_dedup_jaccard_exact", "q88_dedup_clusters",
-                          "q118_dedup_minhash_exact"], ["documents"]),
-    ("ann", "emb10x", ["q61_ann_ivf", "q85_ann_lsh",
-                       "q187_ann_ivf_kmeans"], ["embeddings"]),
-    ("graph", "graph10x", ["q98_triangle_count", "q108_pagerank",
-                           "q144_bfs_reach"], ["lineitem"]),
-]
+def families(n: int):
+    return [
+        ("dedup", f"docs{n}x",
+         ["q83_dedup_jaccard_exact", "q88_dedup_clusters",
+          "q118_dedup_minhash_exact"], ["documents"]),
+        ("ann", f"emb{n}x",
+         ["q61_ann_ivf", "q85_ann_lsh", "q187_ann_ivf_kmeans"],
+         ["embeddings"]),
+        ("graph", f"graph{n}x",
+         ["q98_triangle_count", "q108_pagerank", "q144_bfs_reach"],
+         ["lineitem"]),
+    ]
 
 CANARY = {"q34_str_funcs": 0.138, "q25_win_topk": 0.330}  # bench.py anchors
 
@@ -76,9 +80,10 @@ def main() -> int:
     ap.add_argument("--dry", action="store_true")
     args = ap.parse_args()
 
+    fams = families(args.n)
     # corpora: build any missing family corpus (idempotent,
     # deterministic — see make_bench_corpus.py)
-    for _, corpus, _, tables in FAMILIES:
+    for _, corpus, _, tables in fams:
         d = os.path.join(REPO, ".bench_corpus", corpus)
         missing = [t for t in tables
                    if not os.path.exists(os.path.join(d, f"{t}.parquet"))]
@@ -97,7 +102,7 @@ def main() -> int:
     env.setdefault("SPARK_GRAFT_SF_DIR", SRC_SF)
 
     results: dict[str, float] = {}
-    for fam, corpus, queries, _ in FAMILIES:
+    for fam, corpus, queries, _ in fams:
         sf = os.path.join(REPO, ".bench_corpus", corpus)
         print(f"[trend] {fam} @ {corpus}: {queries}", file=sys.stderr)
         results.update(_steady(queries, sf, env))
