@@ -816,7 +816,12 @@ def q140_sketch_quantile_rollup(spark: SparkSession,
     n stays COUNT(*). A group whose percentile is NULL (no non-null
     values) gets verdict TRUE via COALESCE — both engines emit the
     same NULL exact percentile there."""
-    r1 = _quantile_rollup_sketch(spark, sf_dir)
+    # cached: the rollup result feeds BOTH the rank-pass broadcast
+    # and the final join, and Spark does not reuse subplans across
+    # branches (q134's rationale) — without the cache the heaviest
+    # aggregation (exact percentile over all of orders) runs twice
+    # (round-10 self-review find). ≤ 2·|priorities|+1 rows.
+    r1 = _quantile_rollup_sketch(spark, sf_dir).cache()
     o = load_table(spark, sf_dir, "orders")
     exploded = (
         o.select(

@@ -180,8 +180,17 @@ def q151_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumnRenamed("users_24h", "exact_users_24h"))
     # identical window grid by construction (same hour-grain frame,
     # same explode), so an inner join loses nothing — pinned in
-    # tests/test_sketches.py's set-equality assertion
-    return exact.join(est, ["win_end_hour", "event_type"]).select(
+    # tests/test_sketches.py's set-equality assertion. eqNullSafe:
+    # a NULL ts (or NULL event_type) row produces a NULL grid key on
+    # BOTH sides and in the oracle; a null-unsafe join would drop it
+    # from the engine output only (round-10 self-review find)
+    est2 = est.select(F.col("win_end_hour").alias("e_w"),
+                      F.col("event_type").alias("e_t"),
+                      "est_users_24h")
+    return exact.join(
+        est2,
+        exact["win_end_hour"].eqNullSafe(est2["e_w"])
+        & exact["event_type"].eqNullSafe(est2["e_t"])).select(
         "win_end_hour", "event_type", "exact_users_24h",
         F.coalesce(
             F.abs(F.col("est_users_24h") - F.col("exact_users_24h"))

@@ -62,7 +62,11 @@ def src_fingerprint(src_sf: str) -> str:
     import hashlib
 
     h = hashlib.sha256()
-    for root, dirs, files in sorted(os.walk(src_sf)):
+    # dirs.sort() BEFORE the generator advances: os.walk honors
+    # in-place reordering of dirs, making traversal deterministic
+    # (a sorted() wrapper would exhaust the generator first and the
+    # sort would be dead code — round-10 self-review find)
+    for root, dirs, files in os.walk(src_sf):
         dirs.sort()
         for f in sorted(files):
             p = os.path.join(root, f)

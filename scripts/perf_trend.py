@@ -121,6 +121,13 @@ def main() -> int:
            + " |")
     print(json.dumps(results))
     print(row)
+    # GATE: steady_bench records a crashed query as -1.0 — that must
+    # fail this command loudly, not land as a quiet negative cell in
+    # a markdown table (round-10 self-review find)
+    broken = [c for c in cols if results.get(c, -1) < 0]
+    if broken:
+        raise SystemExit(f"perf-trend GATE FAILED — queries crashed "
+                         f"at {args.n}x: {broken}")
     if args.dry:
         return 0
 
@@ -131,6 +138,11 @@ def main() -> int:
     if marker not in text:
         raise SystemExit(f"SCALE.md is missing the trend marker "
                          f"'{marker}' — add the section first")
+    if TREND_HEADER not in text:
+        raise SystemExit(
+            "SCALE.md's trend table header no longer matches "
+            f"TREND_HEADER ({TREND_HEADER!r}) — realign the `cols` "
+            "order and the header before appending rows")
     text = text.replace(marker, f"{row}\n{marker}")
     with open(scale, "w") as fh:
         fh.write(text)

@@ -230,7 +230,14 @@ def test_recall_floor_at_sf01(spark, registry):
     k-means IVF) must hold ≥ 0.9 recall@5 while the sign-bit lanes
     sit at chance, and Hamming-1 multiprobe (q87) must dominate
     single-probe (q61): its candidate set is a superset and
-    top-k-by-exact-sim recall is monotone in the candidate set."""
+    top-k-by-exact-sim recall is monotone in the candidate set.
+
+    Ground truth is COSINE top-5 — the metric scripts/ann_recall.py
+    publishes in SCALE.md, so this floor actually bounds that curve
+    (an L2 truth here would let a cosine-recall regression slip
+    through — round-10 self-review find). q187 ranks in-cell by L2;
+    grading it against the published cosine truth is the point: the
+    0.96 measured says the metrics agree on this corpus."""
     import duckdb
 
     sf = "/root/testdata/sf0.1"
@@ -241,7 +248,13 @@ def test_recall_floor_at_sf01(spark, registry):
         f"order by vec_id").fetchdf()
     ids = df["vec_id"].values
     mat = np.stack(df["embedding"].values).astype(np.float64)
-    exact = _exact_l2_top5(ids, mat)
+    # cosine top-5 (ann_recall.py's _TRUTH_SQL in numpy form)
+    nrm = np.sqrt((mat ** 2).sum(axis=1))
+    exact = {}
+    for qi in np.nonzero(ids < 10)[0]:
+        sims = (mat @ mat[qi]) / (nrm * nrm[qi])
+        sims[ids == ids[qi]] = -np.inf
+        exact[ids[qi]] = set(ids[np.argsort(-sims, kind="stable")[:5]])
     r187 = _recall(
         registry["q187_ann_ivf_kmeans"].fn(spark, sf).collect(), exact)
     r87 = _recall(
