@@ -126,10 +126,16 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: any previously-checked id re-rotates. The round-9 declarations
 #: are retired: all eight got CORRECTNESS_r09 records and their file
 #: hashes match VERIFIED.json again.
+#: Also round 10: q98 — operators/graph.triangle_census's closing
+#: join now packs (xy.dst, xz.dst) into one BIGINT and probes a
+#: pk-projected edge set (measured −15% census wall at 2.96B wedges,
+#: counts identical at 1×/10×/20×). A shared-OPERATOR edit the
+#: per-file staleness cannot see, so the consuming id is declared
+#: explicitly (the operators/asof.py round-9 precedent).
 REVERIFY_FIRST: set[str] = {
     "q49_dedup_near", "q84_sketch_hll_rollup", "q139_sketch_cms",
     "q140_sketch_quantile_rollup", "q151_hll_window_rollup",
-    "q177_ks_sketch_drift",
+    "q177_ks_sketch_drift", "q98_triangle_count",
 }
 
 

@@ -82,21 +82,39 @@ def triangle_census(oriented: DataFrame) -> DataFrame:
     cluster lane passes a catalog table written by
     ``sources.layout.write_bucketed(..., ['src'])``, which makes the
     wedge self-join bucket-local (SelectedBucketsCount, zero
-    edge-sized Exchange — plan-pinned in tests/test_layout.py). The
-    one remaining exchange is the wedge frame itself meeting yz's
-    src layout — irreducible without changing algorithm."""
+    edge-sized Exchange — plan-pinned in tests/test_layout.py).
+
+    Closing join (round 10): the wedge frame carries its closing key
+    PACKED into one BIGINT (xy.dst·2³² + xz.dst, the operators/pairs
+    kernel — precondition ids < 2³¹ holds for every caller: partkeys
+    by generation, and the bench corpora assert it) and probes a
+    pk-projected edge set. vs the two-key (dst, dst) form this cuts
+    the wedge exchange — the frame that is ~100× the edge count —
+    from 16 to 8 key bytes per row and makes the probe a single-long
+    hash; the price is one EDGE-sized exchange of the pk projection
+    (the src bucketing/partitioning cannot satisfy pk clustering).
+    Interleaved A/B on the 10×/20× bench graphs: −6% / −15% census
+    wall (47.2 s → 40.0 s at 2.96B wedges), identical counts; the
+    win grows with shuffle volume, which is the 100 TB direction."""
+    from hearthstats_spark.operators.pairs import PAIR_BASE
+
     wedge_lt = (F.col("xy.d_dst") < F.col("xz.d_dst")) | (
         (F.col("xy.d_dst") == F.col("xz.d_dst"))
         & (F.col("xy.dst") < F.col("xz.dst")))
-    return (
+    pk_edges = oriented.select(
+        (F.col("src") * PAIR_BASE + F.col("dst")).alias("pk"))
+    wedges = (
         oriented.alias("xy")
         .join(oriented.alias("xz"), F.col("xy.src") == F.col("xz.src"))
         .filter(wedge_lt)
-        .join(oriented.alias("yz"),
-              (F.col("yz.src") == F.col("xy.dst"))
-              & (F.col("yz.dst") == F.col("xz.dst")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        # xy.dst precedes xz.dst under the wedge order, and oriented
+        # edges point low→high under the SAME order, so the closing
+        # edge — if present — is stored exactly as (xy.dst, xz.dst)
+        .select((F.col("xy.dst") * PAIR_BASE + F.col("xz.dst"))
+                .alias("pk"))
     )
+    return (wedges.join(pk_edges, "pk")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
 def connected_components(edges: DataFrame, src: str, dst: str,

@@ -182,6 +182,12 @@ def q98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     when some order contains both): edge count, triangle count, wedge
     count, global clustering coefficient (3·triangles / wedges).
 
+    Round 10: the closing join in operators/graph.triangle_census
+    packs the wedge key into one BIGINT (see its docstring —
+    measured −15% census wall at 2.96B wedges, identical counts);
+    this note marks the file stale so the driver re-verifies q98
+    behind the operator change (the asof.py round-9 precedent).
+
     Spark shape: edges come from the shared basket-expansion builder
     (`co_order_edges` — per-order fan-out is bounded by the declared
     BASKET_CAP winsorization, so one mega-order cannot go quadratic

@@ -129,9 +129,13 @@ def test_bucketed_triangle_census_wedge_join_bucket_local(spark):
             tri = triangle_census(ob)
             p = explain_str(tri, "simple")
             assert "SelectedBucketsCount: 8 out of 8" in p
-            # ONE hash exchange total: the wedge frame; neither the
-            # wedge self-join nor yz's probe side shuffles edges
-            assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            # TWO hash exchanges since the round-10 packed closing
+            # join: the wedge frame (now a single packed BIGINT key —
+            # half the key bytes on the ~100×-edge-count frame) and
+            # the EDGE-sized pk projection (src buckets cannot
+            # satisfy pk clustering). The wedge SELF-join still reads
+            # both sides straight from buckets.
+            assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
 
             want = triangle_census(
                 checkpoint_partitioned(oriented, ["src"], 8)
