@@ -132,10 +132,16 @@ def _current_file_hashes(relpaths) -> dict[str, str | None]:
 #: counts identical at 1×/10×/20×). A shared-OPERATOR edit the
 #: per-file staleness cannot see, so the consuming id is declared
 #: explicitly (the operators/asof.py round-9 precedent).
+#: Round 11 (VERDICT r10 item 2): q22 — the last rows-only q-op —
+#: upgraded to the exact-twin + in-plan-bound form (exact
+#: count_distinct twin + 5% ≈ 3σ band boolean at rsd=0.016, the q84
+#: treatment), landed this round because aggregates.py was naturally
+#: stale (4 ids already in the backlog; window_plan verdict SAFE).
+#: All 200 q-ops are now oracle-checked. The round-10 declarations
+#: are retired: all seven got CORRECTNESS_r10 records (50/50 green)
+#: and their file hashes match VERIFIED.json again.
 REVERIFY_FIRST: set[str] = {
-    "q49_dedup_near", "q84_sketch_hll_rollup", "q139_sketch_cms",
-    "q140_sketch_quantile_rollup", "q151_hll_window_rollup",
-    "q177_ks_sketch_drift", "q98_triangle_count",
+    "q22_agg_approx",
 }
 
 

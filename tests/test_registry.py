@@ -11,11 +11,11 @@ EXPECTED_IDS = {
 } | {f"s{i:02d}" for i in range(1, 28)}
 
 ROWS_ONLY = {  # SURVEY.md §2 marks exactly these as oracle-less
-    # (round 10 upgraded q49/q84/q139/q140/q151/q177 to oracle-checked
-    # exact-twin + in-plan-bound form — VERDICT r9 item 5; q22 stays
-    # rows-only: editing aggregates.py would have re-staled 15 fresh
-    # ids against the freshness-convergence order, item 1)
-    "q22_agg_approx", "s19_stream_stream_left_outer",
+    # (round 11 upgraded q22 — the last rows-only q-op — to the
+    # exact-twin + in-plan-bound form, landed while aggregates.py was
+    # naturally stale per VERDICT r10 item 2; all 200 q-ops are now
+    # oracle-checked, only the 27 side-effect/streaming s-ops remain)
+    "s19_stream_stream_left_outer",
     "s20_csv_corrupt_records", "s21_binary_file_source",
     "s22_stream_transform_with_state",
     "s23_stream_incremental_dedup",
@@ -44,7 +44,7 @@ def test_oracle_coverage(registry):
     with_oracle = {n for n, q in registry.items() if q.oracle is not None}
     without = set(registry) - with_oracle
     assert without == ROWS_ONLY
-    assert len(with_oracle) == 199
+    assert len(with_oracle) == 200
 
 
 def test_names_well_formed(registry):
