@@ -178,9 +178,17 @@ def _contract_order(names) -> list[str]:
     5. just-lapsed q-ops — checked in the MOST RECENT round and edited
        since: the lowest-risk re-check class (driver-verified last
        round, locally re-verified after the edit);
-    6. fresh q-ops — covered and unchanged since, oldest check round
-       first so re-verification rotates through the registry;
-    7. covered s-ops.
+    6. the green rotation — fresh q-ops AND covered s-ops in ONE
+       tier, oldest check round first (q before s within a round).
+       Covered s-ops used to rank strictly after every fresh q-op,
+       which could never fire: ~200 fresh q-ops always refill the
+       50-slot window, so an s-op's rows-record would have stayed
+       frozen at its r7/r8 round forever — a silently-broken sink
+       would keep a stale green record indefinitely (VERDICT r10
+       item 3). Merging the tiers lets the window reach the s-ops
+       as soon as the stale backlog drains (~r12), while their
+       older check rounds naturally rank them ahead of recently
+       re-verified q-ops.
 
     Every query is still present either way, and
     scripts/check_oracle.py runs the full sweep locally regardless
@@ -257,9 +265,17 @@ def _ordering(names, hash_overrides=None):
 
     def key(n: str):
         rnd = verified.get(n, {}).get("round", 0)
+        # classes 5 (fresh q) and 6 (covered s) sort as ONE green
+        # rotation tier, oldest driver record first, q before s
+        # within a round — a strictly-after class 6 never re-enters
+        # the 50-slot window once ~200 q-ops are green (VERDICT r10
+        # item 3); the class labels stay distinct for reporting
+        k = klass(n)
+        tier = 5 if k == 6 else k
         if n.startswith("q"):
-            return (klass(n), rnd, qnum(n), n)
-        return (klass(n), rnd, _SOP_RANK.get(n.split("_")[0], len(_SOP_PRIORITY)), n)
+            return (tier, rnd, 0, qnum(n), n)
+        return (tier, rnd, 1,
+                _SOP_RANK.get(n.split("_")[0], len(_SOP_PRIORITY)), n)
 
     out = sorted(names, key=key)
     return out, {n: klass(n) for n in out}

@@ -26,7 +26,10 @@ def test_contract_order_mechanism(monkeypatch, tmp_path):
     verdict: asserting live round state here goes stale the moment the
     driver writes the next CORRECTNESS file). Expected classes:
     never-covered q < declared-edited stale q < never-covered s <
-    co-located stale q < fresh q < covered s."""
+    co-located stale q < green rotation (fresh q AND covered s in one
+    tier, oldest driver record first — a strictly-last covered-s
+    class never re-enters the window once all q-ops are green,
+    VERDICT r10 item 3)."""
     h_live = (tmp_path / "live.py")
     h_live.write_bytes(b"current kernel")
     live_hash = entry_mod._current_file_hashes([str(h_live)])[str(h_live)]
@@ -58,9 +61,11 @@ def test_contract_order_mechanism(monkeypatch, tmp_path):
         "q06_declared",                 # declared semantic edit, stale
         "s02_new",                      # first-ever s record
         "q02_stale",                    # co-located stale (undeclared)
-        "q03_oldfresh", "q01_fresh",    # fresh q, oldest check first
+        # green rotation: oldest driver record first, q before s
+        # within a round — s01_seen (r1) re-enters AHEAD of the
+        # r3-checked q01 (the recycling fix, VERDICT r10 item 3)
+        "q03_oldfresh", "s01_seen", "q01_fresh",
         # (q01's REVERIFY_FIRST entry is inert: hash still matches)
-        "s01_seen",
     ]
     # unverifiable coverage (no VERIFIED entry / no hash) counts stale
     monkeypatch.setattr(entry_mod, "_verified_map", lambda: {})
@@ -87,10 +92,12 @@ def test_contract_order_live_registry():
     # independent re-derivation of the priority classes (docstring of
     # _contract_order): 0 never-covered q, 1 declared-edited stale q,
     # 2 never-covered s, 3 co-located stale q, 4 just-lapsed q
-    # (edited after a latest-round check), 5 fresh q, 6 covered s
+    # (edited after a latest-round check), 5 the green rotation —
+    # fresh q AND covered s share one tier (the recycling fix,
+    # VERDICT r10 item 3)
     def tier(n):
         if not n.startswith("q"):
-            return 2 if n not in covered else 6
+            return 2 if n not in covered else 5
         if n not in covered:
             return 0
         v = verified.get(n)
