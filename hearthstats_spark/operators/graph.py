@@ -95,7 +95,17 @@ def triangle_census(oriented: DataFrame) -> DataFrame:
     (the src bucketing/partitioning cannot satisfy pk clustering).
     Interleaved A/B on the 10×/20× bench graphs: −6% / −15% census
     wall (47.2 s → 40.0 s at 2.96B wedges), identical counts; the
-    win grows with shuffle volume, which is the 100 TB direction."""
+    win grows with shuffle volume, which is the 100 TB direction.
+
+    Rejected alternative (round 11, VERDICT r10 item 4): wedge
+    pre-aggregation — ``groupBy(pk).count()`` before the probe,
+    triangles = SUM(n_wedges) over matched pks. Interleaved
+    fresh-JVM A/B: sf0.1 4.3→5.6 s, 10× 27→57 s (2.1× WORSE).
+    Root cause measured, not guessed: closing keys barely repeat
+    (41.1M wedges → 32.7M distinct pks at sf0.1, duplication 1.26),
+    so the combine saves ≤20 % of shuffled rows while paying a full
+    wedge-scale hash aggregation; the regression grows with the
+    hash-table size, i.e. it is anti-scale. Keep the direct probe."""
     from hearthstats_spark.operators.pairs import PAIR_BASE
 
     wedge_lt = (F.col("xy.d_dst") < F.col("xz.d_dst")) | (
