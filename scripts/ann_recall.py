@@ -8,10 +8,13 @@ For each registered index family the script runs the DECLARED query
 (same probe set vec_id < 10, same parameters) on a corpus and
 compares its neighbor sets to the exact global top-5 computed
 independently in DuckDB (brute-force cosine over the same parquet —
-no shared code with the engine). Corpora: the shipped sf0.1 (2k
-vectors) and .bench_corpus/emb10x (20k vectors, deterministic
-dither — scripts/make_bench_corpus.py), so the output is a
-recall-vs-corpus-scale curve per family.
+no shared code with the engine). Three corpora, three regimes
+(VERDICT r10 item 5): the shipped sf0.1 (2k near-random vectors —
+the floor regime), .bench_corpus/emb10x (20k dithered replicas —
+the ceiling regime), and .bench_corpus/embplanted (40 planted
+Gaussian clusters with known membership — the middle regime where
+quantizer choice and multiprobe ordering actually rank the
+families; built on demand, deterministic).
 
     python scripts/ann_recall.py                  # both corpora
     python scripts/ann_recall.py --sf <dir>       # one corpus
@@ -40,6 +43,7 @@ FAMILIES = {
     "ivf_multiprobe": "q87_ann_ivf_multiprobe",
     "lsh": "q85_ann_lsh",
     "ivf_kmeans": "q187_ann_ivf_kmeans",
+    "ivf_pq": "q184_ann_ivf_pq",
     "ivf_pq_multiprobe": "q185_ann_ivf_pq_multiprobe",
     "ivfadc_residual": "q186_ann_ivfadc_residual",
 }
@@ -106,7 +110,18 @@ def main() -> int:
 
     corpora = ([args.sf] if args.sf else
                ["/root/testdata/sf0.1",
-                os.path.join(REPO, ".bench_corpus", "emb10x")])
+                os.path.join(REPO, ".bench_corpus", "emb10x"),
+                os.path.join(REPO, ".bench_corpus", "embplanted")])
+    # the planted recall corpus is cheap and deterministic — build it
+    # on demand (VERDICT r10 item 5)
+    planted = os.path.join(REPO, ".bench_corpus", "embplanted",
+                           "embeddings.parquet")
+    if args.sf is None and not os.path.exists(planted):
+        import subprocess
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "make_bench_corpus.py"),
+             "--tables", "planted"], check=True, cwd=REPO, timeout=600)
     spark = get_spark("ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}

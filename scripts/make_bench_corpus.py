@@ -13,11 +13,23 @@ table replicates sf0.1 N× under a LINEAR-scaling construction:
   instead of scaling it.
 - embeddings → .bench_corpus/emb{N}x/: distinct vec_ids (replica
   offset), labels preserved, components perturbed by a deterministic
-  per-(vec_id, dim) sub-1e-2 dither — breaks exact-duplicate score
-  ties (recall@k stays well-defined) without moving neighborhoods.
+  per-(vec_id, replica) sub-1e-2 dither constant (plus a shared
+  per-dim ramp) — breaks exact-duplicate score ties (recall@k stays
+  well-defined) without moving neighborhoods.
   Probe sets keyed `vec_id < k` stay replica-0-only by construction:
   the SAME queries search an N× index — the scaling a serving
   deployment sees.
+- planted → .bench_corpus/embplanted/: the RECALL corpus (VERDICT
+  r10 item 5) — k Gaussian clusters with known membership, the
+  middle regime between sf0.1 (near-random: data-independent
+  quantizers at chance) and emb{N}x (dithered replicas: every index
+  trivially at 1.0). Centroids ~ N(0, I_64), members = centroid +
+  N(0, σ²=0.15²) per dim → intra-cluster cosine ≈ 0.978 vs
+  inter ≈ 0±0.125, so a probe's true top-5 are cluster siblings and
+  index quality = does the quantizer bucket the cluster together +
+  rank inside it. Probes vec_id 0-9 land in ten DIFFERENT clusters.
+  Deterministic: numpy PCG64 with a fixed seed, standalone (not
+  derived from sf0.1).
 - lineitem → .bench_corpus/graph{N}x/: (l_orderkey, l_partkey) with
   BOTH keys replica-offset, so the co-purchase graph becomes N
   disjoint copies — triangles/PageRank/BFS workload scales linearly
@@ -98,9 +110,12 @@ def build_embeddings(spark, src: str, n: int) -> str:
 
     rep = e.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__r"))
-    # deterministic per-(vec_id, dim) dither in [0, 1e-2): breaks the
-    # exact score ties identical replicas would create (module
-    # docstring) while leaving neighborhoods intact
+    # deterministic dither in [0, 1e-2): a per-(vec_id, replica)
+    # CONSTANT from the pmod hash plus a shared per-dim i/1e9 ramp
+    # (the ramp is identical across vectors — tie-breaking comes from
+    # the per-replica constant; ADVICE r10 corrected the old claim of
+    # a per-dim hash). Breaks the exact score ties identical replicas
+    # would create while leaving neighborhoods intact.
     dither = (F.pmod(F.col("vec_id") * 7919
                      + F.col("__r") * 104729, F.lit(100003))
               .cast("double") / 1e7)
@@ -155,9 +170,49 @@ def build_lineitem(spark, src: str, n: int) -> str:
     return dst
 
 
+def build_planted(spark, src: str, n: int) -> str:
+    """Planted-cluster recall corpus (module docstring). ``src``/``n``
+    are ignored — the corpus is standalone and fixed-size (40
+    clusters × 200 members, d=64, same schema as sf0.1 embeddings:
+    vec_id BIGINT, embedding FLOAT[], label INTEGER=cluster id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    K, PER, D, SIGMA = 40, 200, 64, 0.15
+    rng = np.random.default_rng(20260816)
+    centroids = rng.normal(0.0, 1.0, (K, D))
+    members = np.repeat(centroids, PER, axis=0) + rng.normal(
+        0.0, SIGMA, (K * PER, D))
+    labels = np.repeat(np.arange(K), PER)
+    # probes 0-9 must sit in ten DIFFERENT clusters: give the first
+    # member of clusters 0-9 ids 0-9, then number the rest 10..N-1
+    vec_ids = np.empty(K * PER, dtype=np.int64)
+    probe_rows = [c * PER for c in range(10)]
+    vec_ids[probe_rows] = np.arange(10)
+    rest = np.setdiff1d(np.arange(K * PER), probe_rows)
+    vec_ids[rest] = np.arange(10, K * PER)
+
+    tbl = pa.table({
+        "vec_id": pa.array(vec_ids, pa.int64()),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in members],
+            pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    dst = os.path.join(REPO, ".bench_corpus", "embplanted")
+    os.makedirs(dst, exist_ok=True)
+    path = os.path.join(dst, "embeddings.parquet")
+    pq.write_table(tbl, path)
+    print(f"{path}: {K * PER} vectors ({K} clusters x {PER}, d={D}, "
+          f"sigma={SIGMA})")
+    return dst
+
+
 BUILDERS = {"documents": build_documents,
             "embeddings": build_embeddings,
-            "lineitem": build_lineitem}
+            "lineitem": build_lineitem,
+            "planted": build_planted}
 
 
 def main() -> int:

@@ -262,3 +262,55 @@ def test_recall_floor_at_sf01(spark, registry):
     r61 = _recall(registry["q61_ann_ivf"].fn(spark, sf).collect(), exact)
     assert r187 >= 0.9, r187
     assert r87 >= r61, (r87, r61)
+
+
+def test_recall_floor_planted(spark, registry):
+    """Round-11 planted-cluster recall pins (VERDICT r10 item 5; full
+    curve + reading in SCALE.md §ANN recall grades): 40 Gaussian
+    clusters × 200 members, the middle regime between sf0.1's
+    near-random floor and emb10x's replica ceiling. Measured at pin
+    time: sign-bit 0.52, Hamming-1 multiprobe 0.86, LSH 0.88,
+    k-means IVF 0.90, PQ lanes 0.0-0.08 (right cluster, ADC can't
+    rank σ=0.15 siblings). Floors sit under the measured values;
+    the q87 ≥ q61 monotonicity is pinned here too (exact-ranked
+    lanes only — the ADC lanes are deliberately NOT pinned
+    monotone: emb10x measures q185 0.64 < q184 0.70)."""
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = os.path.join(repo, ".bench_corpus", "embplanted")
+    if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "scripts", "make_bench_corpus.py"),
+             "--tables", "planted"], check=True, cwd=repo, timeout=600)
+
+    df = duckdb.connect().execute(
+        f"select vec_id, embedding from "
+        f"read_parquet('{sf}/embeddings.parquet') "
+        f"where vec_id is not null and embedding is not null "
+        f"order by vec_id").fetchdf()
+    ids = df["vec_id"].values
+    mat = np.stack(df["embedding"].values).astype(np.float64)
+    nrm = np.sqrt((mat ** 2).sum(axis=1))
+    exact = {}
+    for qi in np.nonzero(ids < 10)[0]:
+        sims = (mat @ mat[qi]) / (nrm * nrm[qi])
+        sims[ids == ids[qi]] = -np.inf
+        exact[ids[qi]] = set(ids[np.argsort(-sims, kind="stable")[:5]])
+
+    r61 = _recall(registry["q61_ann_ivf"].fn(spark, sf).collect(), exact)
+    r87 = _recall(
+        registry["q87_ann_ivf_multiprobe"].fn(spark, sf).collect(), exact)
+    r85 = _recall(registry["q85_ann_lsh"].fn(spark, sf).collect(), exact)
+    r187 = _recall(
+        registry["q187_ann_ivf_kmeans"].fn(spark, sf).collect(), exact)
+    assert r187 >= 0.85, r187
+    assert r87 >= 0.75, r87
+    assert r85 >= 0.75, r85
+    assert r61 >= 0.35, r61
+    assert r87 >= r61, (r87, r61)  # exact-ranked superset monotonicity
