@@ -5,8 +5,9 @@ Runs every registered batch query from SURVEY.md §2 at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE SHORT JSON line:
 
-    {"metric": "headline6_total_latency", "value": N, "unit": "sec",
-     "sf": 0.1, "n_queries": 75, "total_all_queries": T}
+    {"metric": "headline6_total_latency", "value": N,
+     "headline6_warm": W, "unit": "sec", "sf": 0.1,
+     "n_queries": 75, "total_all_queries": T}
 
 The final stdout line is deliberately compact (<200 bytes): round 1
 lost its bench gate because the driver tail-captures stdout and a
@@ -246,9 +247,18 @@ def main() -> int:
                   file=sys.stderr)
     canary = canary_factor(warm, sf)
 
+    # warm headline beside the cold one (VERDICT r10 item 6): cold
+    # carries the documented ±25% fresh-JVM variance that dominates
+    # round-over-round noise discussion; warm is the steady number a
+    # long-lived cluster sees, so the parsed line now carries both
+    # and cross-round comparisons should normalize on warm first
+    headline_warm = round(sum(warm[k] for k in HEADLINE
+                              if warm.get(k, -1) >= 0), 3)
+
     detail = {
         "metric": "headline6_total_latency",
         "value": headline_total,
+        "headline6_warm": headline_warm,
         "unit": "sec",
         "sf": sf,
         "canary_factor": canary,
@@ -275,6 +285,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "headline6_total_latency",
         "value": headline_total,
+        "headline6_warm": headline_warm,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(ok),

@@ -4,6 +4,22 @@
 Usage:
     python scripts/check_oracle.py [--sf /root/testdata/sf0.01]
         [--modules joins,aggregates] [--only q05,q06]
+
+Triage notes for specific failures (ADVICE r10):
+
+- **q49_dedup_near failing right after a documents-corpus
+  regeneration**: before treating it as an engine regression, check
+  whether a threshold-boundary pair (exact Jaccard just above 0.69)
+  missed all 8 LSH bands — legitimate banding probability (P ≈ 7e-5
+  per boundary pair), not a bug; the fix is widening n_bands, not
+  touching the join. Deterministic on the SHIPPED corpora (swept
+  green), so this can only appear with regenerated data.
+- **q49/q163 mismatches on a LONG document corpus**: both oracles
+  enumerate positions via generate_series(0|1, 4096); documents
+  over ~4096 words (or tokens over 4096 chars) silently lose
+  shingles/pairs on the ORACLE side only.
+  tests/test_operators.py::test_corpus_within_oracle_series_bounds
+  pins the corpus contract at both driver SFs.
 """
 
 from __future__ import annotations

@@ -50,6 +50,37 @@ def test_lsh_pairs_match_brute_force(spark, registry):
         assert abs(got_pairs[pair] - jd) <= 5e-3
 
 
+def test_corpus_within_oracle_series_bounds():
+    """ADVICE r10: q49's oracle enumerates shingle positions with
+    generate_series(0, 4096) and q163's enumerates character
+    positions with generate_series(1, 4096); a document (or token)
+    longer than the bound would silently lose shingles/pairs on the
+    ORACLE side only, producing a driver mismatch misattributed to
+    the engine. Pin the corpus contract at both driver SFs so a
+    regenerated corpus that violates the bound fails HERE, with the
+    right diagnosis, instead of in CORRECTNESS_r*.json."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        max_words = con.execute(
+            f"SELECT MAX(len(string_split(text, ' ')))"
+            f" FROM read_parquet('{sf}/documents.parquet')"
+            f" WHERE text IS NOT NULL").fetchone()[0]
+        max_tok = con.execute(
+            f"SELECT MAX(len(w)) FROM (SELECT"
+            f" unnest(string_split(text, ' ')) AS w"
+            f" FROM read_parquet('{sf}/documents.parquet')"
+            f" WHERE text IS NOT NULL)").fetchone()[0]
+        assert max_words <= 4096, (
+            f"{sf}: a document has {max_words} words — q49's oracle "
+            f"series bound (4096) silently drops shingles past it; "
+            f"widen the bound before trusting a q49 driver mismatch")
+        assert max_tok <= 4096, (
+            f"{sf}: a token has {max_tok} chars — q163's oracle "
+            f"series bound (4096) silently drops pairs past it")
+
+
 def test_approx_count_distinct_within_2pct(spark, registry):
     """q22's hashed band is 5 % (~3σ at rsd=0.016); the tighter 2 %
     estimate pin lives here at sf0.01, per the sketch-oracle policy

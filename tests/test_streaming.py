@@ -5,6 +5,7 @@ answer exactly, and doubled delivery must dedup to the original set."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -440,7 +441,13 @@ def test_transform_with_state_runtime_probe():
     assert have_api, (
         "PySpark lost transformWithStateInPandas — s22's auto-flip "
         "probe keys on google.protobuf only; revisit the lane gate")
-    assert not have_proto, (
-        "google.protobuf is now available: the transformWithState "
-        "runtime works — adopt the real lane per this docstring and "
-        "retire this probe")
+    if have_proto:
+        # ADVICE r10: an unrelated dependency pulling in protobuf is
+        # an ENVIRONMENT change, not a code regression — don't turn
+        # the whole suite red for it. Skip LOUDLY instead: the skip
+        # reason carries the action item, and the -ra summary line is
+        # the canary's new signal.
+        pytest.skip(
+            "CANARY: google.protobuf is now available — the "
+            "transformWithState runtime works; adopt the real lane "
+            "per this docstring and retire this probe")
