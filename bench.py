@@ -7,7 +7,12 @@ Runs every registered batch query from SURVEY.md §2 at
 
     {"metric": "headline6_total_latency", "value": N,
      "headline6_warm": W, "unit": "sec", "sf": 0.1,
-     "n_queries": 75, "total_all_queries": T}
+     "n_queries": 75, "total_all_queries": T, "steal_max": S}
+
+``steal_max`` is the worst of six 16M-numpy CPU-steal probes taken
+before and after the query loop (see :func:`steal_probe`): ≫0.2 s
+means a hypervisor-degraded window whose absolute timings overstate
+regressions — re-measure or compare ratios (round-8/11 precedent).
 
 The final stdout line is deliberately compact (<200 bytes): round 1
 lost its bench gate because the driver tail-captures stdout and a
@@ -94,6 +99,36 @@ def canary_factor(warm: dict, sf: float = 0.1) -> float | None:
     return round(statistics.median(ratios), 3) if ratios else None
 
 
+#: Quiet-host reference for :func:`steal_probe` (measured on the same
+#: hosts the anchors come from: 0.14-0.2 s; ROUND8_NOTES work-log
+#: 20/22 measured the degraded regime at 4-24 s on identical work).
+STEAL_PROBE_QUIET_S = 0.2
+
+
+def steal_probe(n_runs: int = 3) -> list[float]:
+    """Time a fixed 16M-element numpy alloc+reduce ``n_runs`` times —
+    the ROUND8 CPU-steal probe, now recorded IN the bench report.
+
+    Why the canary is not enough (round 11, measured): hypervisor
+    CPU-stealing hits sustained 32-thread shuffle work far harder
+    than the short latency-bound canary queries — a steal window
+    that inflated q98 3.3× and q08 7× moved canary_factor only
+    1.125→1.142, while this probe swung 0.14 s ↔ 10.9 s on
+    back-to-back runs. A bench row whose probe max is ≫
+    :data:`STEAL_PROBE_QUIET_S` was taken in a degraded window and
+    its absolute shuffle-heavy timings overstate regressions
+    (the round-8 precedent: compare ratios, or re-measure)."""
+    import numpy as np
+
+    out = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        a = np.random.default_rng(0).random(16_000_000)
+        float((a * 2.0).sum())
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
 def _drop_blocks(spark) -> None:
     """Free every cached/checkpointed block between timed runs —
     and make the cleanup finish BEFORE the next timing starts.
@@ -142,6 +177,7 @@ def main() -> int:
     from hearthstats_spark.session import get_spark
 
     arts_at_start = _list_artifacts()
+    probe_start = steal_probe()
 
     spark = get_spark("hearthstats-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -246,6 +282,8 @@ def main() -> int:
             print(f"[bench] steady phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     canary = canary_factor(warm, sf)
+    probe_end = steal_probe()
+    steal_max = max(probe_start + probe_end)
 
     # warm headline beside the cold one (VERDICT r10 item 6): cold
     # carries the documented ±25% fresh-JVM variance that dominates
@@ -263,6 +301,8 @@ def main() -> int:
         "sf": sf,
         "canary_factor": canary,
         "canary_anchors": CANARY_ANCHORS,
+        "steal_probe": {"start": probe_start, "end": probe_end,
+                        "quiet_ref_s": STEAL_PROBE_QUIET_S},
         "ann_cache_at_start": arts_at_start,
         "ann_cache_at_end": _list_artifacts(),
         "headline": {k: timings.get(k) for k in HEADLINE},
@@ -291,6 +331,7 @@ def main() -> int:
         "n_queries": len(ok),
         "total_all_queries": round(sum(ok.values()), 3),
         "canary_factor": canary,
+        "steal_max": steal_max,
     }))
     return 0 if len(ok) == len(timings) else 1
 

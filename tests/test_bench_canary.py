@@ -30,3 +30,18 @@ def test_anchors_are_the_reference_host_values():
     # every cross-round comparison, so pin them
     assert CANARY_ANCHORS == {"q34_str_funcs": 0.138,
                               "q25_win_topk": 0.330}
+
+
+def test_steal_probe_shape_and_bounds():
+    # the probe must always produce n positive timings (a bench that
+    # crashes while REPORTING host health would lose the round's
+    # numbers — same rule as the canary), and the workload must be
+    # heavy enough to see steal (16M doubles) but bounded
+    from bench import STEAL_PROBE_QUIET_S, steal_probe
+
+    runs = steal_probe(n_runs=2)
+    assert len(runs) == 2
+    assert all(isinstance(r, float) and r > 0 for r in runs)
+    # the quiet reference is a constant the report embeds; keep it
+    # honest against accidental edits
+    assert STEAL_PROBE_QUIET_S == 0.2
