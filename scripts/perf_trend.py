@@ -78,7 +78,17 @@ def main() -> int:
     ap.add_argument("--tag", required=True, help="row label, e.g. r10")
     ap.add_argument("--n", type=int, default=10)
     ap.add_argument("--dry", action="store_true")
+    ap.add_argument("--force-degraded", action="store_true",
+                    help="append the row even when the CPU-steal probe "
+                         "says the host window is degraded")
     args = ap.parse_args()
+
+    # host-health stamp (round 11): a hypervisor steal window inflates
+    # the shuffle-heavy cells far more than the canary captures (see
+    # bench.steal_probe); probe before and after so a degraded row is
+    # refused instead of landing in SCALE.md as a fake regression
+    from bench import STEAL_PROBE_QUIET_S, steal_probe
+    probe_start = steal_probe()
 
     fams = families(args.n)
     # corpora: build any missing family corpus (idempotent,
@@ -112,6 +122,10 @@ def main() -> int:
         canary_runs[q] / anchor for q, anchor in CANARY.items())
     results["canary_factor"] = round(factor, 3)
 
+    probe_end = steal_probe()
+    steal_max = max(probe_start + probe_end)
+    results["steal_max"] = steal_max
+
     cols = ["q83_dedup_jaccard_exact", "q88_dedup_clusters",
             "q118_dedup_minhash_exact", "q61_ann_ivf", "q85_ann_lsh",
             "q187_ann_ivf_kmeans", "q98_triangle_count",
@@ -130,6 +144,14 @@ def main() -> int:
                          f"at {args.n}x: {broken}")
     if args.dry:
         return 0
+    if steal_max > 5 * STEAL_PROBE_QUIET_S and not args.force_degraded:
+        raise SystemExit(
+            f"perf-trend DEGRADED-HOST GATE — steal probe max "
+            f"{steal_max:.2f}s vs quiet ref {STEAL_PROBE_QUIET_S}s: "
+            f"the host is in a CPU-steal window and this row would "
+            f"overstate regressions (round-8/11 precedent). Row NOT "
+            f"appended; re-run in a quiet window or pass "
+            f"--force-degraded to record it with a caveat.")
 
     scale = os.path.join(REPO, "SCALE.md")
     with open(scale) as fh:
