@@ -7,12 +7,17 @@ Runs every registered batch query from SURVEY.md §2 at
 
     {"metric": "headline6_total_latency", "value": N,
      "headline6_warm": W, "unit": "sec", "sf": 0.1,
-     "n_queries": 75, "total_all_queries": T, "steal_max": S}
+     "n_queries": 75, "total_all_queries": T,
+     "steal_max": S, "steal_sus": U}
 
-``steal_max`` is the worst of six 16M-numpy CPU-steal probes taken
-before and after the query loop (see :func:`steal_probe`): ≫0.2 s
+``steal_max``/``steal_sus`` summarize six 16M-numpy CPU-steal probes
+taken before and after the query loop (see :func:`steal_probe`):
+``steal_sus`` (sustained median, excl. idle→busy first runs) ≫0.2 s
 means a hypervisor-degraded window whose absolute timings overstate
-regressions — re-measure or compare ratios (round-8/11 precedent).
+regressions — re-measure or compare ratios (round-8/11 precedent);
+a high ``steal_max`` with a quiet ``steal_sus`` is only the
+idle→busy transition penalty and the continuously-busy query
+timings are mostly trustworthy.
 
 The final stdout line is deliberately compact (<200 bytes): round 1
 lost its bench gate because the driver tail-captures stdout and a
@@ -117,7 +122,15 @@ def steal_probe(n_runs: int = 3) -> list[float]:
     back-to-back runs. A bench row whose probe max is ≫
     :data:`STEAL_PROBE_QUIET_S` was taken in a degraded window and
     its absolute shuffle-heavy timings overstate regressions
-    (the round-8 precedent: compare ratios, or re-measure)."""
+    (the round-8 precedent: compare ratios, or re-measure).
+
+    Reading the triplet (round 11, measured): run 0 after an idle
+    gap carries an idle→busy transition penalty (hypervisor page
+    reclaim — 3-25 s observed while runs 1+ sat at 0.12-0.17 s) even
+    when sustained throughput is at full speed; TRUE steal degrades
+    the later runs too (round 8 regime: 10.9/0.18/4.2 back-to-back).
+    So gate on :func:`steal_sustained` (median of runs[1:]) and read
+    the max as the worst-case transition indicator."""
     import numpy as np
 
     out = []
@@ -127,6 +140,20 @@ def steal_probe(n_runs: int = 3) -> list[float]:
         float((a * 2.0).sum())
         out.append(round(time.perf_counter() - t0, 3))
     return out
+
+
+def steal_sustained(*probe_runs: list[float]) -> float:
+    """Median of the non-first runs across probe triplets — the
+    sustained-throughput health number gates should use (see
+    :func:`steal_probe`: run 0 measures the idle→busy transition,
+    not steady work). Falls back to the overall median when every
+    triplet has length 1."""
+    import statistics
+
+    tail = [r for runs in probe_runs for r in runs[1:]]
+    if not tail:
+        tail = [r for runs in probe_runs for r in runs]
+    return round(statistics.median(tail), 3) if tail else -1.0
 
 
 def _drop_blocks(spark) -> None:
@@ -284,6 +311,7 @@ def main() -> int:
     canary = canary_factor(warm, sf)
     probe_end = steal_probe()
     steal_max = max(probe_start + probe_end)
+    steal_sus = steal_sustained(probe_start, probe_end)
 
     # warm headline beside the cold one (VERDICT r10 item 6): cold
     # carries the documented ±25% fresh-JVM variance that dominates
@@ -302,6 +330,7 @@ def main() -> int:
         "canary_factor": canary,
         "canary_anchors": CANARY_ANCHORS,
         "steal_probe": {"start": probe_start, "end": probe_end,
+                        "sustained": steal_sus,
                         "quiet_ref_s": STEAL_PROBE_QUIET_S},
         "ann_cache_at_start": arts_at_start,
         "ann_cache_at_end": _list_artifacts(),
@@ -332,6 +361,7 @@ def main() -> int:
         "total_all_queries": round(sum(ok.values()), 3),
         "canary_factor": canary,
         "steal_max": steal_max,
+        "steal_sus": steal_sus,
     }))
     return 0 if len(ok) == len(timings) else 1
 

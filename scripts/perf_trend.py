@@ -87,7 +87,7 @@ def main() -> int:
     # the shuffle-heavy cells far more than the canary captures (see
     # bench.steal_probe); probe before and after so a degraded row is
     # refused instead of landing in SCALE.md as a fake regression
-    from bench import STEAL_PROBE_QUIET_S, steal_probe
+    from bench import STEAL_PROBE_QUIET_S, steal_probe, steal_sustained
     probe_start = steal_probe()
 
     fams = families(args.n)
@@ -123,8 +123,9 @@ def main() -> int:
     results["canary_factor"] = round(factor, 3)
 
     probe_end = steal_probe()
-    steal_max = max(probe_start + probe_end)
-    results["steal_max"] = steal_max
+    results["steal_max"] = max(probe_start + probe_end)
+    steal_sus = steal_sustained(probe_start, probe_end)
+    results["steal_sus"] = steal_sus
 
     cols = ["q83_dedup_jaccard_exact", "q88_dedup_clusters",
             "q118_dedup_minhash_exact", "q61_ann_ivf", "q85_ann_lsh",
@@ -144,10 +145,10 @@ def main() -> int:
                          f"at {args.n}x: {broken}")
     if args.dry:
         return 0
-    if steal_max > 5 * STEAL_PROBE_QUIET_S and not args.force_degraded:
+    if steal_sus > 5 * STEAL_PROBE_QUIET_S and not args.force_degraded:
         raise SystemExit(
-            f"perf-trend DEGRADED-HOST GATE — steal probe max "
-            f"{steal_max:.2f}s vs quiet ref {STEAL_PROBE_QUIET_S}s: "
+            f"perf-trend DEGRADED-HOST GATE — sustained steal probe "
+            f"{steal_sus:.2f}s vs quiet ref {STEAL_PROBE_QUIET_S}s: "
             f"the host is in a CPU-steal window and this row would "
             f"overstate regressions (round-8/11 precedent). Row NOT "
             f"appended; re-run in a quiet window or pass "

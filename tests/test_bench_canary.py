@@ -45,3 +45,16 @@ def test_steal_probe_shape_and_bounds():
     # the quiet reference is a constant the report embeds; keep it
     # honest against accidental edits
     assert STEAL_PROBE_QUIET_S == 0.2
+
+
+def test_steal_sustained_excludes_transition_run():
+    # run 0 carries the idle->busy page-reclaim penalty even on a
+    # healthy host (round 11: 3-25s while runs 1+ sat at 0.13s);
+    # the gate number must not be poisoned by it
+    from bench import steal_sustained
+
+    assert steal_sustained([10.9, 0.14, 0.12], [6.5, 0.16, 0.18]) == 0.15
+    # true-steal regime: later runs are slow too, and the gate sees it
+    assert steal_sustained([10.9, 4.2, 5.0]) == 4.6
+    # degenerate single-run triplets fall back to the overall median
+    assert steal_sustained([0.2]) == 0.2
