@@ -58,3 +58,20 @@ def test_steal_sustained_excludes_transition_run():
     assert steal_sustained([10.9, 4.2, 5.0]) == 4.6
     # degenerate single-run triplets fall back to the overall median
     assert steal_sustained([0.2]) == 0.2
+
+
+def test_wait_quiet_two_regime_decision():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "scripts"))
+    from wait_quiet import is_quiet
+
+    # transition-penalty regime: huge run 0, quiet sustained -> quiet
+    assert is_quiet([25.2, 0.13, 0.12, 0.14], quiet_ref=0.35)
+    # true-steal regime: later runs degraded too -> not quiet
+    assert not is_quiet([10.9, 0.18, 4.2, 0.14], quiet_ref=0.35)
+    # uniformly slow -> not quiet
+    assert not is_quiet([3.0, 2.0, 2.5, 2.2], quiet_ref=0.35)
+    # single-run probe falls back to the overall median
+    assert is_quiet([0.2], quiet_ref=0.35)
