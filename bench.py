@@ -10,19 +10,22 @@ Runs every registered batch query from SURVEY.md §2 at
      "n_queries": 75, "total_all_queries": T,
      "steal_max": S, "steal_sus": U}
 
-``steal_max``/``steal_sus`` summarize six 16M-numpy CPU-steal probes
-taken before and after the query loop (see :func:`steal_probe`):
-``steal_sus`` (sustained median, excl. idle→busy first runs) ≫0.2 s
+``steal_max``/``steal_sus`` summarize the 16M-numpy CPU-steal probes
+taken before, between and after the two long phases (see
+:func:`steal_probe`; worst per-probe values, so a mid-run burst
+cannot average away): ``steal_sus``
+(sustained median, excl. idle→busy first runs) ≫0.2 s
 means a hypervisor-degraded window whose absolute timings overstate
 regressions — re-measure or compare ratios (round-8/11 precedent);
 a high ``steal_max`` with a quiet ``steal_sus`` is only the
 idle→busy transition penalty and the continuously-busy query
 timings are mostly trustworthy.
 
-The final stdout line is deliberately compact (<200 bytes): round 1
-lost its bench gate because the driver tail-captures stdout and a
-~4 KB line with the 75-entry per-query map inline was truncated
-mid-object (BENCH_r01.json "parsed": null). The full per-query
+The final stdout line is deliberately compact (~220 bytes as of
+round 11 — the real budget is that the line must sit INTACT inside
+the driver's 2000-char stdout tail capture): round 1 lost its bench
+gate because a ~4 KB line with the 75-entry per-query map inline was
+truncated mid-object (BENCH_r01.json "parsed": null). The full per-query
 breakdown now goes to ``BENCH_DETAIL.json`` next to this file and is
 echoed on stderr.
 
@@ -119,10 +122,11 @@ def steal_probe(n_runs: int = 3) -> list[float]:
     than the short latency-bound canary queries — a steal window
     that inflated q98 3.3× and q08 7× moved canary_factor only
     1.125→1.142, while this probe swung 0.14 s ↔ 10.9 s on
-    back-to-back runs. A bench row whose probe max is ≫
-    :data:`STEAL_PROBE_QUIET_S` was taken in a degraded window and
-    its absolute shuffle-heavy timings overstate regressions
-    (the round-8 precedent: compare ratios, or re-measure).
+    back-to-back runs. A bench row whose SUSTAINED number
+    (:func:`steal_sustained`) is ≫ :data:`STEAL_PROBE_QUIET_S` was
+    taken in a degraded window and its absolute shuffle-heavy
+    timings overstate regressions (the round-8 precedent: compare
+    ratios, or re-measure).
 
     Reading the triplet (round 11, measured): run 0 after an idle
     gap carries an idle→busy transition penalty (hypervisor page
@@ -259,6 +263,11 @@ def main() -> int:
                 warm[name] = -1.0
             _drop_blocks(spark)
 
+    # host-health sample between the query loop and the steady phase:
+    # steal windows last minutes, so endpoints-only sampling could
+    # miss a burst confined to either long phase (round-11 review)
+    probe_mid = steal_probe()
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     # the headline set is FIXED (BASELINE.md anchors) so `value` stays
     # comparable across rounds as query coverage grows
@@ -310,8 +319,12 @@ def main() -> int:
                   file=sys.stderr)
     canary = canary_factor(warm, sf)
     probe_end = steal_probe()
-    steal_max = max(probe_start + probe_end)
-    steal_sus = steal_sustained(probe_start, probe_end)
+    steal_max = max(probe_start + probe_mid + probe_end)
+    # worst per-probe sustained median: a degraded mid-run window
+    # must not average away against quiet neighbors
+    steal_sus = max(steal_sustained(probe_start),
+                    steal_sustained(probe_mid),
+                    steal_sustained(probe_end))
 
     # warm headline beside the cold one (VERDICT r10 item 6): cold
     # carries the documented ±25% fresh-JVM variance that dominates
@@ -329,8 +342,8 @@ def main() -> int:
         "sf": sf,
         "canary_factor": canary,
         "canary_anchors": CANARY_ANCHORS,
-        "steal_probe": {"start": probe_start, "end": probe_end,
-                        "sustained": steal_sus,
+        "steal_probe": {"start": probe_start, "mid": probe_mid,
+                        "end": probe_end, "sustained": steal_sus,
                         "quiet_ref_s": STEAL_PROBE_QUIET_S},
         "ann_cache_at_start": arts_at_start,
         "ann_cache_at_end": _list_artifacts(),

@@ -111,20 +111,30 @@ def main() -> int:
         REPO, ".bench_corpus", ".artifacts")
     env.setdefault("SPARK_GRAFT_SF_DIR", SRC_SF)
 
+    # one probe BETWEEN every stage, not just the endpoints: steal
+    # windows last minutes (0.14 <-> 10.9 s back-to-back), so a burst
+    # that opens during one family and closes before the end would
+    # pass an endpoints-only gate and land as a fake regression —
+    # the exact thing the gate exists to refuse (round-11 review)
+    probes = [probe_start]
     results: dict[str, float] = {}
     for fam, corpus, queries, _ in fams:
         sf = os.path.join(REPO, ".bench_corpus", corpus)
         print(f"[trend] {fam} @ {corpus}: {queries}", file=sys.stderr)
         results.update(_steady(queries, sf, env))
+        probes.append(steal_probe())
 
     canary_runs = _steady(list(CANARY), SRC_SF, env)
     factor = statistics.median(
         canary_runs[q] / anchor for q, anchor in CANARY.items())
     results["canary_factor"] = round(factor, 3)
 
-    probe_end = steal_probe()
-    results["steal_max"] = max(probe_start + probe_end)
-    steal_sus = steal_sustained(probe_start, probe_end)
+    probes.append(steal_probe())
+    results["steal_max"] = max(r for runs in probes for r in runs)
+    # gate on the WORST per-probe sustained median, so one degraded
+    # mid-run window cannot hide inside an overall median of quiet
+    # neighbors
+    steal_sus = max(steal_sustained(runs) for runs in probes)
     results["steal_sus"] = steal_sus
 
     cols = ["q83_dedup_jaccard_exact", "q88_dedup_clusters",

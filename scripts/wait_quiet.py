@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -43,13 +42,17 @@ def is_quiet(runs: list[float], quiet_ref: float) -> bool:
 
     Two conditions, because true steal is BURSTY — a single probe
     round can catch one 4 s burst between fast runs and a bare
-    median waves it through: (a) the sustained median is at the
-    quiet reference, (b) no single sustained run exceeds 10× it
-    (healthy windows show occasional ~1 s blips — measured 1/12
-    runs — which must NOT block, but a multi-second sustained run
-    is the steal signature)."""
+    median waves it through: (a) the sustained median
+    (``bench.steal_sustained`` — ONE definition of "sustained",
+    shared with the perf-trend gate) is at the quiet reference,
+    (b) no single sustained run exceeds 10× it (healthy windows
+    show occasional ~1 s blips — measured 1/12 runs — which must
+    NOT block, but a multi-second sustained run is the steal
+    signature)."""
+    from bench import steal_sustained
+
     tail = runs[1:] or runs
-    return (statistics.median(tail) < quiet_ref
+    return (steal_sustained(runs) < quiet_ref
             and max(tail) < 10 * quiet_ref)
 
 
@@ -74,9 +77,9 @@ def main() -> int:
     while True:
         runs = steal_probe(4)
         quiet = is_quiet(runs, quiet_ref)
-        print(f"[wait_quiet] probe {runs} quiet={quiet} "
-              f"({consec + quiet}/{args.consecutive})", flush=True)
         consec = consec + 1 if quiet else 0
+        print(f"[wait_quiet] probe {runs} quiet={quiet} "
+              f"({consec}/{args.consecutive})", flush=True)
         if consec >= args.consecutive:
             break
         if time.time() >= deadline:
