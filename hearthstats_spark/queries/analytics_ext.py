@@ -346,33 +346,23 @@ def q100_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window-end hour, type) — the sliding DISTINCT aggregate SQL
     windows can't express (COUNT(DISTINCT) OVER a sliding frame).
 
-    Formulation: contribution expansion — each distinct (hour, type,
-    user) triple contributes to exactly the 24 windows ending at
-    h..h+23 (q42's bucket-expansion trick generalized to distinct
-    aggregation). The fan-out is the window length (a constant), the
-    dedup is one shuffle on (type, user, win), and the final count is
-    a plain hash agg: linear at any data scale, unlike a per-window
-    self-join. Windows trailing past the last event keep their
-    partial contents on both engines (no bounds filter — consistent,
-    and avoids a one-row bounds cross-join)."""
-    ev = load_table(spark, sf_dir, "events")
-    hu = (ev.select(F.date_trunc("hour", "ts").alias("h"),
-                    "event_type", "user_id")
-          .distinct())
-    contrib = (
-        hu.select("event_type", "user_id", "h",
-                  F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"))
-        .select("event_type", "user_id",
-                F.expr("h + i * INTERVAL '1' HOUR").alias("win"))
-        .distinct()
-    )
-    return (
-        contrib.groupBy("win", "event_type")
-        .agg(F.count(F.lit(1)).alias("users_24h"))
-        .select(F.date_format("win", "yyyy-MM-dd HH:mm")
-                .alias("win_end_hour"),
-                "event_type", "users_24h")
-    )
+    The oracle states the semantics as contribution expansion (each
+    distinct (hour, type, user) triple contributes to the 24 windows
+    ending at h..h+23); the ENGINE routes through the delta-sweep
+    kernel (operators/rolling — q166's formulation) since
+    optimization round 11: each user's active hours collapse to
+    covered intervals emitting two deltas, so the window length
+    multiplies only the type×hour grid, never the user-sized shuffle
+    (guide §2.3; measured 3.46 → 2.75 s steady at sf0.1, and the gap
+    grows with scale). The original expansion kernel remains in
+    operators/rolling as the cross-check twin
+    (tests/test_ext5.py::test_rolling_distinct_kernels_agree).
+    Windows trailing past the last event keep their partial contents
+    on both engines (no bounds filter — consistent, and avoids a
+    one-row bounds cross-join)."""
+    from hearthstats_spark.operators.rolling import rolling_distinct_delta
+
+    return rolling_distinct_delta(load_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -323,64 +323,17 @@ def q166_rolling_distinct_delta(spark: SparkSession,
     with zero coverage are absent from the grid on both engines
     (identical emitted set — the property that lets q100's oracle be
     reused verbatim; the cross-check IS the point: two independent
-    kernels, one truth)."""
+    kernels, one truth).
+
+    Optimization round 11: the kernel body moved verbatim to
+    operators/rolling.rolling_distinct_delta so q100 and q151's
+    exact twin share it (guide §2.3 — the expansion kernel's 24×
+    fan-out multiplied a user-sized shuffle); the expansion twin
+    lives beside it for tests/test_ext5.py's equality cross-check."""
     ev = load_table(spark, sf_dir, "events")
-    hu = (ev.select(F.date_trunc("hour", "ts").alias("h"),
-                    "event_type", "user_id")
-          .distinct())
-    hu = hu.cache()  # islands pass + grid both read it
-    # islands over each user's active hours: a new island starts when
-    # the gap to the previous active hour exceeds the window length
-    # (24h) — inside that, the covered windows [h, prev_last + 23]
-    # overlap into one run
-    hrs = F.unix_timestamp("h")
-    w_prev = (Window.partitionBy("event_type", "user_id").orderBy("h")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    w_cum = (Window.partitionBy("event_type", "user_id").orderBy("h")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    g = (hu.withColumn("prev_h", F.max(hrs).over(w_prev))
-         .withColumn(
-             "island",
-             F.sum(F.when(F.col("prev_h").isNull()
-                          | (hrs - F.col("prev_h") > 24 * 3600), 1)
-                   .otherwise(0)).over(w_cum)))
-    isl = (g.groupBy("event_type", "user_id", "island")
-           .agg(F.min("h").alias("first_h"), F.max("h").alias("last_h")))
-    deltas = (
-        isl.select("event_type", F.col("first_h").alias("win"),
-                   F.lit(1).alias("d"))
-        .unionAll(isl.select(
-            "event_type",
-            F.expr("last_h + INTERVAL '24' HOUR").alias("win"),
-            F.lit(-1).alias("d")))
-        .groupBy("event_type", "win").agg(F.sum("d").alias("d"))
-    )
-    grid = (hu.select("event_type", "h").distinct()
-            .select("event_type", "h",
-                    F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"))
-            .select("event_type",
-                    F.expr("h + i * INTERVAL '1' HOUR").alias("win"))
-            .distinct())
-    w_run = (Window.partitionBy("event_type").orderBy("win")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    # the running sum must see EVERY delta, including a −1 whose
-    # window falls in a >24h activity gap and therefore is NOT a grid
-    # window (a grid-left-join would silently drop it and overcount
-    # every later window of that type — round-4 self-review; masked
-    # while the test data has no per-type gaps); sweep over
-    # grid ∪ delta-windows, then keep only grid rows for output
-    domain = (grid.withColumn("__g", F.lit(1))
-              .join(deltas, ["event_type", "win"], "full")
-              .withColumn("d", F.coalesce("d", F.lit(0))))
-    return (
-        domain
-        .withColumn("users_24h", F.sum("d").over(w_run))
-        .filter(F.col("__g") == 1)
-        .select(F.date_format("win", "yyyy-MM-dd HH:mm")
-                .alias("win_end_hour"),
-                "event_type", F.col("users_24h").cast("bigint")
-                .alias("users_24h"))
-    )
+    from hearthstats_spark.operators.rolling import rolling_distinct_delta
+
+    return rolling_distinct_delta(ev)
 
 
 @register(

@@ -259,10 +259,19 @@ def test_binary_file_source_verified(spark, registry):
 
 
 def test_rolling_distinct_kernels_agree(spark, registry):
-    """q166 (delta sweep) must equal q100 (contribution expansion)
-    row-for-row — two independent kernels, one truth."""
+    """Delta sweep must equal contribution expansion row-for-row —
+    two independent kernels, one truth. Since optimization round 11
+    the DECLARED q100/q166 both route through the delta kernel, so
+    the expansion side is exercised here via its operator function
+    (operators/rolling) — the cross-check is unchanged."""
+    from hearthstats_spark.operators.rolling import \
+        rolling_distinct_expansion
+
+    from hearthstats_spark.io import load_table
+
     k = ["win_end_hour", "event_type", "users_24h"]
-    a = registry["q100_rolling_distinct"].fn(spark, SF_SMALL).select(k)
+    a = rolling_distinct_expansion(
+        load_table(spark, SF_SMALL, "events")).select(k)
     b = registry["q166_rolling_distinct_delta"].fn(spark, SF_SMALL).select(k)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
