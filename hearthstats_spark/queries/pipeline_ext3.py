@@ -435,36 +435,57 @@ def q199_quality_gate_funnel(spark: SparkSession,
     stage and per split — the yield accounting read before any
     training run ("how many tokens survive to train?").
 
-    Plan: each stage is a hash agg over the (re-)scanned gate chain —
-    at 100 TB re-scanning beats materializing the corpus-scale
-    intermediate (the scans are column-pruned to doc_id/text), dedup
-    duplicates share identical text so MIN(nt) per hash group IS the
-    survivor's count (no join-back), and the split is a pure
-    expression of doc_id (q197's rule, one shared definition). All
-    integer arithmetic — no doubles anywhere."""
-    def raw(spark=spark):
-        return (load_table(spark, sf_dir, "documents")
-                .filter(F.col("text").isNotNull())
-                .select("doc_id",
-                        F.size(F.split("text", " ")).alias("nt"),
-                        F.md5(F.col("text").cast("binary")).alias("th")))
+    Plan (restructured in optimization round 11 — guide §1.2 step 1,
+    fewer passes): the four stages cost TWO corpus scans instead of
+    four and ONE dedup shuffle instead of two. Scan 1 computes the
+    raw AND gated rows as one conditional aggregation (the md5 column
+    prunes away — the stats only need nt); scan 2 feeds the single
+    md5-dedup aggregation, whose per-split stats are materialized
+    (split-count-sized, ~3 rows) and the 'deduped' row is their exact
+    integer sum — dedup duplicates share identical text so MIN(nt)
+    per hash group IS the survivor's count (no join-back), and the
+    split is a pure expression of doc_id (q197's rule, one shared
+    definition). All integer arithmetic — no doubles anywhere."""
+    base = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.size(F.split("text", " ")).alias("nt"),
+                    F.md5(F.col("text").cast("binary")).alias("th")))
+    gated = F.col("nt") >= 20
 
-    g = raw().filter(F.col("nt") >= 20)
-    ded = g.groupBy("th").agg(F.min("doc_id").alias("doc_id"),
-                              F.min("nt").alias("nt"))
+    # scan 1 — raw + gated in one pass (conditional agg; th pruned)
+    rg = base.agg(
+        F.count(F.lit(1)).alias("rn"),
+        F.sum("nt").cast("long").alias("rt"),
+        F.count(F.when(gated, F.lit(1))).alias("gn"),
+        F.sum(F.when(gated, F.col("nt"))).cast("long").alias("gt"))
+    rg_rows = rg.select(F.explode(F.array(
+        F.struct(F.lit("raw").alias("stage"),
+                 F.col("rn").alias("n_docs"),
+                 F.col("rt").alias("sum_tokens")),
+        F.struct(F.lit("gated").alias("stage"),
+                 F.col("gn").alias("n_docs"),
+                 F.col("gt").alias("sum_tokens")))).alias("s")
+    ).select("s.*")
 
-    def stat(df: DataFrame, stage) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs"),
-                      F.sum("nt").cast("long").alias("sum_tokens")
-                      ).select(F.lit(stage).alias("stage")
-                               if isinstance(stage, str) else stage,
-                               "n_docs", "sum_tokens")
-
+    # scan 2 — the one dedup agg; split stats materialized tiny so
+    # the 'deduped' total reads 3 rows instead of re-running the
+    # corpus-scale dedup (localCheckpoint is split-count-sized)
+    ded = (base.filter(gated)
+           .groupBy("th").agg(F.min("doc_id").alias("doc_id"),
+                              F.min("nt").alias("nt")))
     splits = (ded.groupBy(_split_of("doc_id").alias("stage"))
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum("nt").cast("long").alias("sum_tokens"))
-              .select("stage", "n_docs", "sum_tokens"))
-    return (stat(raw(), "raw")
-            .unionByName(stat(g, "gated"))
-            .unionByName(stat(ded, "deduped"))
-            .unionByName(splits))
+              .select("stage", "n_docs", "sum_tokens")
+              .localCheckpoint())
+    # exact integer roll-up of the split rows == the direct dedup
+    # stats; COALESCE keeps n_docs = 0 (not NULL) on an empty corpus,
+    # matching COUNT(*) on both engines (sum_tokens stays NULL there
+    # on both — SUM over zero rows)
+    dedup_row = splits.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0).cast("long"))
+        .alias("n_docs"),
+        F.sum("sum_tokens").cast("long").alias("sum_tokens")
+    ).select(F.lit("deduped").alias("stage"), "n_docs", "sum_tokens")
+    return rg_rows.unionByName(dedup_row).unionByName(splits)
