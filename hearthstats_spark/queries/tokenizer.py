@@ -280,58 +280,67 @@ def sym_pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
+def _merge_fold_lit(x: str, y: str):
+    """:data:`_MERGE_FOLD` with the winning pair bound as LITERALS —
+    the per-iteration fold over the symbol array, parameterized by
+    the driver-collected winner instead of a 1-row crossJoin (see
+    :func:`bpe_train`). Same greedy leftmost non-overlapping rule;
+    ``F.lit`` binds the strings safely (no SQL-text interpolation)."""
+    return F.aggregate(
+        F.col("s"), F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(x))
+            & (t == F.lit(y)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                     F.array(F.lit(x + y))))
+        .otherwise(F.concat(acc, F.array(t))))
+
+
 def bpe_train(vocab: DataFrame, n_merges: int):
     """Run up to ``n_merges`` BPE iterations over a (word, freq)
     vocabulary, stopping early if the pair table empties first.
     Returns (merge_table, final_sym): the merge table is
     (rk, pair, pair_count) — pair_count at selection time — and
     final_sym is (word, freq, s) after all merges. Each iteration:
-    ONE min_by hash agg picks the winner (no sort of the pair table),
-    the 1-row winner broadcasts onto the vocabulary, and the fold
-    applies it greedily."""
+    ONE min_by hash agg picks the winner (no sort of the pair table)
+    and the fold applies it greedily.
+
+    Optimization round 11 (guide §1.2 step 1 — fewer passes/jobs):
+    the winner is a 1-row driver collect (the q177 GK-cut-vector
+    precedent: metadata-sized, scale-free) bound into the fold as
+    literals, and each generation's fold chains LAZILY onto the one
+    checkpointed sym0 instead of materializing sym per iteration —
+    iteration i's single aggregation job recomputes the i−1 prior
+    folds in codegen over the vocab-sized frame, which measures
+    cheaper than a materialization round-trip per generation (the
+    checkpointed corpus-scale word-count agg still runs exactly
+    once). Jobs per training run: ~2·n_merges+2 → n_merges+1."""
     sym = char_symbols(vocab).localCheckpoint()
-    bests = []
+    rows: list[tuple[int, str, int]] = []
     for i in range(1, n_merges + 1):
-        best = (
-            sym_pair_counts(sym)
-            .agg(F.min_by(F.struct("pair", "pair_count"),
-                          F.struct((-F.col("pair_count")).alias("n"),
-                                   F.col("pair"))).alias("b"))
-            .select(F.lit(i).alias("rk"), F.col("b.pair").alias("pair"),
-                    F.col("b.pair_count").alias("pair_count"))
-            .localCheckpoint()
-        )
         # Degenerate lane: when the pair table empties before
         # n_merges iterations (every surviving word is one symbol),
-        # the KEYLESS min_by yields a single all-NULL row — training
-        # must STOP, not append a null merge: the merge table ends at
-        # the last real merge and sym stays frozen, which is exactly
-        # what the oracle's empty-best{i} branch computes (see
-        # _bpe_ctes). The probe reads one row off a frame the loop
-        # already materialized via localCheckpoint, so it adds no
-        # extra evaluation. Unreachable with the shipped corpus and
-        # _N_MERGES=5; pinned in tests/test_tokenizer.py.
-        if best.first()["pair"] is None:
+        # the KEYLESS min_by yields a single all-NULL struct —
+        # training must STOP, not append a null merge: the merge
+        # table ends at the last real merge and sym stays frozen,
+        # which is exactly what the oracle's empty-best{i} branch
+        # computes (see _bpe_ctes). Unreachable with the shipped
+        # corpus and _N_MERGES=5; pinned in tests/test_tokenizer.py.
+        b = (sym_pair_counts(sym)
+             .agg(F.min_by(F.struct("pair", "pair_count"),
+                           F.struct((-F.col("pair_count")).alias("n"),
+                                    F.col("pair"))).alias("b"))
+             .first()["b"])
+        if b is None or b["pair"] is None:
             break
-        bests.append(best)
-        xy = best.select(
-            F.element_at(F.split("pair", " "), 1).alias("x"),
-            F.element_at(F.split("pair", " "), 2).alias("y"))
-        sym = (
-            sym.crossJoin(F.broadcast(xy))  # 1 row: keyless-agg bound
-            .select("word", "freq", F.expr(_MERGE_FOLD).alias("s"))
-            .localCheckpoint()
-        )
-    if not bests:
-        # zero merges possible (e.g. a vocabulary of single-symbol
-        # words): a schema-stable empty merge table, same shape the
-        # oracle's all-empty best{i} union produces
-        empty = vocab.sparkSession.createDataFrame(
-            [], "rk int, pair string, pair_count bigint")
-        return empty, sym
-    merges = bests[0]
-    for b in bests[1:]:
-        merges = merges.unionByName(b)
+        rows.append((i, b["pair"], int(b["pair_count"])))
+        x, y = b["pair"].split(" ", 1)
+        sym = sym.select("word", "freq", _merge_fold_lit(x, y).alias("s"))
+    # schema-stable also when zero merges were possible (a vocabulary
+    # of single-symbol words): same shape the oracle's all-empty
+    # best{i} union produces
+    merges = vocab.sparkSession.createDataFrame(
+        rows, "rk int, pair string, pair_count bigint")
     return merges, sym
 
 
