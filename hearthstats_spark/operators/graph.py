@@ -68,6 +68,26 @@ def checkpoint_partitioned(df: DataFrame, cols: list[str],
             spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
+def checkpoint_preserving(df: DataFrame) -> DataFrame:
+    """localCheckpoint ``df`` with its EXISTING output partitioning
+    preserved — :func:`checkpoint_partitioned` without the extra
+    repartition, for plans that already carry the wanted layout
+    (e.g. an aggregation planned over an explicit ``repartition`` on
+    a SUBSET of its grouping keys, whose output partitioning is that
+    subset hash). Same AQE-off window around the action: under AQE
+    the checkpoint captures UnknownPartitioning and downstream
+    consumers re-exchange (see checkpoint_partitioned's docstring);
+    same lock, same single-session caveat."""
+    spark = df.sparkSession
+    with _AQE_TOGGLE_LOCK:
+        before = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", before)
+
+
 def triangle_census(oriented: DataFrame) -> DataFrame:
     """Count triangles over a DEGREE-ORDERED oriented edge frame
     ``(src, dst, d_dst)`` (each edge points low→high (degree, id);

@@ -245,6 +245,14 @@ def q153_copied_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "pos",
                      F.when(F.col("nd") >= 2, 1).otherwise(0)
                      .alias("shared")))
+    # A/B'd and REJECTED in optimization round 11 (guide §2.4 trial):
+    # a doc_id-partitioned checkpoint of flags — to run the
+    # duplicated own-agg/join subtree once and make per_doc/window/
+    # final-join exchange-free — measured WORSE interleaved at sf0.1
+    # (old 2.5-3.2 s vs checkpointed 3.1-3.4 s): the "duplicate"
+    # subtree reads the cached sh and a map-combined vocab-sized own
+    # agg (cheap), while the checkpoint pays a shingle-scale
+    # materialization round-trip. The cache+recompute shape stands.
     per_doc = (flags.groupBy("doc_id")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
                     F.sum("shared").cast("bigint").alias("n_shared")))

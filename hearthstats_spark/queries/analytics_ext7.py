@@ -809,6 +809,16 @@ def q172_dedup_weighted_jaccard(spark: SparkSession,
         .alias("s"))
     tc = (sh.groupBy("doc_id", "s")
           .agg(F.count(F.lit(1)).alias("c")))
+    # A/B'd and REJECTED in optimization round 11: materializing tc
+    # hash-partitioned by s (repartition under the agg + a
+    # layout-preserving checkpoint) to make the self-join
+    # exchange-free measured 2.0 -> 3.3 s steady at sf0.1 -- the
+    # checkpointed tc sits under the broadcast threshold at bench
+    # scale, so the self-join was ALREADY exchange-free
+    # (BroadcastHashJoin) and the explicit s-repartition of raw
+    # shingle rows was pure added cost. Past broadcast size the
+    # planner falls back to a keyed join and the s-layout trick
+    # becomes the right move -- revisit with measurements there.
     tc = tc.localCheckpoint()  # sizes + both join sides read it
     sz = tc.groupBy("doc_id").agg(F.sum("c").alias("tot"))
     a, b = tc.alias("a"), tc.alias("b")
