@@ -16,7 +16,7 @@ runs per key — the same cost as the ASOF operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hearthstats_spark.functions import fsum_sql
@@ -167,20 +167,38 @@ def q82_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — after the first shuffle every stage reuses the same
     hash partitioning, so this is one wide shuffle plus co-located
     narrow stages at any data size. One summary row out."""
+    # optimization round 11 (guide §2.4): the staged-join form read
+    # events once per stage and joined each stage back on user_id —
+    # 6 scans / 8 exchanges at 3 stages. All three stage thresholds
+    # are per-user unbounded mins, so they chain as window functions
+    # over ONE user_id exchange: t1 = min(view), t2 = min(click
+    # where sec > t1) — t1 is constant within the partition, so the
+    # conditional min over the same window is exactly the staged
+    # semi-join semantics — and t3 likewise over t2. One scan (the
+    # funnel types filtered at the parquet scan), one exchange, one
+    # sort; the per-user rollup and the 1-row count reuse the window
+    # partitioning. Interleaved A/B at sf0.1 before adopting.
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_timestamp("ts").alias("sec"))
-
-    def stage(event_type, prev, prev_col, out_col):
-        base = ev.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            base = (base.join(prev, "user_id")
-                    .filter(F.col("sec") > F.col(prev_col)))
-        return base.groupBy("user_id").agg(F.min("sec").alias(out_col))
-
-    s1 = stage("view", None, None, "t1")
-    s2 = stage("click", s1, "t1", "t2")
-    s3 = stage("purchase", s2, "t2", "t3")
-    counts = [df.agg(F.count(F.lit(1)).alias(name))
-              for df, name in ((s1, "n_viewed"), (s2, "n_clicked_after"),
-                               (s3, "n_purchased_after"))]
-    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view",
+                               F.col("sec"))).over(w))
+        .withColumn(
+            "t2", F.min(F.when((F.col("event_type") == "click")
+                               & (F.col("sec") > F.col("t1")),
+                               F.col("sec"))).over(w))
+        .withColumn(
+            "t3", F.min(F.when((F.col("event_type") == "purchase")
+                               & (F.col("sec") > F.col("t2")),
+                               F.col("sec"))).over(w))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after"),
+        F.count("t3").alias("n_purchased_after"))

@@ -160,12 +160,22 @@ def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_sh = (sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
                .select("g").distinct())
-    train_sh = (sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
-                .select("doc_id", "g").distinct())
+    # optimization round 11 (guide §2.3/§2.4): screen the RAW training
+    # shingle stream and dedup only the survivors. The previous
+    # distinct-before-join shuffled every training (doc_id, g) pair —
+    # the query's largest exchange — before the broadcast screen
+    # dropped almost all of them; filtering first confines the dedup
+    # (count_distinct's map-side partial) to matched shingles, which
+    # contamination screens expect to be rare. Same value by
+    # construction: per doc, |distinct matched g| == |distinct (doc,g)
+    # pairs joined to eval|. In the declined-broadcast lane the join
+    # shuffles raw shingles once instead of dedup'd shingles twice —
+    # still ahead while within-doc n-gram repetition stays under 2×.
+    train_sh = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
     return (
         train_sh.join(broadcast_bounded(eval_sh, 1_000_000), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct("g").alias("n_shared"))
     )
 
 
@@ -234,14 +244,22 @@ def q92_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # optimization round 11 (guide §1.2/§2.4): four token-scale
+    # explode passes collapsed to two. dl is cached so stats (its
+    # only other consumer) and the contrib join read one pass; df is
+    # derived FROM tf — tf already has exactly one row per (doc,
+    # term), so COUNT(*) per term IS count(distinct doc_id) — which
+    # deletes the second filtered explode outright. tf is doc-scale
+    # × ≤3 query terms; caching it lets contrib and df share it.
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     qt = tok.filter(F.col("term").isin(*_BM25_TERMS))
-    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (qt.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")).cache())
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # df is ≤ |query terms| rows by the isin filter, but the bound
     # lives in the expression, not the plan text — enforce it with
     # the runtime guard instead of a plan-audit allowlist entry
@@ -390,6 +408,8 @@ def q94_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_MIN_CO} users before the join (cnt is already computed for
     exactly this)."""
     e = load_table(spark, sf_dir, "events")
+    from hearthstats_spark.operators.graph import checkpoint_partitioned
+
     ui = (
         e.filter(F.col("event_type") == "view")
         .select("user_id",
@@ -397,7 +417,18 @@ def q94_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("item"))
         .distinct()
     )
-    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    # optimization round 11 (guide §2.4): ui — the JSON-extract +
+    # distinct event pass — was re-derived by all four consumers
+    # (both self-join sides, ca, cb: 4 corpus scans). Materialize it
+    # ONCE, user_id-partitioned with the layout preserved, so the
+    # self-join reads both sides in place (zero join exchanges) and
+    # cnt aggregates the materialized frame; cnt itself is cached so
+    # ca/cb share one item-keyed aggregation.
+    ui = checkpoint_partitioned(
+        ui, ["user_id"],
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
+    cnt = (ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+           .cache())
     a, b = ui.alias("a"), ui.alias("b")
     co = (
         a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
