@@ -50,10 +50,22 @@ def heavy_hitters(items: DataFrame, cols: list[str], support: float) -> DataFram
       like any other under GROUP BY semantics (and under the DuckDB
       oracle), so a heavy NULL item must survive the candidate prune.
     """
+    # optimization round 11 (guide §1.2/§2.3): the operator used to
+    # walk ``items`` three times — local counts, the N total, and the
+    # verify's exact recount — and with an expensive upstream (q107's
+    # JSON extraction) each walk repeated that work. Every one of the
+    # three derives from the per-(partition, item) count frame, so
+    # materialize THAT once (vocab × partitions rows — metadata-sized
+    # next to the corpus) and compute candidates (window), N (sum of
+    # local counts), and the exact per-candidate counts (sum of the
+    # SAME materialized counts — one evaluation, so the pigeonhole
+    # pairing stays sound by construction) from it. One corpus scan
+    # instead of three; identical output.
     local = (
         items.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid", *cols)
         .agg(F.count(F.lit(1)).alias("__lc"))
+        .localCheckpoint()
     )
     candidates = (
         local.withColumn(
@@ -62,16 +74,16 @@ def heavy_hitters(items: DataFrame, cols: list[str], support: float) -> DataFram
         .select(*cols)
         .distinct()
     )
-    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    total = local.agg(F.sum("__lc").alias("__n"))
     cand = F.broadcast(candidates.select(
         *[F.col(c).alias(f"__cand_{c}") for c in cols]))
     null_safe_on = functools.reduce(
         lambda a, b: a & b,
         [F.col(c).eqNullSafe(F.col(f"__cand_{c}")) for c in cols])
     return (
-        items.join(cand, null_safe_on, "left_semi")
+        local.join(cand, null_safe_on, "left_semi")
         .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__lc").alias("cnt"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") >= F.lit(support) * F.col("__n"))
         .select(*cols, "cnt", F.round(F.col("cnt") / F.col("__n"), 4).alias("frac"))

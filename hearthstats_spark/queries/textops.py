@@ -93,21 +93,32 @@ def q56_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "term")
               .groupBy("doc_id", "pred_lang")
               .agg(F.count(F.lit(1)).alias("score")))
-    dense = (
-        d.select("doc_id", F.col("lang").alias("true_lang"))
-        .crossJoin(broadcast_bounded(langs, 512))
-        .join(scores, ["doc_id", "pred_lang"], "left")
-        .withColumn("score", F.coalesce("score", F.lit(0)))
-    )
+    # optimization round 11 (guide §2.3/§2.4): the argmax previously
+    # densified to docs × langs (crossJoin + left join + a window
+    # over the dense frame). Every hit lang scores ≥ 1 > 0, so an
+    # absent lang can only win for a doc with NO marker hits at all,
+    # and there the old dense argmax picked the smallest lang at
+    # score 0 — a corpus CONSTANT. The window therefore only needs
+    # the HIT rows (≤ docs × hit-langs, one doc-keyed exchange of
+    # the scored frame instead of the ×langs expansion), and
+    # zero-hit docs take the broadcast 1-row min-lang fallback.
+    # Identical output by the argument above; oracle re-checked at
+    # three SFs.
     pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
                                                 "pred_lang")
+    winner = (scores.withColumn("rk", F.row_number().over(pick))
+              .filter(F.col("rk") == 1)
+              .select("doc_id", "pred_lang", "score"))
+    fallback = F.broadcast(langs.agg(F.min("pred_lang").alias("__fb")))
     return (
-        dense.withColumn("rk", F.row_number().over(pick))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "true_lang", "pred_lang",
-                F.col("score").cast("long").alias("score"),
-                (F.col("pred_lang") == F.col("true_lang"))
-                .cast("int").alias("is_correct"))
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(winner, "doc_id", "left")
+        .crossJoin(fallback)
+        .select("doc_id", "true_lang",
+                F.coalesce("pred_lang", F.col("__fb")).alias("pred_lang"),
+                F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+                (F.coalesce("pred_lang", F.col("__fb"))
+                 == F.col("true_lang")).cast("int").alias("is_correct"))
     )
 
 

@@ -4,7 +4,8 @@ typo that turns a hash join into a nested-loop product still returns
 correct-looking rows at sf0.01 and runs forever at 100 TB.
 
 Current audited state (pinned): only q14 (the explicit cross join)
-and q56 (doc × 5-language broadcast scoring grid) contain a
+and q56 (1-row min-lang fallback scalar broadcast — the dense
+doc × language grid died in optimization round 11) contain a
 nested-loop join; only q44 (the deliberate row-at-a-time UDF demo)
 touches BatchEvalPython; nothing contains CartesianProduct.
 """
@@ -45,8 +46,9 @@ NESTED_LOOP_OK = {"q14_join_cross", "q56_text_langid", "q53_text_tfidf",
                   # q164 fans doc ids out over the 8-row broadcast
                   # shard frame (q101's bounded-k fan-out shape)
                   "q164_shard_rendezvous",
-                  # q165 composes q56, inheriting its langs-sized
-                  # dense-score fan-out (already allowlisted there)
+                  # q165 composes q56, inheriting its 1-row
+                  # min-lang fallback scalar join (allowlisted there;
+                  # the dense langs fan-out died in opt round 11)
                   "q165_eval_confusion_metrics",
                   # q169 rides its 1-row grand-total and 1-row
                   # shortfall frames onto group-cardinality rows
