@@ -348,9 +348,23 @@ def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.transform(shingles("text", 3),
                               lambda s: F.xxhash64(s))).alias("s")).cache()
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(firsts, "s")
-    ind = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    # optimization round 11 (guide §2.3): a single-owner shingle is
+    # ALWAYS novel (its min owner is its only owner), so the join
+    # back only needs the SHARED vocabulary — filter the agg to
+    # ≥ 2 owners (sh is per-doc distinct, so count(*) counts owners)
+    # and left-join: an unmatched shingle is novel by the argument
+    # above. The build side shrinks from the full vocabulary to the
+    # shared vocabulary (most of a natural corpus is unique), which
+    # cuts the s-keyed exchange and lets AQE broadcast the remainder
+    # when it fits. Same indicator by construction.
+    firsts = (sh.groupBy("s")
+              .agg(F.min("doc_id").alias("first_doc"),
+                   F.count(F.lit(1)).alias("__nown"))
+              .filter(F.col("__nown") >= 2)
+              .select("s", "first_doc"))
+    j = sh.join(firsts, "s", "left_outer")
+    ind = F.when(F.col("first_doc").isNull()
+                 | (F.col("first_doc") == F.col("doc_id")), 1).otherwise(0)
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.sum(ind).cast("bigint").alias("n_novel"),

@@ -241,10 +241,20 @@ def q153_copied_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh.cache()
     own = sh.groupBy("s").agg(
         F.count_distinct("doc_id").alias("nd"))
-    flags = (sh.join(own, "s")
+    # optimization round 11 (guide §2.3): join against the SHARED
+    # vocabulary only — an inner join on the full owner table carried
+    # every unique shingle (most of a natural corpus) through the
+    # s-keyed exchange just to flag it 0. Filtering the agg to
+    # nd ≥ 2 first shrinks the join's build side to the shared
+    # vocabulary (a left join + null-test is flag-identical), which
+    # both halves the exchange bytes and lets AQE broadcast the
+    # build side when the shared vocab is small — the common case a
+    # copied-spans audit expects. Same rows by construction.
+    flags = (sh.join(own.filter(F.col("nd") >= 2)
+                     .select("s", F.lit(1).alias("__sh_hit")),
+                     "s", "left_outer")
              .select("doc_id", "pos",
-                     F.when(F.col("nd") >= 2, 1).otherwise(0)
-                     .alias("shared")))
+                     F.coalesce("__sh_hit", F.lit(0)).alias("shared")))
     # A/B'd and REJECTED in optimization round 11 (guide §2.4 trial):
     # a doc_id-partitioned checkpoint of flags — to run the
     # duplicated own-agg/join subtree once and make per_doc/window/

@@ -186,10 +186,18 @@ def q85_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             start=F.lit(0),
         )
 
+    # optimization round 11 (guide §1.2): three DAG branches read
+    # this frame (the query filter + one join probe per LSH table)
+    # and Spark does not reuse the duplicated subplan — each branch
+    # re-ran the scan AND the 2×16-hyperplane bucket expressions
+    # (plan: 8 parquet scans → 1). Vector-scale cache, the dedup-
+    # kernel precedent; at cluster scale the bucketed base is the
+    # persisted index (q183's artifact lane).
     base = (e.select("vec_id", v.alias("v"), nrm.alias("nrm"))
             .select("vec_id", "v", "nrm",
                     *[bucket(t).alias(f"b{t}")
-                      for t in range(_LSH_TABLES)]))
+                      for t in range(_LSH_TABLES)])
+            .cache())
     q = (base.filter(F.col("vec_id") < _N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"),
