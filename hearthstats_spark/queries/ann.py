@@ -186,18 +186,21 @@ def q85_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             start=F.lit(0),
         )
 
-    # optimization round 11 (guide §1.2): three DAG branches read
-    # this frame (the query filter + one join probe per LSH table)
-    # and Spark does not reuse the duplicated subplan — each branch
-    # re-ran the scan AND the 2×16-hyperplane bucket expressions
-    # (plan: 8 parquet scans → 1). Vector-scale cache, the dedup-
-    # kernel precedent; at cluster scale the bucketed base is the
-    # persisted index (q183's artifact lane).
+    # optimization round 11, TRIED AND REJECTED: caching this frame
+    # (three DAG branches re-evaluate it — the query filter + one
+    # join probe per table). Quiet-gated paired A/B at sf0.1: the
+    # uncached form ran 2.14-2.2 s median vs 2.8-3.5 s cached —
+    # InMemoryRelation deserialization of the array<double> column
+    # costs more than re-running scan + bucket expressions inside
+    # whole-stage codegen, the same small-scale trade q83's indexed
+    # lane documents. (An earlier 4-pair read in a degraded host
+    # window had suggested the opposite; the gated re-measure
+    # reversed it.) At cluster scale the bucketed base would be the
+    # persisted index (q183's artifact lane), not a .cache().
     base = (e.select("vec_id", v.alias("v"), nrm.alias("nrm"))
             .select("vec_id", "v", "nrm",
                     *[bucket(t).alias(f"b{t}")
-                      for t in range(_LSH_TABLES)])
-            .cache())
+                      for t in range(_LSH_TABLES)]))
     q = (base.filter(F.col("vec_id") < _N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"),
