@@ -206,23 +206,45 @@ def prefix_filtered_jaccard_pairs(
     # cache the pruned prefix index: BOTH sides of the self-join read
     # it and Spark does not reuse the duplicated subplan — without
     # this the explode→freq-join→rank chain runs twice (measured ~2×
-    # the candidate-gen cost at sf0.1)
+    # the candidate-gen cost at sf0.1). __rk/__sz ride along for the
+    # positional filter (see _jaccard_candidates_verify).
     prefix = (ranked.filter(F.col("__rk") <= plen)
-              .select("__id", "__s").cache())
+              .select("__id", "__s", "__rk", "__sz").cache())
     return _jaccard_candidates_verify(sets, prefix, t_num, t_den)
 
 
 def _jaccard_candidates_verify(sets: DataFrame, prefix: DataFrame,
                                t_num: int, t_den: int) -> DataFrame:
     """Candidate generation + exact verify over a (__id, __arr) set
-    frame and a (__id, __s) prefix index — the back half of
-    ``prefix_filtered_jaccard_pairs``, shared verbatim by the
-    persisted-index tier so the two lanes cannot drift."""
+    frame and a (__id, __s, __rk, __sz) prefix index — the back half
+    of ``prefix_filtered_jaccard_pairs``, shared verbatim by the
+    persisted-index tier so the two lanes cannot drift.
+
+    POSITIONAL filter (optimization round 12, guide §2.3 — the
+    PPJoin refinement of the prefix filter): a matched prefix row
+    also knows each side's rank of the shared shingle in the global
+    canonical order, and every common shingle of the pair sorts at or
+    after its side's rank of the pair's FIRST common shingle, so
+    i ≤ min(szA−rkA, szB−rkB) + 1 at that first match. J ≥ t ⟺
+    i·(t_num+t_den) ≥ t_num·(szA+szB), so rows violating
+    (t_num+t_den)·(min(szA−rkA, szB−rkB)+1) ≥ t_num·(szA+szB) cannot
+    be a qualifying pair's first match and are dropped BEFORE the
+    distinct + the two verify joins. Safety: for any truly similar
+    pair the first-common-shingle row satisfies the bound (it is a
+    theorem, applied at exactly that row), so the pair always
+    survives the distinct; later matches of the same pair may be
+    filtered — harmless under distinct — and the exact
+    array_intersect verify is unchanged, so output is identical
+    (candidates remain a superset of qualifying pairs)."""
+    ub = F.least(F.col("a.__sz") - F.col("a.__rk"),
+                 F.col("b.__sz") - F.col("b.__rk")) + 1
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.__s") == F.col("b.__s"))
               & (F.col("a.__id") < F.col("b.__id")))
+        .filter((t_num + t_den) * ub
+                >= t_num * (F.col("a.__sz") + F.col("b.__sz")))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
@@ -312,10 +334,15 @@ def prefix_filtered_jaccard_pairs_indexed(
             "__rk",
             F.row_number().over(
                 Window.partitionBy("__id").orderBy("__df", "__s")))
-        return ranked.filter(F.col("__rk") <= plen).select("__id", "__s")
+        return (ranked.filter(F.col("__rk") <= plen)
+                .select("__id", "__s", "__rk", "__sz"))
 
+    # "pos" suffix: the positional-filter columns (__rk/__sz) changed
+    # the artifact schema, and the store is content-keyed on the
+    # TABLE data — a new name retires the rows-only r11 artifact
+    # instead of silently serving it with the old schema
     prefix = persisted(spark, sf_dir,
-                       f"jaccard_prefix_k{k}_t{t_num}d{t_den}{colkey}",
+                       f"jaccard_prefix_pos_k{k}_t{t_num}d{t_den}{colkey}",
                        build_prefix, table="documents")
     return _jaccard_candidates_verify(sets, prefix, t_num, t_den)
 

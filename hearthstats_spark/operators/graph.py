@@ -68,26 +68,6 @@ def checkpoint_partitioned(df: DataFrame, cols: list[str],
             spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
-def checkpoint_preserving(df: DataFrame) -> DataFrame:
-    """localCheckpoint ``df`` with its EXISTING output partitioning
-    preserved — :func:`checkpoint_partitioned` without the extra
-    repartition, for plans that already carry the wanted layout
-    (e.g. an aggregation planned over an explicit ``repartition`` on
-    a SUBSET of its grouping keys, whose output partitioning is that
-    subset hash). Same AQE-off window around the action: under AQE
-    the checkpoint captures UnknownPartitioning and downstream
-    consumers re-exchange (see checkpoint_partitioned's docstring);
-    same lock, same single-session caveat."""
-    spark = df.sparkSession
-    with _AQE_TOGGLE_LOCK:
-        before = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return df.localCheckpoint()
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", before)
-
-
 def triangle_census(oriented: DataFrame) -> DataFrame:
     """Count triangles over a DEGREE-ORDERED oriented edge frame
     ``(src, dst, d_dst)`` (each edge points low→high (degree, id);
@@ -125,7 +105,27 @@ def triangle_census(oriented: DataFrame) -> DataFrame:
     (41.1M wedges → 32.7M distinct pks at sf0.1, duplication 1.26),
     so the combine saves ≤20 % of shuffled rows while paying a full
     wedge-scale hash aggregation; the regression grows with the
-    hash-table size, i.e. it is anti-scale. Keep the direct probe."""
+    hash-table size, i.e. it is anti-scale. Keep the direct probe.
+
+    Round 12 (guide §2.4/§3.1): the closing probe rides
+    ``broadcast_bounded`` — the wedge frame is the one data structure
+    here that is ~100× the edge count, and shuffling it to meet the
+    pk projection was the single-JVM superlinearity SCALE.md
+    diagnosed (×2.4 per 2× data at 10×/20×: ~24 GB of wedge keys
+    through one heap). The probe side is EDGE-sized (one packed
+    BIGINT per edge — 8 bytes/row), so broadcasting it under the
+    runtime limit-probe removes the wedge exchange outright: the
+    probe + count fuse into the wedge-producing stage and the census
+    plans ZERO wedge-sized exchanges. The cap (default 32M edges ≈
+    256 MB of packed keys, env ``SPARK_GRAFT_TRI_BCAST_EDGES``) is a
+    per-executor-memory bound, not a correctness bound — beyond it
+    the guard declines and the packed-key shuffle form above remains
+    the plan, exactly as before. A 100 TB graph (edges ≫ cap) runs
+    the shuffle lane on a many-heap cluster, where SCALE.md showed
+    the volume artifact does not apply."""
+    import os
+
+    from hearthstats_spark.operators.bounded import broadcast_bounded
     from hearthstats_spark.operators.pairs import PAIR_BASE
 
     wedge_lt = (F.col("xy.d_dst") < F.col("xz.d_dst")) | (
@@ -143,7 +143,9 @@ def triangle_census(oriented: DataFrame) -> DataFrame:
         .select((F.col("xy.dst") * PAIR_BASE + F.col("xz.dst"))
                 .alias("pk"))
     )
-    return (wedges.join(pk_edges, "pk")
+    bcast_cap = int(os.environ.get("SPARK_GRAFT_TRI_BCAST_EDGES",
+                                   str(32 * 1024 * 1024)))
+    return (wedges.join(broadcast_bounded(pk_edges, bcast_cap), "pk")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 

@@ -1120,9 +1120,24 @@ def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     v-ordered frame. NO single-task global window over the data
     anywhere; the max numerator is an exact integer and ks_d is ONE
     IEEE division of exact integers."""
-    from hearthstats_spark.operators.rankops import \
-        with_global_prefix_sums
+    vals = _ks_grouped_vals(spark, sf_dir)
+    return _ks_exact_from_vals(vals)
 
+
+def _ks_grouped_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q176's distinct-value-grain frame (v, a0, a1): per distinct
+    order value, the sample counts of each group — the shared input
+    of the exact KS kernel AND q177's sketch bucket counts.
+
+    CACHED (optimization round 12, guide §1.2): the prefix-sum
+    kernel alone evaluates its input three times (approxQuantile
+    boundary pass, per-bucket count collect, final output) and each
+    evaluation re-ran the full orders scan + the groupBy(v) hash agg;
+    the cache confines all of that to one scan + one agg. vals is
+    distinct-value-sized (primitive columns), so residency is the
+    same order as the shuffle the kernel already pays; the bench /
+    oracle harnesses drop caches at every query boundary
+    (bench._drop_blocks / check_oracle)."""
     o = load_table(spark, sf_dir, "orders")
     s = o.where(
         # declared NULL policy: a NULL value is not a sample point
@@ -1132,11 +1147,21 @@ def q176_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
         .alias("g"))
-    vals = (s.groupBy("v")
+    return (s.groupBy("v")
             .agg(F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
                  .alias("a0"),
                  F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
-                 .alias("a1")))
+                 .alias("a1"))
+            .cache())
+
+
+def _ks_exact_from_vals(vals: DataFrame) -> DataFrame:
+    """The exact-KS back half of q176 over a (v, a0, a1) frame —
+    split out so q177 can feed its sketch lane and this kernel from
+    ONE shared cached frame instead of re-deriving it per lane."""
+    from hearthstats_spark.operators.rankops import \
+        with_global_prefix_sums
+
     c01, (n0, n1) = with_global_prefix_sums(
         vals, "v", ["a0", "a1"], cum_cols=["c0", "c1"])
     d = c01.agg(

@@ -27,11 +27,22 @@ _Q177_ORACLE = REGISTRY["q176_ks_two_sample"].oracle.replace(
 assert "est_le_exact" in _Q177_ORACLE  # the anchor text must exist
 
 
-def _ks_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ks_sketch_bounds(spark: SparkSession, sf_dir: str,
+                      vals: DataFrame | None = None) -> DataFrame:
     """q177's SKETCH lane, unchanged from its rows-only era except
     for the declared NULL policy (a NULL value is not a sample point
     — now applied here exactly as in q176, so the sandwich below
     compares like with like on the null-measures axis).
+
+    ``vals`` (optimization round 12, guide §1.2): pass q176's cached
+    distinct-value-grain frame (v, a0, a1) and pass 2's bucket masses
+    aggregate IT instead of re-scanning orders — per bucket,
+    SUM(a0)/SUM(a1) over the distinct values in the bucket are
+    exactly the per-row side counts, so the emitted integers are
+    identical; only the GK cut pass still reads the raw value column
+    (approx_percentile has no frequency form, and the mergeable
+    sketch over the raw stream is the deployment shape). Standalone
+    calls (vals=None) keep the self-contained two-scan lane.
 
     q176 is exact but needs the full range-partitioned prefix-sum
     machinery (a per-value sort). A drift MONITOR re-run per
@@ -79,18 +90,23 @@ def _ks_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut_arr = (F.array(*[F.lit(float(c)) for c in cuts])
                if cuts else F.lit([]).cast("array<double>"))
 
-    # pass 2 — exact per-side bucket masses (bucket j = (c_{j-1}, c_j])
-    counts = (
-        s.select(
-            F.aggregate(
-                cut_arr, F.lit(0),
-                lambda acc, c: acc
-                + F.when(F.col("v") > c, 1).otherwise(0)).alias("b"),
-            "g")
-        .groupBy("b")
-        .agg(F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("m0"),
-             F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("m1"))
-    )
+    # pass 2 — exact per-side bucket masses (bucket j = (c_{j-1}, c_j]);
+    # from the shared distinct-value frame when the caller has one
+    # (identical integers — see the docstring), from the rows otherwise
+    bucket = F.aggregate(
+        cut_arr, F.lit(0),
+        lambda acc, c: acc + F.when(F.col("v") > c, 1).otherwise(0))
+    if vals is not None:
+        counts = (vals.select(bucket.alias("b"), "a0", "a1")
+                  .groupBy("b")
+                  .agg(F.sum("a0").alias("m0"), F.sum("a1").alias("m1")))
+    else:
+        counts = (
+            s.select(bucket.alias("b"), "g")
+            .groupBy("b")
+            .agg(F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("m0"),
+                 F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("m1"))
+        )
 
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
@@ -154,8 +170,16 @@ def q177_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is NULL — both engines emit the same exact columns there. The
     1×1 scalar join is a broadcast nested loop on literally one row
     per side (the allowlisted scalar-frame shape)."""
-    sk = _ks_sketch_bounds(spark, sf_dir)
-    ex = q176_ks_two_sample(spark, sf_dir)
+    # optimization round 12 (guide §1.2): ONE cached distinct-value
+    # frame feeds both lanes — the exact kernel's three evaluations
+    # and the sketch's bucket-mass pass previously each re-ran the
+    # orders scan + groupBy(v) agg (~5 scans per q177 build)
+    from hearthstats_spark.queries.analytics_ext7 import (
+        _ks_exact_from_vals, _ks_grouped_vals)
+
+    vals = _ks_grouped_vals(spark, sf_dir)
+    sk = _ks_sketch_bounds(spark, sf_dir, vals)
+    ex = _ks_exact_from_vals(vals)
     return (
         ex.join(F.broadcast(sk.select("d_est_num", "d_bound_num")))
         .select(

@@ -182,16 +182,27 @@ def q82_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
     ).filter(F.col("event_type").isin("view", "click", "purchase"))
     w = Window.partitionBy("user_id")
+    # NULL-key discipline (ADVICE r11, high): Window.partitionBy
+    # treats NULL user_id as a real partition, but the oracle's s2/s3
+    # stage JOINS are NULL-matches-nothing equality — a NULL user may
+    # appear in s1 (GROUP BY keeps the NULL group → n_viewed counts
+    # it) yet can never progress to s2/s3. Gate t2/t3 on a non-null
+    # key so the window form keeps the staged-join semantics on the
+    # --null-keys degenerate axis (repro: one NULL-user
+    # view→click→purchase chain read (2,2,2) engine vs (2,1,1)
+    # oracle before this guard).
     staged = (
         ev.withColumn(
             "t1", F.min(F.when(F.col("event_type") == "view",
                                F.col("sec"))).over(w))
         .withColumn(
-            "t2", F.min(F.when((F.col("event_type") == "click")
+            "t2", F.min(F.when(F.col("user_id").isNotNull()
+                               & (F.col("event_type") == "click")
                                & (F.col("sec") > F.col("t1")),
                                F.col("sec"))).over(w))
         .withColumn(
-            "t3", F.min(F.when((F.col("event_type") == "purchase")
+            "t3", F.min(F.when(F.col("user_id").isNotNull()
+                               & (F.col("event_type") == "purchase")
                                & (F.col("sec") > F.col("t2")),
                                F.col("sec"))).over(w))
     )

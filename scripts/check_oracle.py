@@ -88,10 +88,16 @@ def main() -> int:
             n_fail += 1
         # sweep boundary: release the guard-applied cached frames
         # (ADVICE r7) so a 200-query sweep doesn't accumulate one
-        # small cached frame per applied broadcast_bounded site
+        # small cached frame per applied broadcast_bounded site —
+        # plus every query-level .cache() (q92's dl/tf, q94's cnt,
+        # the KS vals frame, the dedup shingle frames): the queries
+        # deliberately leave them to their harness boundary (ADVICE
+        # r11 item 3), and this is that boundary, same as
+        # bench._drop_blocks
         from hearthstats_spark.operators.bounded import (
             release_guard_caches)
         release_guard_caches()
+        spark.catalog.clearCache()
     print(f"\n{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 

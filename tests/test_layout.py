@@ -129,13 +129,15 @@ def test_bucketed_triangle_census_wedge_join_bucket_local(spark):
             tri = triangle_census(ob)
             p = explain_str(tri, "simple")
             assert "SelectedBucketsCount: 8 out of 8" in p
-            # TWO hash exchanges since the round-10 packed closing
-            # join: the wedge frame (now a single packed BIGINT key —
-            # half the key bytes on the ~100×-edge-count frame) and
-            # the EDGE-sized pk projection (src buckets cannot
-            # satisfy pk clustering). The wedge SELF-join still reads
-            # both sides straight from buckets.
-            assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+            # ZERO hash exchanges since the round-12 bounded-broadcast
+            # closing probe: the EDGE-sized pk projection broadcasts
+            # (runtime limit-probe, cap enforced), so the
+            # ~100×-edge-count wedge frame never exchanges at all and
+            # the wedge SELF-join still reads both sides straight
+            # from buckets. Past the cap the guard declines and the
+            # round-10 two-exchange packed-key form returns.
+            assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
+            assert "BroadcastHashJoin" in p
 
             want = triangle_census(
                 checkpoint_partitioned(oriented, ["src"], 8)
