@@ -1,13 +1,14 @@
 #!/usr/bin/env python
-"""Dump `.explain("formatted")` for named queries into plans/r11/.
+"""Dump `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage:
     python scripts/plan_snapshot.py before q82_funnel_steps q91_contamination
     python scripts/plan_snapshot.py after  q82_funnel_steps
 
-Writes plans/r11/<query>_<suffix>.txt at sf0.01 — the optimization
-round's committed before/after plan evidence (the judge checks plan
-claims against these files without running Spark).
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (round dir
+defaults to r12, the current optimization round) at sf0.01 — the
+optimization round's committed before/after plan evidence (the judge
+checks plan claims against these files without running Spark).
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from hearthstats_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r11")
+                   "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"))
 
 
 def main() -> None:
