@@ -68,6 +68,39 @@ def checkpoint_partitioned(df: DataFrame, cols: list[str],
             spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
+def checkpoint_preserving(df: DataFrame) -> DataFrame:
+    """localCheckpoint ``df`` with its EXISTING output partitioning
+    preserved — :func:`checkpoint_partitioned` without the extra
+    repartition, for plans that ALREADY carry the wanted layout
+    (e.g. an aggregation or distinct planned over a
+    checkpoint-partitioned scan, whose output partitioning is that
+    same hash). Same AQE-off window around the action: under AQE the
+    checkpoint captures UnknownPartitioning and downstream consumers
+    re-exchange (see checkpoint_partitioned's docstring); same lock,
+    same single-session caveat.
+
+    Deleted in round 12's inherited commit as dead code (its r11
+    trial adopters were A/B-rejected), reintroduced WITH callers:
+    q108's node-sized degree frame and q144's BFS layers, where the
+    alternative ``.cache()`` silently fails — a cached frame derived
+    from a localCheckpoint that the SAME plan references through
+    multiple join branches is re-instanced by relation
+    deduplication (fresh LogicalRDD attrs), ``sameResult`` no longer
+    matches the cache entry, and every "cached" read recomputes its
+    aggregation (measured: q108's executed plan showed 0
+    InMemoryTableScan with 1 registered cache entry; the per-
+    iteration deg subtree re-aggregated 4×). An eager checkpoint is
+    immune: every reference scans the materialized blocks."""
+    spark = df.sparkSession
+    with _AQE_TOGGLE_LOCK:
+        before = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", before)
+
+
 def triangle_census(oriented: DataFrame) -> DataFrame:
     """Count triangles over a DEGREE-ORDERED oriented edge frame
     ``(src, dst, d_dst)`` (each edge points low→high (degree, id);

@@ -518,24 +518,38 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
          .unionAll(e.select(F.col("b").alias("src"),
                             F.col("a").alias("dst"))))
-    from hearthstats_spark.operators.graph import checkpoint_partitioned
+    from hearthstats_spark.operators.graph import (
+        checkpoint_partitioned, checkpoint_preserving)
 
-    deg = u.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # edges+degree reused 4×, materialized src-partitioned with the
-    # layout PRESERVED through the checkpoint (checkpoint_partitioned;
-    # a plain localCheckpoint reports UnknownPartitioning under AQE):
-    # every iteration's rank⋈edge join then reads the edge side
-    # in place and only the node-sized rank frame moves — the
-    # in-query realization of the bucketed-edge lane the docstring
-    # describes (4 edge-sized Exchanges gone at 4 iterations)
-    ud = checkpoint_partitioned(
-        u.join(deg, "src"), ["src"],
-        int(spark.conf.get("spark.sql.shuffle.partitions")))
-    # derive the node set from the CHECKPOINTED frame — deg's own
-    # lineage would re-run the whole edge pipeline a second time just
-    # to initialize ranks (measured ~3.5 s at sf0.1)
-    nodes = ud.select(F.col("src").alias("node")).distinct()
-    ranks = pagerank_loop(ud, nodes)
+    # Optimization round 12 (guide §2.3/§2.4): materialize EDGES ONLY
+    # (src, dst — two longs), not the former (src, dst, d) join
+    # product. The degree column is per-SRC, so joining it onto every
+    # edge row before the checkpoint paid an edge-sized join exchange
+    # AND widened the materialization by a third just to carry a
+    # value the iteration can attach on the node-sized frame instead
+    # (rank/d is identical per src either way — same IEEE divide on
+    # the same inputs, see pagerank_loop). Build went from
+    # u-exchange + deg-exchange + join + repartition + edge-distinct
+    # (measured 2.03 s at sf0.1) to ONE edge exchange + an
+    # exchange-free co-partitioned deg agg (0.88 s): deg's groupBy
+    # reads the checkpointed hash(src) layout in place, and the node
+    # set is deg's group keys — the separate edge-sized distinct for
+    # rank init is gone too.
+    ue = checkpoint_partitioned(
+        u, ["src"], int(spark.conf.get("spark.sql.shuffle.partitions")))
+    # node-sized, read once per iteration (4×): EAGER checkpoint, not
+    # .cache() — this plan references ue through several join
+    # branches, relation dedup re-instances the checkpoint scan per
+    # branch, and a cache entry keyed on one instance then never
+    # sameResult-matches (measured: 0 InMemoryTableScan with the
+    # cache registered; deg re-aggregated every iteration).
+    # checkpoint_preserving keeps the agg's hash(src) output layout
+    # without checkpoint_partitioned's redundant repartition — the
+    # agg output is already partitioned by its grouping key.
+    deg = checkpoint_preserving(
+        ue.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = pagerank_loop(ue, nodes, deg=deg)
     return (
         ranks.select("node", F.round("rank", 4).alias("rank4"))
         .orderBy(F.col("rank4").desc(), "node").limit(20)
@@ -543,10 +557,11 @@ def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_loop(ud: DataFrame, nodes: DataFrame,
-                  iterations: int = 4) -> DataFrame:
-    """The q108 iteration kernel over any (src, dst, d) edge frame:
-    rank_{i+1}(v) = 0.15 + 0.85·Σ rank_i(u)/deg(u), fixed-point LONG
-    contribution sums (order-independent), 1.0 init on ``nodes``.
+                  iterations: int = 4,
+                  deg: DataFrame | None = None) -> DataFrame:
+    """The q108 iteration kernel: rank_{i+1}(v) = 0.15 + 0.85·Σ
+    rank_i(u)/deg(u), fixed-point LONG contribution sums
+    (order-independent), 1.0 init on ``nodes``.
 
     ``ud`` is whatever materialization the caller owns: q108 passes a
     localCheckpoint; the cluster-scale lane passes a catalog table
@@ -554,7 +569,18 @@ def pagerank_loop(ud: DataFrame, nodes: DataFrame,
     makes the per-iteration rank⋈edge join shuffle-free on the edge
     side — the dominant per-iteration exchange (edge-sized) vanishes
     and only the node-sized rank frame moves (plan-pinned in
-    tests/test_layout.py)."""
+    tests/test_layout.py).
+
+    ``deg`` (optimization round 12, guide §2.3): when the caller owns
+    a node-sized (src, d) degree frame, ``ud`` is edges-only
+    (src, dst) and rank/d is computed on the NODE-sized frame before
+    touching edges — the edge materialization narrows by a third and
+    the per-edge work is one long lookup instead of a float divide.
+    floor(rank/d·1e12) is the same IEEE product per src either way,
+    so the summed integers — and therefore the ranks — are
+    bit-identical between the two lanes (pinned by
+    tests/test_layout.py's lane-equality assertion). When ``deg`` is
+    None, ``ud`` must carry d per edge row (the original form)."""
     ranks = nodes.select(F.col("node"), F.lit(1.0).alias("rank"))
     for i in range(iterations):
         # fixed-point LONG contributions (see _pr_iter_sql): floor of
@@ -565,10 +591,20 @@ def pagerank_loop(ud: DataFrame, nodes: DataFrame,
         # the per-node sum stays under 2⁶³ while the graph's total
         # rank mass is below ~9·10⁶ units — renormalize or drop to
         # decimal beyond that.
-        contrib = ud.join(ranks, ud["src"] == ranks["node"]).select(
-            "dst",
-            F.floor(F.col("rank") / F.col("d") * F.lit(1e12)).alias("c"),
-        )
+        if deg is not None:
+            rd = deg.join(ranks, deg["src"] == ranks["node"]).select(
+                deg["src"].alias("__rs"),
+                F.floor(F.col("rank") / F.col("d") * F.lit(1e12))
+                .alias("c"),
+            )
+            contrib = (ud.join(rd, ud["src"] == rd["__rs"])
+                       .select("dst", "c"))
+        else:
+            contrib = ud.join(ranks, ud["src"] == ranks["node"]).select(
+                "dst",
+                F.floor(F.col("rank") / F.col("d") * F.lit(1e12))
+                .alias("c"),
+            )
         ranks = contrib.groupBy("dst").agg(
             (F.lit(0.15) + F.lit(0.85)
              * (F.sum("c").cast("double") / F.lit(1e12)))

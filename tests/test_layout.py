@@ -215,6 +215,19 @@ def test_bucketed_pagerank_iteration_edge_side_shuffle_free(spark):
                     for r in pagerank_loop(ud.localCheckpoint(),
                                            nodes, 2).collect()}
             assert got == want and len(got) > 0
+            # round-12 split lane (q108's in-query form): edges-only
+            # frame + node-sized deg — floor(rank/d·1e12) is the same
+            # IEEE product per src either way, so ranks must be
+            # BIT-identical to the d-carrying lane (no rounding here:
+            # the raw doubles are compared)
+            split = {(r["node"], r["rank"])
+                     for r in pagerank_loop(
+                         u.localCheckpoint(), nodes, 2,
+                         deg=deg.localCheckpoint()).collect()}
+            exact = {(r["node"], r["rank"])
+                     for r in pagerank_loop(ud.localCheckpoint(),
+                                            nodes, 2).collect()}
+            assert split == exact
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                            str(32 * 1024 * 1024))
