@@ -1112,7 +1112,8 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from hearthstats_spark.operators.ann_index import persisted
-    from hearthstats_spark.operators.graph import checkpoint_partitioned
+    from hearthstats_spark.operators.graph import (
+        checkpoint_partitioned, checkpoint_preserving)
     from hearthstats_spark.queries.analytics_ext import co_order_edges
 
     from hearthstats_spark.queries.analytics_ext import BASKET_CAP
@@ -1145,13 +1146,20 @@ def q144_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("dst").alias("v")).distinct())
         for prev in layers:
             nxt = nxt.join(prev.select("v"), "v", "left_anti")
-        # checkpoint the LAYER (frontier-sized) v-partitioned: the
-        # next round's join must not re-run this round's expansion,
-        # the final union reads materialized blocks only, and the
-        # preserved hash(v, N) layout feeds the next round's
-        # frontier join + all later anti-joins exchange-free
-        layer = checkpoint_partitioned(
-            nxt.withColumn("depth", F.lit(depth)), ["v"], n_part)
+        # checkpoint the LAYER (frontier-sized): the next round's join
+        # must not re-run this round's expansion, the final union
+        # reads materialized blocks only, and the hash(v, N) layout
+        # feeds the next round's frontier join + all later anti-joins
+        # exchange-free. Round 12 (guide §2.4): the layer plan
+        # ALREADY ends in that layout — distinct() exchanges on
+        # hash(v, n_part) and the anti-joins/withColumn preserve it —
+        # so checkpoint_partitioned's repartition was a second
+        # exchange of every layer carrying identical placement;
+        # checkpoint_preserving materializes without it (one
+        # frontier-sized exchange per BFS round, the dataflow
+        # minimum; plan-pinned in tests/test_ext4.py)
+        layer = checkpoint_preserving(
+            nxt.withColumn("depth", F.lit(depth)))
         layers.append(layer)
         frontier = layer.select("v")
     visited = reduce(lambda a, b: a.unionByName(b), layers)

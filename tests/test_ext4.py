@@ -295,3 +295,14 @@ def test_q144_bfs_round_single_exchange(spark):
            .join(seed.select("v"), "v", "left_anti"))
     plan = nxt._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # round 12: the layer checkpoint must NOT add a second exchange —
+    # the distinct's hash(v, N) output is the layer's layout, and
+    # checkpoint_preserving materializes it as-is (q144's loop; a
+    # checkpoint_partitioned here would re-exchange every layer into
+    # the identical placement)
+    from hearthstats_spark.operators.graph import checkpoint_preserving
+
+    layer = checkpoint_preserving(nxt.withColumn("depth", F.lit(1)))
+    part = str(layer._jdf.queryExecution()
+               .executedPlan().outputPartitioning())
+    assert "hashpartitioning" in part and "v#" in part
